@@ -1,0 +1,189 @@
+"""Named query registry: one callable per implemented operator/pipeline
+(SURVEY §2 coverage). Each takes ``sf_dir`` and returns a Ray Dataset /
+pandas DataFrame. Ray is initialised by the caller (driver / tests / bench);
+nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import ray.data as rd
+
+
+def _documents(sf_dir: str):
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _embeddings(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _query_vectors(sf_dir: str, n: int = 8):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    df = t.to_pandas()
+    return df[df["vec_id"] < n][["vec_id", "embedding"]].reset_index(drop=True)
+
+
+# ---- query callables -------------------------------------------------------
+
+def q_kg_cea_link(sf_dir: str):
+    from .pipelines.queries_kg import cea_link
+
+    return cea_link(sf_dir)
+
+
+def q_kg_cta_doc_type(sf_dir: str):
+    from .pipelines.queries_kg import cta_doc_type
+
+    return cta_doc_type(sf_dir)
+
+
+def q_kg_cta_ancestors(sf_dir: str):
+    from .pipelines.queries_kg import cta_type_ancestors
+
+    return cta_type_ancestors(sf_dir)
+
+
+def q_kg_cpa_cooccur(sf_dir: str):
+    from .pipelines.queries_kg import cpa_cooccur
+
+    return cpa_cooccur(sf_dir)
+
+
+def q_kg_triples(sf_dir: str):
+    from .pipelines.kg_pipeline import build_triples
+
+    return build_triples(sf_dir)
+
+
+def q_kg_alias_canonical(sf_dir: str):
+    from .pipelines.queries_kg import alias_canonical_map
+
+    return alias_canonical_map(sf_dir)
+
+
+def q_tab2rdf_nation(sf_dir: str):
+    from .pipelines.tabular2rdf import nation_to_rdf
+
+    return nation_to_rdf(sf_dir)
+
+
+def q_q1_pricing(sf_dir: str):
+    from .pipelines.relational import q1_pricing
+
+    return q1_pricing(sf_dir)
+
+
+def q_revenue_by_nation(sf_dir: str):
+    from .pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
+def q_top_parts_by_revenue(sf_dir: str):
+    from .pipelines.relational import top_parts_by_revenue
+
+    return top_parts_by_revenue(sf_dir)
+
+
+def q_events_by_type(sf_dir: str):
+    from .pipelines.relational import events_by_type
+
+    return events_by_type(sf_dir)
+
+
+def q_token_freq_top20(sf_dir: str):
+    from .pipelines.relational import token_freq_topk
+
+    return token_freq_topk(sf_dir, k=20)
+
+
+def q_doc_text_stats(sf_dir: str):
+    from .functions.textstats import text_stats_batch
+
+    return _documents(sf_dir).map_batches(text_stats_batch, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str):
+    from .functions.textstats import lang_id_batch
+
+    return _documents(sf_dir).map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from .functions.textstats import fingerprint_batch
+
+    return _documents(sf_dir).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    from .stages.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_documents(sf_dir))
+
+
+def q_dedup_near_pairs(sf_dir: str):
+    from .stages.dedup import near_dup_pairs_minhash
+
+    return near_dup_pairs_minhash(_documents(sf_dir))
+
+
+def q_dedup_simhash(sf_dir: str):
+    from .stages.dedup import near_dup_pairs_simhash
+
+    return near_dup_pairs_simhash(_documents(sf_dir))
+
+
+def q_ann_topk(sf_dir: str):
+    from .stages.similarity import ann_topk
+
+    out = ann_topk(_embeddings(sf_dir), _query_vectors(sf_dir), k=10)
+    # rename via map_batches: Ray's Project op chokes on pandas blocks
+    return out.map_batches(
+        lambda b: b.rename(columns={"rank": "knn_rank"}), batch_format="pandas"
+    )
+
+
+def q_ann_label_vote(sf_dir: str):
+    from .stages.similarity import ann_label_vote
+
+    return ann_label_vote(_embeddings(sf_dir), _query_vectors(sf_dir), k=10)
+
+
+def q_media_manifest(sf_dir: str):
+    from .pipelines.queries_kg import media_manifest
+
+    return media_manifest(sf_dir)
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "kg_cea_link": q_kg_cea_link,
+        "kg_cta_doc_type": q_kg_cta_doc_type,
+        "kg_cta_ancestors": q_kg_cta_ancestors,
+        "kg_cpa_cooccur": q_kg_cpa_cooccur,
+        "kg_triples": q_kg_triples,
+        "kg_alias_canonical": q_kg_alias_canonical,
+        "tab2rdf_nation": q_tab2rdf_nation,
+        "q1_pricing": q_q1_pricing,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_parts_by_revenue": q_top_parts_by_revenue,
+        "events_by_type": q_events_by_type,
+        "token_freq_top20": q_token_freq_top20,
+        "doc_text_stats": q_doc_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_label_vote": q_ann_label_vote,
+        "media_manifest": q_media_manifest,
+    }

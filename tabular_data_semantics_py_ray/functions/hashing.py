@@ -1,0 +1,111 @@
+"""Deterministic hashing kernels: shingle hashes, MinHash signatures, SimHash.
+
+Process-stable by construction (blake2b digests + fixed-seed permutations) —
+``hash()`` randomization never leaks in, so signatures agree across workers,
+runs and the resume path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_MAXH = (1 << 32) - 1
+
+
+def stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Distinct n-gram shingle hashes (uint64) of a token list."""
+    if len(tokens) < n:
+        return np.empty(0, dtype=np.uint64)
+    shingles = {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    return np.fromiter(
+        (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
+    )
+
+
+class MinHasher:
+    """num_perm universal-hash permutations over 61-bit Mersenne prime."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        """(num_perm,) uint64 minhash signature of a shingle-hash set."""
+        if len(hashes) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        h = hashes.astype(np.object_)  # python ints: exact 61-bit modular math
+        sig = np.empty(self.num_perm, dtype=np.uint64)
+        for i in range(self.num_perm):
+            sig[i] = int(min((int(self.a[i]) * int(x) + int(self.b[i])) % _MERSENNE for x in h))
+        return sig
+
+
+class FastMinHasher:
+    """Vectorized minhash via float-safe 32-bit universal hashing.
+
+    Maps shingle hashes into 32 bits, then applies ``(a*x + b) mod p`` with
+    p = 2^61-1 computed exactly in uint64 (a*x < 2^61 fits since a < 2^29).
+    ~100x faster than the object-dtype path; used by the pipeline.
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        if len(hashes) == 0:
+            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
+        x32 = (hashes & np.uint64(_MAXH)).astype(np.uint64)  # (m,)
+        prod = self.a[:, None] * x32[None, :] + self.b[:, None]  # < 2^62, exact
+        return (prod % np.uint64(_MERSENNE)).min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> list[bytes]:
+        """Split the signature into ``bands`` row-groups; key = digest of
+        each group (LSH bucket key)."""
+        rows = self.num_perm // bands
+        return [
+            hashlib.blake2b(sig[i * rows : (i + 1) * rows].tobytes(), digest_size=8).digest()
+            for i in range(bands)
+        ]
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over unigram token counts."""
+    if not tokens:
+        return 0
+    uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
+    hs = np.fromiter((stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    weights = counts[:, None] * (2 * bits - 1)
+    v = weights.sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Element-wise hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    cnt = np.zeros(len(x), dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two distinct-hash sets (uint64 arrays)."""
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return float(inter) / union if union else 0.0

@@ -1,0 +1,288 @@
+"""DuckDB oracle SQL for every verified query in ``__ray_entry__.queries()``.
+
+Fixture KG tables appear as inline VALUES generated from the SAME Python
+structures the Ray pipeline pins in its actors (``fixture_kg``), so the two
+sides can only diverge on computation, never on fixture content. Column
+names and types match the Ray outputs exactly (the driver sorts columns by
+name and hashes values).
+"""
+
+from __future__ import annotations
+
+from .constants import (
+    DOC,
+    MENTIONS_PRED,
+    ONT,
+    RDF_TYPE,
+    RDFS_LABEL,
+    STOPWORDS,
+    TAB,
+)
+from .fixture_kg import (
+    DISAMBIGUATION_CLASS,
+    alias_edges_values_sql,
+    class_closure_values_sql,
+    entity_types_values_sql,
+    lexicon_values_sql,
+    redirect_values_sql,
+)
+
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _kg_ctes() -> str:
+    """Shared CTE chain: tokenize -> lexicon candidates -> 2-hop redirect
+    resolution -> disambiguation filter -> lowest-rank link."""
+    return f"""
+words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS mention FROM documents
+),
+lex(surface_form, entity_uri, rank) AS (VALUES
+    {lexicon_values_sql()}),
+redirect(src, dst) AS (VALUES
+    {redirect_values_sql()}),
+resolved AS (
+  SELECT l.surface_form, l.rank,
+         coalesce(r2.dst, r1.dst, l.entity_uri) AS entity_uri
+  FROM lex l
+  LEFT JOIN redirect r1 ON l.entity_uri = r1.src
+  LEFT JOIN redirect r2 ON r1.dst = r2.src
+  WHERE l.rank <= 3
+),
+etypes(entity_uri, type_uri) AS (VALUES
+    {entity_types_values_sql()}),
+best AS (
+  SELECT surface_form, entity_uri FROM (
+    SELECT surface_form, entity_uri,
+           row_number() OVER (PARTITION BY surface_form ORDER BY rank) AS rn
+    FROM resolved
+    WHERE entity_uri NOT IN (
+      SELECT entity_uri FROM etypes WHERE type_uri = '{DISAMBIGUATION_CLASS}')
+  ) WHERE rn = 1
+),
+linked AS (
+  SELECT w.doc_id, w.mention, b.entity_uri
+  FROM words w JOIN best b ON w.mention = b.surface_form
+)"""
+
+
+_VOTE_CTES = f"""
+typed AS (
+  SELECT l.doc_id, t.type_uri
+  FROM linked l JOIN etypes t ON l.entity_uri = t.entity_uri
+  WHERE t.type_uri <> '{ONT}Thing'
+),
+votes AS (SELECT doc_id, type_uri, count(*) AS n FROM typed GROUP BY 1, 2),
+win AS (
+  SELECT doc_id, type_uri,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, type_uri ASC) AS rn
+  FROM votes
+)"""
+
+_DOC_URI = f"'{DOC}doc-' || lpad(cast(doc_id AS VARCHAR), 6, '0')"
+
+
+def oracle_sql() -> dict[str, str]:
+    o: dict[str, str] = {}
+
+    o["kg_cea_link"] = f"""WITH {_kg_ctes()}
+SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
+FROM linked GROUP BY 1, 2, 3"""
+
+    o["kg_cta_doc_type"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
+SELECT doc_id, type_uri FROM win WHERE rn = 1"""
+
+    o["kg_cta_ancestors"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
+closure(cls_uri, ancestor_uri, distance) AS (VALUES
+    {class_closure_values_sql()})
+SELECT w.doc_id, w.type_uri, c.ancestor_uri, c.distance
+FROM win w JOIN closure c ON w.type_uri = c.cls_uri
+WHERE w.rn = 1"""
+
+    o["kg_cpa_cooccur"] = f"""WITH {_kg_ctes()},
+ents AS (SELECT DISTINCT doc_id, entity_uri FROM linked)
+SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
+FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
+GROUP BY 1, 2"""
+
+    o["kg_triples"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
+SELECT DISTINCT subj, pred, obj, obj_is_literal FROM (
+  SELECT {_DOC_URI} AS subj, '{MENTIONS_PRED}' AS pred,
+         entity_uri AS obj, FALSE AS obj_is_literal
+  FROM linked
+  UNION ALL
+  SELECT DISTINCT l.entity_uri, '{RDF_TYPE}', t.type_uri, FALSE
+  FROM linked l JOIN etypes t ON l.entity_uri = t.entity_uri
+  WHERE t.type_uri <> '{ONT}Thing'
+  UNION ALL
+  SELECT {_DOC_URI}, '{RDF_TYPE}', type_uri, FALSE
+  FROM win WHERE rn = 1
+)"""
+
+    o["kg_alias_canonical"] = f"""WITH
+redirect(src, dst) AS (VALUES
+    {redirect_values_sql()}),
+alias(uri_a, uri_b, kind) AS (VALUES
+    {alias_edges_values_sql()}),
+r2 AS (
+  SELECT r1.src AS uri, coalesce(rr.dst, r1.dst) AS canonical
+  FROM redirect r1 LEFT JOIN redirect rr ON r1.dst = rr.src
+),
+s2 AS (
+  SELECT uri_a AS uri, uri_b AS canonical FROM alias WHERE kind = 'sameas' AND uri_b < uri_a
+  UNION ALL
+  SELECT uri_b, uri_a FROM alias WHERE kind = 'sameas' AND uri_a < uri_b
+)
+SELECT uri, canonical FROM r2 UNION ALL SELECT uri, canonical FROM s2"""
+
+    _NAT = TAB + "nation-row-"
+    o["tab2rdf_nation"] = f"""
+SELECT '{_NAT}' || cast(n_nationkey AS VARCHAR) AS subj,
+       '{RDF_TYPE}' AS pred, '{ONT}Nation' AS obj, FALSE AS obj_is_literal
+FROM nation
+UNION ALL
+SELECT '{_NAT}' || cast(n_nationkey AS VARCHAR), '{RDFS_LABEL}', n_name, TRUE FROM nation
+UNION ALL
+SELECT '{_NAT}' || cast(n_nationkey AS VARCHAR), '{TAB}nation-col-1', n_name, TRUE FROM nation
+UNION ALL
+SELECT '{_NAT}' || cast(n_nationkey AS VARCHAR), '{TAB}nation-col-2',
+       cast(n_regionkey AS VARCHAR), TRUE FROM nation"""
+
+    o["q1_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2"""
+
+    o["revenue_by_nation"] = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1"""
+
+    o["top_parts_by_revenue"] = """
+WITH agg AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+  FROM lineitem GROUP BY 1
+),
+top AS (SELECT l_partkey, revenue FROM agg ORDER BY revenue DESC, l_partkey LIMIT 10)
+SELECT p_partkey, p_name, round(revenue, 2) AS revenue
+FROM top JOIN part ON l_partkey = p_partkey"""
+
+    o["events_by_type"] = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1"""
+
+    _TOKS = "string_split(text, ' ')"
+    o["doc_text_stats"] = f"""
+WITH s AS (
+  SELECT doc_id, cast(len({_TOKS}) AS BIGINT) AS n_tokens,
+         cast(len(list_filter({_TOKS}, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len({_TOKS}) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_ratio,
+       (n_tokens BETWEEN 20 AND 400 AND stop_ratio < 0.3) AS quality_ok
+FROM s"""
+
+    o["lang_id"] = f"""
+WITH s AS (
+  SELECT doc_id,
+         cast(len(list_filter({_TOKS}, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len({_TOKS}) AS stop_ratio
+  FROM documents
+)
+SELECT doc_id, CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred
+FROM s"""
+
+    o["doc_fingerprint"] = """
+SELECT doc_id, md5(text) AS fp,
+       md5(regexp_replace(text, '( dup)+$', '')) AS fp_norm
+FROM documents"""
+
+    o["dedup_exact"] = """
+SELECT md5(regexp_replace(text, '( dup)+$', '')) AS text_hash,
+       min(doc_id) AS keep_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1"""
+
+    o["dedup_near_pairs"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, cast(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
+
+    _ANN_CTES = """
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qe, e.embedding) AS sim
+  FROM q, embeddings e WHERE e.vec_id <> q.query_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC)
+           AS knn_rank
+  FROM s
+)"""
+
+    o["ann_topk"] = f"""WITH {_ANN_CTES}
+SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 10"""
+
+    o["ann_label_vote"] = f"""WITH {_ANN_CTES},
+lab AS (
+  SELECT r.query_id, e.label FROM r
+  JOIN embeddings e ON r.neighbor_id = e.vec_id
+  WHERE r.knn_rank <= 10
+),
+cnt AS (SELECT query_id, label, count(*) AS n FROM lab GROUP BY 1, 2),
+w AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id ORDER BY n DESC, label ASC) AS rn
+  FROM cnt
+)
+SELECT query_id, cast(label AS BIGINT) AS pred_label FROM w WHERE rn = 1"""
+
+    o["token_freq_top20"] = """
+WITH c AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+a AS (SELECT token, count(*) AS n FROM c GROUP BY 1)
+SELECT token, n FROM a ORDER BY n DESC, token LIMIT 20"""
+
+    o["media_manifest"] = """
+WITH d AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+),
+c AS (
+  SELECT doc_id, chunk_idx FROM (
+    SELECT doc_id,
+           unnest(range(0, cast(ceil(cast(nt AS DOUBLE) / 12.0) AS BIGINT))) AS chunk_idx
+    FROM d
+  ) t
+  WHERE (doc_id + chunk_idx) % 4 = 0
+)
+SELECT doc_id, chunk_idx,
+       CASE WHEN chunk_idx % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
+       'media://' || cast(doc_id AS VARCHAR) || '/' || cast(chunk_idx AS VARCHAR)
+         AS media_ref
+FROM c"""
+
+    return o

@@ -1,0 +1,311 @@
+"""Deduplication stages: exact (hash-partition + per-group first),
+MinHash+LSH near-dup, SimHash near-dup, embedding-cosine near-dup.
+
+The reference only ever dedups exactly via in-memory dicts/sets (SURVEY
+§2.7); these are the scale-path operators a 100 TB training-data pipeline
+needs. All candidate generation is shuffle-bounded (band-bucket groupbys over
+small derived rows, never all-pairs), and verification is exact so the LSH
+path's output equals the exact-Jaccard oracle (recall loss at j>=0.8 with
+128 perms / 32 bands is ~5e-8).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Count, Min
+
+from ..util import drop_cols, rename_cols
+from ..functions.hashing import FastMinHasher, hamming64, shingle_hashes, simhash64
+from ..functions.textstats import fingerprint_batch
+
+
+# ----------------------------------------------------------------------
+# Exact dedup (D1): content-hash -> hash-partition -> per-group first.
+# ----------------------------------------------------------------------
+def exact_dedup_groups(documents_ds):
+    """-> (text_hash, keep_doc_id, n_docs): one row per distinct normalized
+    text; keeper = min doc_id (deterministic keep-one, D2 semantics)."""
+    fps = documents_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+    agg = fps.groupby("fp_norm").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs")
+    )
+    return rename_cols(agg, {"fp_norm": "text_hash"})
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH near-dup.
+# ----------------------------------------------------------------------
+class ShingleSignatures:
+    """Actor: docs -> (doc_id, shingles:list<uint64>, sig:list<uint64>).
+
+    Shingle hashing + permutations are pinned in ``__init__`` (once per
+    actor); per-batch work is numpy-vectorized per doc.
+    """
+
+    def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 42):
+        self.mh = FastMinHasher(num_perm=num_perm, seed=seed)
+        self.ngram = ngram
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        doc_ids = batch.column("doc_id")
+        shingles = [shingle_hashes(t.split(" "), self.ngram) for t in texts]
+        sigs = [self.mh.signature(s) for s in shingles]
+        # shingle sets travel as binary blobs (uint64 little-endian): pyarrow
+        # hash joins can't carry list<> payload columns
+        return pa.Table.from_arrays(
+            [
+                doc_ids,
+                pa.array([s.tobytes() for s in shingles], type=pa.binary()),
+                pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
+            ],
+            names=["doc_id", "shingles", "sig"],
+        )
+
+
+def _band_rows(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
+    mh = FastMinHasher(num_perm=num_perm)
+    doc_ids = batch.column("doc_id").to_pylist()
+    sigs = batch.column("sig").to_pylist()
+    out_doc, out_band, out_key = [], [], []
+    for d, sig in zip(doc_ids, sigs):
+        for b, key in enumerate(mh.band_keys(np.asarray(sig, dtype=np.uint64), bands)):
+            out_doc.append(d)
+            out_band.append(b)
+            out_key.append(key)
+    return pa.Table.from_arrays(
+        [
+            pa.array(out_doc, type=pa.int64()),
+            pa.array(out_band, type=pa.int32()),
+            pa.array(out_key, type=pa.binary()),
+        ],
+        names=["doc_id", "band", "key"],
+    )
+
+
+def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    docs = sorted(group["doc_id"].unique())
+    if len(docs) < 2:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                             "doc_b": pd.Series([], dtype="int64")})
+    a, b = zip(*combinations(docs, 2))
+    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+
+
+def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 128):
+    """signatures -> distinct candidate (doc_a < doc_b) pairs via band-bucket
+    groupby (the shingle->minhash->band->bucket shuffle)."""
+    band_rows = signatures_ds.select_columns(["doc_id", "sig"]).map_batches(
+        lambda t: _band_rows(t, bands=bands, num_perm=num_perm), batch_format="pyarrow"
+    )
+    pairs = band_rows.groupby(["band", "key"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+    # distinct pairs (same pair can collide in many bands)
+    return drop_cols(
+        pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")), ["_c"]
+    )
+
+
+def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
+                       num_partitions: int = 8):
+    """Exact-Jaccard verification of candidate pairs via two hash joins
+    against the shingle sets (never broadcast: both sides shuffled on the
+    join key, scale-safe)."""
+    sh = signatures_ds.select_columns(["doc_id", "shingles"])
+    a = pairs_ds.join(
+        sh,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("doc_id",),
+    )
+    a = drop_cols(rename_cols(a, {"shingles": "sh_a"}), ["doc_id"])
+    ab = a.join(
+        sh,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_b",),
+        right_on=("doc_id",),
+    )
+    ab = drop_cols(rename_cols(ab, {"shingles": "sh_b"}), ["doc_id"])
+
+    def _jaccard(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for r in batch.itertuples(index=False):
+            sa = np.frombuffer(r.sh_a, dtype=np.uint64)
+            sb = np.frombuffer(r.sh_b, dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            rows.append(float(inter) / union if union else 0.0)
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["jaccard"] = np.round(np.asarray(rows, dtype=np.float64), 6)
+        return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+    return ab.map_batches(_jaccard, batch_format="pandas")
+
+
+def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
+                           bands: int = 32, num_perm: int = 128, ngram: int = 3):
+    """documents -> (doc_a, doc_b, jaccard) for exact Jaccard >= threshold,
+    found via MinHash-LSH candidates + exact verification."""
+    sigs = documents_ds.map_batches(
+        ShingleSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    ).materialize()  # reused by candidate gen AND verification; shingle-sized
+    cands = minhash_candidate_pairs(sigs, bands=bands, num_perm=num_perm)
+    return verify_pairs_exact(cands, sigs, threshold=threshold)
+
+
+# ----------------------------------------------------------------------
+# SimHash near-dup: 4-segment pigeonhole blocking for hamming <= 3.
+# ----------------------------------------------------------------------
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    sh = np.fromiter(
+        (simhash64(t.split(" ")) for t in texts), dtype=np.uint64, count=len(texts)
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(sh)], names=["doc_id", "simhash"]
+    )
+
+
+def _segment_rows(batch: pa.Table, *, segments: int = 4) -> pa.Table:
+    sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    width = 64 // segments
+    mask = np.uint64((1 << width) - 1)
+    outs = []
+    for s in range(segments):
+        seg = (sh >> np.uint64(s * width)) & mask
+        outs.append(
+            pa.Table.from_arrays(
+                [
+                    pa.array(doc),
+                    pa.array(sh),
+                    pa.array(np.full(len(doc), s, dtype=np.int32)),
+                    pa.array(seg.astype(np.int64)),
+                ],
+                names=["doc_id", "simhash", "segment", "seg_key"],
+            )
+        )
+    return pa.concat_tables(outs)
+
+
+def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
+    """documents -> (doc_a, doc_b, hamming) with hamming(simhash) <= k.
+
+    Pigeonhole: with 4 16-bit segments any pair within hamming 3 agrees on
+    at least one segment, so candidates = same (segment, seg_key) bucket.
+    """
+    sims = documents_ds.map_batches(_simhash_batch, batch_format="pyarrow")
+    segs = sims.map_batches(_segment_rows, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
+                 "ham_a": pd.Series([], dtype="uint64"), "ham_b": pd.Series([], dtype="uint64")}
+            )
+        idx_a, idx_b = zip(*combinations(range(len(g)), 2))
+        return pd.DataFrame(
+            {
+                "doc_a": g["doc_id"].to_numpy()[list(idx_a)],
+                "doc_b": g["doc_id"].to_numpy()[list(idx_b)],
+                "ham_a": g["simhash"].to_numpy()[list(idx_a)],
+                "ham_b": g["simhash"].to_numpy()[list(idx_b)],
+            }
+        )
+
+    pairs = segs.groupby(["segment", "seg_key"]).map_groups(_pairs, batch_format="pandas")
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        ham = hamming64(
+            batch["ham_a"].to_numpy().astype(np.uint64),
+            batch["ham_b"].to_numpy().astype(np.uint64),
+        )
+        out = batch[["doc_a", "doc_b"]].copy()
+        out["hamming"] = ham
+        return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+
+    verified = pairs.map_batches(_verify, batch_format="pandas")
+    # same pair can match in several segments -> distinct
+    return (
+        verified.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup.
+# ----------------------------------------------------------------------
+def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
+                             bands: int = 8, seed: int = 7):
+    """embeddings -> (vec_a, vec_b, cosine) pairs with cosine >= threshold.
+
+    Scale path: random-hyperplane LSH (8-bit keys x ``bands`` tables) buckets
+    candidates, then exact cosine verification inside each bucket group.
+    """
+    def _bucket(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        dim = X.shape[1]
+        # fixed-seed hyperplanes: identical in every task/process
+        planes = np.random.RandomState(seed).standard_normal((bands, 8, dim))
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        nvec = pa.array([list(map(float, row)) for row in Xn], type=pa.list_(pa.float64()))
+        outs = []
+        for b in range(bands):
+            bits = (Xn @ planes[b].T) > 0  # (n, 8)
+            key = (bits * (1 << np.arange(8))).sum(axis=1).astype(np.int64)
+            outs.append(
+                pa.Table.from_arrays(
+                    [
+                        batch.column("vec_id"),
+                        nvec,
+                        pa.array(np.full(len(key), b, dtype=np.int32)),
+                        pa.array(key),
+                    ],
+                    names=["vec_id", "nvec", "band", "key"],
+                )
+            )
+        return pa.concat_tables(outs)
+
+    bucketed = embeddings_ds.map_batches(_bucket, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("vec_id").sort_values("vec_id")
+        n = len(g)
+        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                              "vec_b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        if n < 2:
+            return empty
+        X = np.stack(g["nvec"].to_numpy())
+        S = X @ X.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = S[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        ids = g["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cosine": np.round(S[ia, ib][keep], 6),
+            }
+        )
+
+    pairs = bucketed.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))

@@ -1,0 +1,128 @@
+"""Candidate generation + entity-link scoring — stateful actor-pool stages.
+
+The reference's ``matching.Lookup`` loads two ontologies + endpoint handles
+once per process (matching/kg_matching.py:244-250) and then resolves each
+cell with lookup candidates, redirect resolution and type-compatibility
+checks (kg_matching.py:476-584, A1-A6 in SURVEY §2.3). Here the same
+"heavy singleton" shape becomes callable classes whose ``__init__`` pins the
+fixture tables (broadcast once via ``ray.put``), passed to
+``ds.map_batches(Cls, concurrency=N)`` so state loads once per actor, not
+once per batch. Per-batch work is vectorized pandas merges — no row loops.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from .. import fixture_kg
+from ..fixture_kg import DISAMBIGUATION_CLASS
+
+
+def _broadcast(obj):
+    """ray.put once on the driver; reuse the ref across all actors."""
+    import ray
+
+    return ray.put(obj)
+
+
+class CandidateGen:
+    """mention -> ranked candidate entities (top-k), lexicon pinned per actor.
+
+    ~ lookup-service call per distinct cell (kg/lookup.py:212-219, J1/T1);
+    memoization (A8 dict caches) becomes a plain dict join — O(1) per row,
+    vectorized via pandas merge against the pinned lexicon table.
+    """
+
+    def __init__(self, lexicon_ref=None, top_k: int = 3):
+        import ray
+
+        lex = (
+            ray.get(lexicon_ref)
+            if lexicon_ref is not None
+            else fixture_kg.lexicon_df()
+        )
+        self.lex = lex[lex["rank"] <= top_k]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch.merge(
+            self.lex, left_on="mention", right_on="surface_form", how="inner"
+        )
+        return out.drop(columns=["surface_form"])
+
+
+class LinkScore:
+    """candidates -> best linked entity per mention occurrence.
+
+    Semantics (mirrors the reference's cascade, made deterministic):
+    1. resolve redirects with the 2-iteration closure
+       (challenge_utils.py:441-453) — computed at actor init from raw edges;
+    2. drop candidates whose canonical entity is a disambiguation page
+       (wikidata Q4167410 analogue, matching/kg_matching.py:417-420);
+    3. keep the lowest-rank surviving candidate per (doc_id, span_idx,
+       tok_idx) — lookup relevance order, T1.
+    """
+
+    def __init__(self, alias_ref=None, types_ref=None):
+        import ray
+
+        alias = (
+            ray.get(alias_ref) if alias_ref is not None else fixture_kg.alias_edges_df()
+        )
+        types = (
+            ray.get(types_ref) if types_ref is not None else fixture_kg.entity_types_df()
+        )
+        redirects = alias[alias["kind"] == "redirect"]
+        one_hop = dict(zip(redirects["uri_a"], redirects["uri_b"]))
+        # exactly two closure iterations, not a fixpoint
+        self.canonical = {
+            s: one_hop.get(one_hop.get(s, s), one_hop.get(s, s)) for s in one_hop
+        }
+        self.disambig = set(
+            types.loc[types["type_uri"] == DISAMBIGUATION_CLASS, "entity_uri"]
+        )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return batch.drop(columns=["rank"], errors="ignore")
+        b = batch.copy()
+        b["entity_uri"] = b["entity_uri"].map(lambda u: self.canonical.get(u, u))
+        b = b[~b["entity_uri"].isin(self.disambig)]
+        b = b.sort_values(["doc_id", "span_idx", "tok_idx", "rank"], kind="mergesort")
+        b = b.drop_duplicates(subset=["doc_id", "span_idx", "tok_idx"], keep="first")
+        return b.drop(columns=["rank"]).reset_index(drop=True)
+
+
+class EntityLinker:
+    """Fused CandidateGen + LinkScore in one actor stage.
+
+    Fused deliberately: the min-rank-per-occurrence reduction must see every
+    candidate of an occurrence in the same batch; candidate expansion happens
+    inside this call, so re-batching between stages can never split a
+    candidate group. Also halves the inter-stage (de)serialization.
+    """
+
+    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3):
+        self.gen = CandidateGen(lexicon_ref, top_k)
+        self.score = LinkScore(alias_ref, types_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self.score(self.gen(batch))
+
+
+def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size=16384):
+    """mentions -> linked (doc_id, span_idx, tok_idx, mention, entity_uri)."""
+    lex_ref = _broadcast(fixture_kg.lexicon_df())
+    alias_ref = _broadcast(fixture_kg.alias_edges_df())
+    types_ref = _broadcast(fixture_kg.entity_types_df())
+    return mentions_ds.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={
+            "lexicon_ref": lex_ref,
+            "alias_ref": alias_ref,
+            "types_ref": types_ref,
+            "top_k": top_k,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

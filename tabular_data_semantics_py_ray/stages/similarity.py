@@ -1,0 +1,112 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(``ray.put``), each ``map_batches`` task computes a batch x queries matmul
+and emits only its LOCAL top-k rows per query, so the final shuffle reduces
+k*num_batches rows, not n*q. The LSH-bucketed scale path lives in
+``stages/dedup.near_dup_pairs_embedding``; an IVF variant can reuse the same
+partial-top-k reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+class BruteForceTopK:
+    """Actor: pins the normalized query matrix from the object store."""
+
+    def __init__(self, queries_ref, k: int = 10):
+        q = ray.get(queries_ref)  # DataFrame(vec_id, embedding)
+        self.q_ids = q["vec_id"].to_numpy()
+        self.Q = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        S = self.Q @ X.T  # (q, n)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            sims = S[qi]
+            mask = ids != self.q_ids[qi]  # exclude self-match
+            cand_idx = np.nonzero(mask)[0]
+            if len(cand_idx) == 0:
+                continue
+            take = min(self.k, len(cand_idx))
+            # local top-k by (sim desc, id asc) — deterministic
+            order = np.lexsort((ids[cand_idx], -sims[cand_idx]))[:take]
+            sel = cand_idx[order]
+            out_q.append(np.full(len(sel), self.q_ids[qi], dtype=np.int64))
+            out_n.append(ids[sel].astype(np.int64))
+            out_s.append(sims[sel])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate(out_q)),
+                pa.array(np.concatenate(out_n)),
+                pa.array(np.concatenate(out_s)),
+            ],
+            names=["query_id", "neighbor_id", "sim"],
+        )
+
+
+def ann_topk(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
+             concurrency=(1, 4)):
+    """-> (query_id, neighbor_id, rank) global top-k per query by cosine,
+    rank 1..k ordered (sim desc, neighbor_id asc)."""
+    queries_ref = ray.put(queries_df)
+    partial = embeddings_ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        out = g[["query_id", "neighbor_id"]].copy().reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return partial.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
+def ann_label_vote(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10):
+    """k-NN classification: majority label among the top-k neighbors,
+    ties broken by smallest label. -> (query_id, pred_label)."""
+    topk = ann_topk(embeddings_ds, queries_df, k=k)
+    labels = embeddings_ds.select_columns(["vec_id", "label"])
+    joined = topk.join(
+        labels,
+        join_type="inner",
+        num_partitions=4,
+        on=("neighbor_id",),
+        right_on=("vec_id",),
+    )
+
+    def _vote(group: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            group.groupby("label").size().reset_index(name="n")
+            .sort_values(["n", "label"], ascending=[False, True], kind="mergesort")
+        )
+        return pd.DataFrame(
+            {"query_id": [group["query_id"].iloc[0]],
+             "pred_label": [int(counts["label"].iloc[0])]}
+        )
+
+    return joined.groupby("query_id").map_groups(_vote, batch_format="pandas")

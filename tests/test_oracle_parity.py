@@ -1,0 +1,79 @@
+"""Driver-style side-by-side check: every queries() entry with an
+oracle_sql() entry must match DuckDB on row count, column names and values
+(order-insensitive), at sf0.001. This is a local replica of the driver's
+CORRECTNESS gate so mismatches surface before a round ends."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = entrymod.queries()
+_ORACLES = entrymod.oracle_sql()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF_DIR, t)}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    try:
+        import pyarrow as pa
+
+        if isinstance(result, pa.Table):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
+def test_query_matches_oracle(name):
+    ray_df = _canon(_to_pandas(_QUERIES[name](SF_DIR)))
+    duck_df = _canon(_duck(_ORACLES[name]))
+    assert list(ray_df.columns) == list(duck_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(duck_df.columns)}"
+    )
+    assert len(ray_df) == len(duck_df), f"{name}: rows {len(ray_df)} != {len(duck_df)}"
+    for c in ray_df.columns:
+        a, b = ray_df[c], duck_df[c]
+        if a.dtype.kind == "f" or b.dtype.kind == "f":
+            pd.testing.assert_series_equal(
+                a.astype(float), b.astype(float), check_names=False,
+                check_exact=True, obj=f"{name}.{c}",
+            )
+        else:
+            assert (a.to_numpy() == b.to_numpy()).all(), f"{name}: column {c} differs"
+
+
+def test_all_queries_have_oracle_or_are_listed():
+    no_oracle = set(_QUERIES) - set(_ORACLES)
+    # rows-only checks, deliberately: simhash is not SQL-expressible
+    assert no_oracle == {"dedup_simhash"}, no_oracle
