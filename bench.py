@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples_per_sec": ...}
+
+``--scaling``: runs the flagship triple pipeline on a replicated corpus
+(same input both times) in two FRESH processes at num_cpus=8 and 32 and
+prints throughputs plus scaling efficiency = (T_8 / T_32) / (32/8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICATE = int(os.environ.get("GRAFT_BENCH_REPLICATE", "20"))
+
+BENCH_QUERIES = [
+    "kg_triples",
+    "kg_cea_link",
+    "kg_cta_doc_type",
+    "dedup_near_pairs",
+    "dedup_simhash",
+    "dedup_exact",
+    "ann_topk",
+    "q1_pricing",
+    "revenue_by_nation",
+    "top_parts_by_revenue",
+    "events_by_type",
+    "token_freq_top20",
+    "doc_text_stats",
+    "media_manifest",
+]
+
+
+def _consume(res) -> int:
+    """Stream-consume a result; returns row count."""
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    n = 0
+    for b in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def _init_ray():
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _replicated_documents(times: int):
+    """Same corpus replicated with distinct doc_id ranges — the compute-bound
+    flagship input for the scaling run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    base = rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _rep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for i in range(times):
+            shifted = pc.add(t.column("doc_id"), i * 10_000_000)
+            parts.append(
+                pa.Table.from_arrays([shifted, t.column("text")],
+                                     names=["doc_id", "text"])
+            )
+        return pa.concat_tables(parts)
+
+    return base.map_batches(_rep, batch_format="pyarrow")
+
+
+def run_default():
+    _init_ray()
+    import ray
+
+    from tabular_data_semantics_py_ray.api import queries as _queries
+
+    qs = _queries()
+    # warm the page cache (untimed read)
+    _consume(__import__("ray.data", fromlist=["data"]).read_parquet(
+        os.path.join(SF_DIR, "documents.parquet")))
+
+    times: dict[str, float] = {}
+    triples_rows = 0
+    total0 = time.time()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = _consume(qs[name](SF_DIR))
+        times[name] = round(time.time() - t0, 3)
+        if name == "kg_triples":
+            triples_rows = n
+    total = round(time.time() - total0, 3)
+    out = {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "triples_per_sec": round(triples_rows / max(times["kg_triples"], 1e-9), 1),
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def run_flagship_once():
+    """Scaling-mode worker: flagship pipeline on the replicated corpus."""
+    _init_ray()
+    import ray
+
+    from tabular_data_semantics_py_ray.pipelines.kg_pipeline import (
+        triples_from_documents,
+    )
+
+    docs = _replicated_documents(REPLICATE).materialize()  # warm, exclude read
+    n_docs = docs.count()
+    t0 = time.time()
+    n_triples = _consume(
+        triples_from_documents(docs, concurrency=(1, max(2, NCPU // 2)))
+    )
+    dt = time.time() - t0
+    ray.shutdown()
+    print(json.dumps({
+        "num_cpus": NCPU,
+        "docs": n_docs,
+        "triples": n_triples,
+        "sec": round(dt, 3),
+        "docs_per_sec": round(n_docs / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }))
+
+
+def run_scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-once"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["sec"] / hi["sec"]) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "run_8": lo,
+        "run_32": hi,
+        "sf": SF_DIR,
+        "replicate": REPLICATE,
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    elif "--flagship-once" in sys.argv:
+        run_flagship_once()
+    else:
+        run_default()

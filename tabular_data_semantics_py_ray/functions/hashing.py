@@ -49,26 +49,35 @@ class MinHasher:
         return sig
 
 
-class FastMinHasher:
-    """Vectorized minhash via float-safe 32-bit universal hashing.
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a bijection on uint64 with well-mixed ordering
+    (public-domain constants, Steele et al. / xorshift family)."""
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
 
-    Maps shingle hashes into 32 bits, then applies ``(a*x + b) mod p`` with
-    p = 2^61-1 computed exactly in uint64 (a*x < 2^61 fits since a < 2^29).
-    ~100x faster than the object-dtype path; used by the pipeline.
+
+class FastMinHasher:
+    """Vectorized minhash: permutation i = splitmix64(x ^ seed_i).
+
+    A linear ``(a*x+b) mod p`` with small ``a`` never wraps, making the map
+    monotone — every 'permutation' would pick the same min element. The
+    xor-then-mix construction is a true 64-bit bijection with effectively
+    random ordering, so P(sig_i(A) == sig_i(B)) == Jaccard(A, B).
     """
 
     def __init__(self, num_perm: int = 128, seed: int = 42):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, 1 << 29, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        lo = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+        hi = rng.randint(0, 1 << 32, size=num_perm, dtype=np.uint64)
+        self.seeds = (hi << np.uint64(32)) | lo
         self.num_perm = num_perm
 
     def signature(self, hashes: np.ndarray) -> np.ndarray:
         if len(hashes) == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        x32 = (hashes & np.uint64(_MAXH)).astype(np.uint64)  # (m,)
-        prod = self.a[:, None] * x32[None, :] + self.b[:, None]  # < 2^62, exact
-        return (prod % np.uint64(_MERSENNE)).min(axis=1)
+        mixed = _splitmix64(hashes[None, :] ^ self.seeds[:, None])  # (k, m)
+        return mixed.min(axis=1)
 
     def band_keys(self, sig: np.ndarray, bands: int) -> list[bytes]:
         """Split the signature into ``bands`` row-groups; key = digest of

@@ -27,15 +27,30 @@ from ..stages.triple_extract import (
 )
 
 
-def read_documents(sf_dir: str, **kwargs):
-    return rd.read_parquet(
+def read_documents(sf_dir: str, *, partition: tuple[int, int] | None = None, **kwargs):
+    """Read the documents table; optionally keep only the shard with
+    ``doc_id % n_partitions == partition_id`` (the resumable-materialize
+    partitioning key — see pipelines/materialize.py)."""
+    ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], **kwargs
     )
+    if partition is not None:
+        pid, nparts = partition
+
+        def _shard(t):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % nparts == pid))
+
+        ds = ds.map_batches(_shard, batch_format="pyarrow")
+    return ds
 
 
-def docs_dataset(sf_dir: str):
+def docs_dataset(sf_dir: str, *, partition: tuple[int, int] | None = None):
     """Interleaved docs table per input_hint (doc_id:string, spans:list)."""
-    return interleave(read_documents(sf_dir))
+    return interleave(read_documents(sf_dir, partition=partition))
 
 
 def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4)):
@@ -43,9 +58,20 @@ def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4)):
     return link_entities(mentions, top_k=top_k, concurrency=concurrency)
 
 
-def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4)):
+def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
+                  partition: tuple[int, int] | None = None):
     """documents parquet -> distinct, sorted (subj,pred,obj,obj_is_literal)."""
-    docs = docs_dataset(sf_dir)
+    return triples_from_documents(
+        read_documents(sf_dir, partition=partition),
+        salt_buckets=salt_buckets,
+        concurrency=concurrency,
+    )
+
+
+def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
+                           concurrency=(1, 4)):
+    """Core flagship pipeline over an already-read documents Dataset."""
+    docs = interleave(documents_ds)
     linked = linked_mentions(docs, concurrency=concurrency)
 
     # Three triple streams. `linked` feeds two map lineages plus the voting

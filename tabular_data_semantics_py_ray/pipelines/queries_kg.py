@@ -93,18 +93,22 @@ def cpa_cooccur(sf_dir: str):
     (uri_a, uri_b, n_docs) with uri_a < uri_b."""
     from itertools import combinations
 
+    from ..util import bucket_distinct, bucket_map_keyed
+
     linked = _linked_flat(sf_dir)
-    ents = drop_cols(partial_count(linked, ["doc_id", "entity_uri"]), ["n"])
+    ents = bucket_distinct(linked, ["doc_id", "entity_uri"])
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        uris = sorted(group["entity_uri"].unique())
-        if len(uris) < 2:
-            return pd.DataFrame({"uri_a": pd.Series([], dtype="string"),
-                                 "uri_b": pd.Series([], dtype="string")})
-        a, b = zip(*combinations(uris, 2))
-        return pd.DataFrame({"uri_a": list(a), "uri_b": list(b)})
+    def _pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
+        rows_a, rows_b = [], []
+        for _, group in bucket.groupby("doc_id", sort=False):
+            uris = sorted(group["entity_uri"].unique())
+            for a, b in combinations(uris, 2):
+                rows_a.append(a)
+                rows_b.append(b)
+        return pd.DataFrame({"uri_a": pd.Series(rows_a, dtype="string"),
+                             "uri_b": pd.Series(rows_b, dtype="string")})
 
-    pairs = ents.groupby("doc_id").map_groups(_pairs, batch_format="pandas")
+    pairs = bucket_map_keyed(ents, ["doc_id"], _pairs_bucket)
     return rename_cols(partial_count(pairs, ["uri_a", "uri_b"]), {"n": "n_docs"})
 
 

@@ -129,10 +129,12 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
         b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
         return b.groupby("l_partkey", sort=False)["revenue"].sum().reset_index()
 
-    agg = (
-        li.map_batches(_partial, batch_format="pandas")
-        .groupby("l_partkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    from ..util import bucket_aggregate
+
+    agg = bucket_aggregate(
+        li.map_batches(_partial, batch_format="pandas"),
+        ["l_partkey"],
+        {"revenue": ("revenue", "sum")},
     )
     top = agg.sort(["revenue", "l_partkey"], descending=[True, False]).limit(k)
     top_df = top.to_pandas()  # k rows — driver-side is fine
@@ -161,17 +163,13 @@ def events_by_type(sf_dir: str):
                    Sum("sum_value", alias_name="sum_value"))
     ).to_pandas()
 
-    from ..util import drop_cols
+    from ..util import bucket_aggregate, bucket_distinct
 
-    pair_counts = (
-        ev.select_columns(["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
+    distinct_pairs = bucket_distinct(
+        ev.select_columns(["event_type", "user_id"]), ["event_type", "user_id"]
     )
-    pairs = (
-        drop_cols(pair_counts, ["_c"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+    pairs = bucket_aggregate(
+        distinct_pairs, ["event_type"], {"n_users": ("user_id", "count")}
     ).to_pandas()
 
     out = totals.merge(pairs, on="event_type")

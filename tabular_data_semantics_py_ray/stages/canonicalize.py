@@ -26,31 +26,24 @@ import ray
 from ray.data.aggregate import Sum
 
 from ..constants import AGENT_CLASS, AVOID_TOP_CONCEPTS
-from ..util import drop_cols
+from ..util import bucket_aggregate, bucket_map_keyed
 from .. import fixture_kg
 
 
-def partial_count(ds, keys: list[str], *, salt_buckets: int = 0):
-    """Two-phase count of rows per key tuple -> Dataset[keys..., n:int64]."""
+def partial_count(ds, keys: list[str], *, salt_buckets: int = 0,
+                  num_buckets: int = 64):
+    """Two-phase count of rows per key tuple -> Dataset[keys..., n:int64].
 
-    def _partial(batch: pd.DataFrame):
-        import pyarrow as pa
-
-        g = batch.groupby(keys, sort=False, observed=True).size().reset_index(name="n")
-        g["n"] = g["n"].astype("int64")
-        if salt_buckets > 1:
-            # spread a hot key's partials over several reducers
-            g["_salt"] = np.arange(len(g), dtype=np.int64) % salt_buckets
-        # emit Arrow: keeps the aggregate (and any later Project op) on
-        # Arrow blocks — Ray's Project can't handle pandas blocks
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    partials = ds.map_batches(_partial, batch_format="pandas")
-    if salt_buckets > 1:
-        mid = partials.groupby(keys + ["_salt"]).aggregate(Sum("n", alias_name="n"))
-        mid = drop_cols(mid, ["_salt"])
-        return mid.groupby(keys).aggregate(Sum("n", alias_name="n"))
-    return partials.groupby(keys).aggregate(Sum("n", alias_name="n"))
+    Per-batch partial counts (a hot key contributes ONE row per batch — the
+    combiner/salting step) then a bucket-hash shuffle with one vectorized
+    reduce per bucket. ``salt_buckets``, when set, overrides the bucket
+    count for the shuffle (kept for explicit skew experiments)."""
+    return bucket_aggregate(
+        ds,
+        keys,
+        {"n": (keys[0], "count")},
+        num_buckets=salt_buckets if salt_buckets > 1 else num_buckets,
+    )
 
 
 class TypeJoiner:
@@ -85,11 +78,14 @@ def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0):
     )
     counts = partial_count(typed, [key, "type_uri"], salt_buckets=salt_buckets)
 
-    def _argmax(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["n", "type_uri"], ascending=[False, True], kind="mergesort")
-        return g.head(1)[[key, "type_uri"]]
+    def _winners(bucket: pd.DataFrame) -> pd.DataFrame:
+        # vectorized argmax over the whole bucket: stable sort then first
+        # row per key == (count desc, type asc) winner
+        g = bucket.sort_values(["n", "type_uri"], ascending=[False, True],
+                               kind="mergesort")
+        return g.drop_duplicates(subset=[key], keep="first")[[key, "type_uri"]]
 
-    return counts.groupby(key).map_groups(_argmax, batch_format="pandas")
+    return bucket_map_keyed(counts, [key], _winners)
 
 
 def most_specific_classes(type_uris: set[str], ancestors: dict[str, set[str]]) -> set[str]:

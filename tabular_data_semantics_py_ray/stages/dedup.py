@@ -11,15 +11,17 @@ path's output equals the exact-Jaccard oracle (recall loss at j>=0.8 with
 
 from __future__ import annotations
 
-from itertools import combinations
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
-
-from ..util import drop_cols, rename_cols
+from ..util import (
+    bucket_aggregate,
+    bucket_distinct,
+    bucket_map_keyed,
+    drop_cols,
+    rename_cols,
+)
 from ..functions.hashing import FastMinHasher, hamming64, shingle_hashes, simhash64
 from ..functions.textstats import fingerprint_batch
 
@@ -31,8 +33,10 @@ def exact_dedup_groups(documents_ds):
     """-> (text_hash, keep_doc_id, n_docs): one row per distinct normalized
     text; keeper = min doc_id (deterministic keep-one, D2 semantics)."""
     fps = documents_ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-    agg = fps.groupby("fp_norm").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs")
+    agg = bucket_aggregate(
+        fps,
+        ["fp_norm"],
+        {"keep_doc_id": ("doc_id", "min"), "n_docs": ("doc_id", "count")},
     )
     return rename_cols(agg, {"fp_norm": "text_hash"})
 
@@ -88,28 +92,54 @@ def _band_rows(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
     )
 
 
-def _bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-    docs = sorted(group["doc_id"].unique())
-    if len(docs) < 2:
-        return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                             "doc_b": pd.Series([], dtype="int64")})
-    a, b = zip(*combinations(docs, 2))
-    return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
+def _pairs_from_keyed(bucket: pd.DataFrame, key_cols: list[str],
+                      carry: list[str] | None = None) -> pd.DataFrame:
+    """All (doc_a < doc_b) pairs within each key group of a co-located
+    bucket. Vectorized thinning: singleton keys (the overwhelming majority)
+    are dropped before the per-group pair loop."""
+    dup = bucket[bucket.duplicated(key_cols, keep=False)]
+    cols = {"doc_a": [], "doc_b": []}
+    carry = carry or []
+    carry_cols: dict[str, list] = {f"{c}_a": [] for c in carry}
+    carry_cols.update({f"{c}_b": [] for c in carry})
+    for _, grp in dup.groupby(key_cols, sort=False):
+        g = grp.drop_duplicates("doc_id")
+        n = len(g)
+        if n < 2:
+            continue
+        order = np.argsort(g["doc_id"].to_numpy())
+        ids = g["doc_id"].to_numpy()[order]
+        ia, ib = np.triu_indices(n, k=1)
+        cols["doc_a"].append(ids[ia])
+        cols["doc_b"].append(ids[ib])
+        for c in carry:
+            vals = g[c].to_numpy()[order]
+            carry_cols[f"{c}_a"].append(vals[ia])
+            carry_cols[f"{c}_b"].append(vals[ib])
+    if not cols["doc_a"]:
+        out = {"doc_a": pd.Series([], dtype="int64"),
+               "doc_b": pd.Series([], dtype="int64")}
+        for c in carry:
+            out[f"{c}_a"] = pd.Series([], dtype="uint64")
+            out[f"{c}_b"] = pd.Series([], dtype="uint64")
+        return pd.DataFrame(out)
+    out = {k: np.concatenate(v) for k, v in cols.items()}
+    out.update({k: np.concatenate(v) for k, v in carry_cols.items()})
+    return pd.DataFrame(out)
 
 
 def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 128):
     """signatures -> distinct candidate (doc_a < doc_b) pairs via band-bucket
-    groupby (the shingle->minhash->band->bucket shuffle)."""
+    shuffle (the shingle->minhash->band->bucket groupby)."""
     band_rows = signatures_ds.select_columns(["doc_id", "sig"]).map_batches(
         lambda t: _band_rows(t, bands=bands, num_perm=num_perm), batch_format="pyarrow"
     )
-    pairs = band_rows.groupby(["band", "key"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = bucket_map_keyed(
+        band_rows, ["band", "key"],
+        lambda b: _pairs_from_keyed(b, ["band", "key"]),
     )
     # distinct pairs (same pair can collide in many bands)
-    return drop_cols(
-        pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")), ["_c"]
-    )
+    return bucket_distinct(pairs, ["doc_a", "doc_b"])
 
 
 def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
@@ -208,24 +238,10 @@ def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
     sims = documents_ds.map_batches(_simhash_batch, batch_format="pyarrow")
     segs = sims.map_batches(_segment_rows, batch_format="pyarrow")
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"),
-                 "ham_a": pd.Series([], dtype="uint64"), "ham_b": pd.Series([], dtype="uint64")}
-            )
-        idx_a, idx_b = zip(*combinations(range(len(g)), 2))
-        return pd.DataFrame(
-            {
-                "doc_a": g["doc_id"].to_numpy()[list(idx_a)],
-                "doc_b": g["doc_id"].to_numpy()[list(idx_b)],
-                "ham_a": g["simhash"].to_numpy()[list(idx_a)],
-                "ham_b": g["simhash"].to_numpy()[list(idx_b)],
-            }
-        )
-
-    pairs = segs.groupby(["segment", "seg_key"]).map_groups(_pairs, batch_format="pandas")
+    pairs = bucket_map_keyed(
+        segs, ["segment", "seg_key"],
+        lambda b: _pairs_from_keyed(b, ["segment", "seg_key"], carry=["simhash"]),
+    )
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
         if len(batch) == 0:
@@ -233,8 +249,8 @@ def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
         ham = hamming64(
-            batch["ham_a"].to_numpy().astype(np.uint64),
-            batch["ham_b"].to_numpy().astype(np.uint64),
+            batch["simhash_a"].to_numpy().astype(np.uint64),
+            batch["simhash_b"].to_numpy().astype(np.uint64),
         )
         out = batch[["doc_a", "doc_b"]].copy()
         out["hamming"] = ham
@@ -242,9 +258,8 @@ def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
 
     verified = pairs.map_batches(_verify, batch_format="pandas")
     # same pair can match in several segments -> distinct
-    return (
-        verified.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))
+    return bucket_aggregate(
+        verified, ["doc_a", "doc_b"], {"hamming": ("hamming", "min")}
     )
 
 
@@ -284,28 +299,30 @@ def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
 
     bucketed = embeddings_ds.map_batches(_bucket, batch_format="pyarrow")
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values("vec_id")
-        n = len(g)
+    def _pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                               "vec_b": pd.Series([], dtype="int64"),
                               "cosine": pd.Series([], dtype="float64")})
-        if n < 2:
-            return empty
-        X = np.stack(g["nvec"].to_numpy())
-        S = X @ X.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = S[ia, ib] >= threshold
-        if not keep.any():
-            return empty
-        ids = g["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
+        dup = bucket[bucket.duplicated(["band", "key"], keep=False)]
+        outs = []
+        for _, group in dup.groupby(["band", "key"], sort=False):
+            g = group.drop_duplicates("vec_id").sort_values("vec_id")
+            n = len(g)
+            if n < 2:
+                continue
+            X = np.stack(g["nvec"].to_numpy())
+            S = X @ X.T
+            ia, ib = np.triu_indices(n, k=1)
+            keep = S[ia, ib] >= threshold
+            if not keep.any():
+                continue
+            ids = g["vec_id"].to_numpy()
+            outs.append(pd.DataFrame({
                 "vec_a": ids[ia[keep]],
                 "vec_b": ids[ib[keep]],
                 "cosine": np.round(S[ia, ib][keep], 6),
-            }
-        )
+            }))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    pairs = bucketed.groupby(["band", "key"]).map_groups(_pairs, batch_format="pandas")
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("cosine", alias_name="cosine"))
+    pairs = bucket_map_keyed(bucketed, ["band", "key"], _pairs_bucket)
+    return bucket_aggregate(pairs, ["vec_a", "vec_b"], {"cosine": ("cosine", "min")})

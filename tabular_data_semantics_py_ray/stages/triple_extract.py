@@ -61,21 +61,12 @@ def filter_blocklist(triples_ds):
 
 
 def distinct_triples(triples_ds):
-    """D5: global set semantics — one shuffle, vectorized: per-batch dedupe
-    then groupby-count on the full row key and drop the count (a per-group
-    ``head(1)`` would call Python once per group; this stays in Arrow)."""
-    from ray.data.aggregate import Count
+    """D5: global set semantics via bucket-hash distinct — per-batch dedupe
+    combiner, then one vectorized drop_duplicates per bucket (never a
+    per-key Python reduction; see util.bucket_distinct)."""
+    from ..util import bucket_distinct
 
-    def _local_dedupe(t: pa.Table) -> pa.Table:
-        return pa.Table.from_pandas(
-            t.to_pandas().drop_duplicates(), preserve_index=False
-        ).cast(t.schema)
-
-    from ..util import drop_cols
-
-    keys = ["subj", "pred", "obj", "obj_is_literal"]
-    deduped = triples_ds.map_batches(_local_dedupe, batch_format="pyarrow")
-    return drop_cols(deduped.groupby(keys).aggregate(Count(alias_name="_c")), ["_c"])
+    return bucket_distinct(triples_ds, ["subj", "pred", "obj", "obj_is_literal"])
 
 
 def materialize_sorted(triples_ds):

@@ -31,3 +31,103 @@ def select_cols(ds, cols: list[str]):
         return t.select(cols)
 
     return ds.map_batches(_s, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed two-phase aggregation.
+#
+# Ray 2.49's ``groupby(keys).aggregate(...)`` reduces key-by-key in Python:
+# ~1 ms per distinct key (measured: 88k groups = 320 s hash-shuffle / 57 s
+# sort-shuffle). For high-cardinality keys we instead (1) pre-aggregate each
+# batch with vectorized pandas, (2) shuffle on a LOW-cardinality bucket id =
+# hash(keys) % B, (3) finish each bucket with one vectorized pandas groupby.
+# B Python calls total instead of one per key; the same shape scales out —
+# the bucket column is the explicit partitioning key, and a hot logical key
+# still lands in one bucket whose *partials* are already one row per
+# (batch, key), which is the salting story for skew.
+# ---------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+_AGG_FNS = {"sum", "min", "max", "count"}
+
+
+def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
+    h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
+    return (h % num_buckets).astype(np.int64)
+
+
+def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
+                     *, num_buckets: int = 64):
+    """agg_spec: out_col -> (in_col, fn), fn in {sum,min,max,count}.
+
+    count counts rows per key (in_col ignored). Output: keys + out cols.
+    """
+    for out, (_, fn) in agg_spec.items():
+        if fn not in _AGG_FNS:
+            raise ValueError(f"unsupported agg fn {fn} for {out}")
+
+    def _partial(b: pd.DataFrame):
+        if len(b) == 0:
+            return pa.table({})
+        named = {
+            # pandas named agg needs a real column even for size
+            out: (col if col in b.columns else keys[0],
+                  "size" if fn == "count" else fn)
+            for out, (col, fn) in agg_spec.items()
+        }
+        g = b.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
+        g["_b"] = _bucket_of(g, keys, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        named = {}
+        for out, (_, fn) in agg_spec.items():
+            named[out] = (out, "sum" if fn in ("sum", "count") else fn)
+        out_df = g.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
+        return out_df
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby("_b").map_groups(_final, batch_format="pandas")
+
+
+def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
+    """Global DISTINCT on the key tuple via bucket shuffle (exact dedup)."""
+
+    def _partial(b: pd.DataFrame):
+        if len(b) == 0:
+            return pa.table({})
+        g = b[keys].drop_duplicates()
+        g = g.copy()
+        g["_b"] = _bucket_of(g, keys, num_buckets)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return g[keys].drop_duplicates()
+
+    partials = ds.map_batches(_partial, batch_format="pandas")
+    return partials.groupby("_b").map_groups(_final, batch_format="pandas")
+
+
+def bucket_map_keyed(ds, keys: list[str], bucket_fn, *, num_buckets: int = 64,
+                     pre=None):
+    """Co-locate rows by key hash, then run ``bucket_fn`` (vectorized pandas
+    over the whole bucket; all rows of a key tuple are guaranteed present).
+    ``pre`` optionally thins each batch before the shuffle."""
+
+    def _tag(b: pd.DataFrame):
+        if pre is not None:
+            b = pre(b)
+        if len(b) == 0:
+            return pa.table({})
+        b = b.copy()
+        b["_b"] = _bucket_of(b, keys, num_buckets)
+        return pa.Table.from_pandas(b, preserve_index=False)
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(g.drop(columns=["_b"]))
+
+    return ds.map_batches(_tag, batch_format="pandas").groupby("_b").map_groups(
+        _final, batch_format="pandas"
+    )
