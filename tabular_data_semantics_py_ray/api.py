@@ -157,6 +157,42 @@ def q_ann_label_vote(sf_dir: str):
     return ann_label_vote(_embeddings(sf_dir), _query_vectors(sf_dir), k=10)
 
 
+def q_kg_pred_census(sf_dir: str):
+    from .pipelines.queries_kg import pred_census
+
+    return pred_census(sf_dir)
+
+
+def q_kg_neighborhood_topk(sf_dir: str):
+    from .pipelines.queries_kg import neighborhood_topk
+
+    return neighborhood_topk(sf_dir, k=5)
+
+
+def q_kg_doc_most_specific(sf_dir: str):
+    from .pipelines.queries_kg import doc_most_specific_types
+
+    return doc_most_specific_types(sf_dir)
+
+
+def q_events_sessionize(sf_dir: str):
+    from .pipelines.relational import events_sessionize
+
+    return events_sessionize(sf_dir)
+
+
+def q_events_tumbling_1h(sf_dir: str):
+    from .pipelines.relational import events_tumbling_1h
+
+    return events_tumbling_1h(sf_dir)
+
+
+def q_emb_label_stats(sf_dir: str):
+    from .pipelines.relational import embedding_label_stats
+
+    return embedding_label_stats(sf_dir)
+
+
 def q_media_manifest(sf_dir: str):
     from .pipelines.queries_kg import media_manifest
 
@@ -186,4 +222,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_label_vote": q_ann_label_vote,
         "media_manifest": q_media_manifest,
+        "kg_pred_census": q_kg_pred_census,
+        "kg_neighborhood_topk": q_kg_neighborhood_topk,
+        "kg_doc_most_specific": q_kg_doc_most_specific,
+        "events_sessionize": q_events_sessionize,
+        "events_tumbling_1h": q_events_tumbling_1h,
+        "emb_label_stats": q_emb_label_stats,
     }

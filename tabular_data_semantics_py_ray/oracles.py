@@ -267,6 +267,62 @@ WITH c AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
 a AS (SELECT token, count(*) AS n FROM c GROUP BY 1)
 SELECT token, n FROM a ORDER BY n DESC, token LIMIT 20"""
 
+    _TRIPLES_SUB = o["kg_triples"]
+
+    o["kg_pred_census"] = f"""
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj
+FROM ({_TRIPLES_SUB}) GROUP BY pred"""
+
+    o["kg_neighborhood_topk"] = f"""
+SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj,
+         row_number() OVER (PARTITION BY subj ORDER BY pred, obj) AS rn
+  FROM ({_TRIPLES_SUB})
+) WHERE rn <= 5"""
+
+    o["kg_doc_most_specific"] = f"""WITH {_kg_ctes()},
+closure(cls_uri, ancestor_uri, distance) AS (VALUES
+    {class_closure_values_sql()}),
+dtypes AS (
+  SELECT DISTINCT l.doc_id, t.type_uri
+  FROM linked l JOIN etypes t ON l.entity_uri = t.entity_uri
+  WHERE t.type_uri <> '{ONT}Thing' AND t.type_uri <> '{ONT}Agent'
+)
+SELECT doc_id, type_uri FROM dtypes d
+WHERE NOT EXISTS (
+  SELECT 1 FROM dtypes d2
+  JOIN closure c ON c.cls_uri = d2.type_uri
+  WHERE d2.doc_id = d.doc_id AND c.ancestor_uri = d.type_uri
+        AND d2.type_uri <> d.type_uri
+)"""
+
+    o["events_sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id,
+         cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM o
+)
+SELECT user_id, session_idx, count(*) AS n_events FROM s GROUP BY 1, 2"""
+
+    o["events_tumbling_1h"] = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+    o["emb_label_stats"] = """
+SELECT cast(label AS BIGINT) AS label, count(*) AS n,
+       round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
+FROM embeddings GROUP BY 1"""
+
     o["media_manifest"] = """
 WITH d AS (
   SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents

@@ -14,7 +14,7 @@ import ray
 import ray.data as rd
 
 from .. import fixture_kg
-from ..stages.canonicalize import TypeJoiner, vote_types
+from ..stages.canonicalize import join_types_batches, vote_types_from_typed
 from ..stages.interleave import interleave
 from ..stages.linking import link_entities
 from ..stages.mention_detect import detect_mentions
@@ -53,9 +53,10 @@ def docs_dataset(sf_dir: str, *, partition: tuple[int, int] | None = None):
     return interleave(read_documents(sf_dir, partition=partition))
 
 
-def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4)):
+def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4), project=None):
     mentions = detect_mentions(docs_ds)
-    return link_entities(mentions, top_k=top_k, concurrency=concurrency)
+    return link_entities(mentions, top_k=top_k, concurrency=concurrency,
+                         project=project)
 
 
 def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
@@ -69,29 +70,41 @@ def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
 
 
 def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
-                           concurrency=(1, 4)):
-    """Core flagship pipeline over an already-read documents Dataset."""
+                           concurrency=(1, 4), num_blocks: int | None = None):
+    """Core flagship pipeline over an already-read documents Dataset.
+
+    ``num_blocks``: fan the input out to this many blocks first. A small
+    parquet arrives as ONE block (128 MiB target), which serializes every
+    map stage; size this ~2-4x the worker count so the actor pool and the
+    shuffles actually parallelize."""
+    if num_blocks:
+        documents_ds = documents_ds.repartition(num_blocks)
     docs = interleave(documents_ds)
-    linked = linked_mentions(docs, concurrency=concurrency)
+    # project to the two columns every downstream stage needs (occurrence
+    # multiplicity preserved for the vote)
+    linked = linked_mentions(docs, concurrency=concurrency,
+                             project=("doc_id", "entity_uri"))
 
     # Three triple streams. `linked` feeds two map lineages plus the voting
     # shuffle; Ray Data re-executes the upstream per consumer, so pin the
     # small linked stream once (it is mention-sized, far smaller than input).
     linked = linked.materialize()
+    if num_blocks:
+        # the actor stage emits one block per batch; re-fan-out so the three
+        # downstream lineages keep the same parallelism as the head
+        linked = linked.repartition(num_blocks)
 
-    mention_triples = linked.map_batches(mention_triples_batch, batch_format="pandas")
+    pairs = linked
 
-    types_ref = ray.put(fixture_kg.entity_types_df())
-    typed = linked.map_batches(
-        TypeJoiner,
-        fn_constructor_kwargs={"types_ref": types_ref},
-        batch_format="pandas",
-        concurrency=(1, 2),
-    )
-    entity_type_triples = typed.map_batches(type_triples_batch, batch_format="pandas")
+    mention_triples = pairs.map_batches(mention_triples_batch, batch_format="pyarrow")
 
-    winners = vote_types(linked, key="doc_id", salt_buckets=salt_buckets)
-    doc_type_triples = winners.map_batches(doc_type_triples_batch, batch_format="pandas")
+    # ONE type-join pass shared by type-triple emission and the vote
+    # (stateless tasks with per-worker cached broadcast table).
+    typed = join_types_batches(pairs).materialize()
+    entity_type_triples = typed.map_batches(type_triples_batch, batch_format="pyarrow")
+
+    winners = vote_types_from_typed(typed, key="doc_id", salt_buckets=salt_buckets)
+    doc_type_triples = winners.map_batches(doc_type_triples_batch, batch_format="pyarrow")
 
     all_triples = mention_triples.union(entity_type_triples).union(doc_type_triples)
     return materialize_sorted(filter_blocklist(all_triples))

@@ -153,3 +153,74 @@ def media_manifest(sf_dir: str):
         )
 
     return docs.map_batches(_extract, batch_format="pyarrow")
+
+
+def pred_census(sf_dir: str):
+    """G5 predicate census over the flagship triples:
+    (pred, n_triples, n_subj, n_obj) with exact distinct counts."""
+    from ..util import bucket_aggregate, bucket_distinct
+
+    from .kg_pipeline import build_triples
+
+    triples = build_triples(sf_dir).materialize()
+    counts = bucket_aggregate(
+        triples, ["pred"], {"n_triples": ("subj", "count")}, num_buckets=8
+    ).to_pandas()
+    nsubj = bucket_aggregate(
+        bucket_distinct(triples, ["pred", "subj"]),
+        ["pred"], {"n_subj": ("subj", "count")}, num_buckets=8,
+    ).to_pandas()
+    nobj = bucket_aggregate(
+        bucket_distinct(triples, ["pred", "obj"]),
+        ["pred"], {"n_obj": ("obj", "count")}, num_buckets=8,
+    ).to_pandas()
+    return counts.merge(nsubj, on="pred").merge(nobj, on="pred")
+
+
+def neighborhood_topk(sf_dir: str, k: int = 5):
+    """J5/T3: per-subject triple neighborhood capped at k, deterministic
+    order (pred asc, obj asc) -> (subj, pred, obj)."""
+    from ..util import bucket_map_keyed
+    from .kg_pipeline import build_triples
+
+    triples = build_triples(sf_dir)
+
+    def _head(bucket: pd.DataFrame) -> pd.DataFrame:
+        g = bucket.sort_values(["subj", "pred", "obj"], kind="mergesort")
+        return g.groupby("subj", sort=False).head(k)[["subj", "pred", "obj"]]
+
+    return bucket_map_keyed(triples, ["subj"], _head)
+
+
+def doc_most_specific_types(sf_dir: str):
+    """G2 per doc: distinct direct types of its linked entities, reduced to
+    the most-specific set (Agent removed; strict ancestors of another member
+    removed) -> (doc_id, type_uri) rows."""
+    from ..constants import AGENT_CLASS
+    from ..stages.canonicalize import join_types_batches
+    from ..util import bucket_distinct, bucket_map_keyed
+
+    closure = fixture_kg.class_closure_df()
+    anc: dict[str, set] = {}
+    for r in closure.itertuples(index=False):
+        anc.setdefault(r.cls_uri, set()).add(r.ancestor_uri)
+
+    linked = _linked_flat(sf_dir)
+    typed = join_types_batches(linked)
+    dtypes = bucket_distinct(typed, ["doc_id", "type_uri"])
+
+    def _reduce(bucket: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for doc, g in bucket.groupby("doc_id", sort=False):
+            members = {t for t in g["type_uri"] if t != AGENT_CLASS}
+            keep = sorted(
+                t for t in members
+                if not any(t in anc.get(o, set()) for o in members if o != t)
+            )
+            outs.append(pd.DataFrame({"doc_id": doc, "type_uri": keep}))
+        if not outs:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "type_uri": pd.Series([], dtype="string")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucket_map_keyed(dtypes, ["doc_id"], _reduce)

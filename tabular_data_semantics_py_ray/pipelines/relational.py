@@ -202,3 +202,107 @@ def token_freq_topk(sf_dir: str, *, k: int = 20):
     )
     out = agg.sort(["n", "token"], descending=[True, False]).limit(k)
     return out
+
+
+def events_sessionize(sf_dir: str, *, gap_minutes: int = 30):
+    """Session windows (streaming-shaped op, SURVEY §2.9 note): events per
+    user sorted by ts; a gap > ``gap_minutes`` starts a new session.
+    -> (user_id, session_idx, n_events). Implemented as a bucket shuffle on
+    user_id with vectorized per-bucket windowing — the groupby(key).
+    map_groups pattern the guide prescribes for stream-shaped references."""
+    import numpy as np
+
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def _sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = b["ts"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        new_user = np.empty(len(b), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(len(b), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap
+        new_session = new_user | gap_break
+        # session_idx restarts at 1 per user
+        sess_global = np.cumsum(new_session)
+        first_of_user = np.zeros(len(b), dtype=np.int64)
+        idx_new_user = np.nonzero(new_user)[0]
+        first_of_user[idx_new_user] = sess_global[idx_new_user]
+        first_of_user = np.maximum.accumulate(first_of_user)
+        b = b.assign(session_idx=(sess_global - first_of_user + 1).astype("int64"))
+        out = (
+            b.groupby(["user_id", "session_idx"], sort=False)
+            .size()
+            .reset_index(name="n_events")
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return bucket_map_keyed(ev, ["user_id"], _sessions, num_buckets=32)
+
+
+def events_tumbling_1h(sf_dir: str):
+    """Tumbling 1-hour windows per event_type:
+    (event_type, hour_bucket, n_events, sum_value)."""
+    import numpy as np
+
+    from ..util import bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def _window(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64())  # microseconds since epoch
+        hour = pa.array(
+            (ts.to_numpy(zero_copy_only=False) // 3_600_000_000).astype("int64")
+        )
+        return pa.Table.from_arrays(
+            [t.column("event_type"), hour, t.column("value")],
+            names=["event_type", "hour_bucket", "value"],
+        )
+
+    keyed = ev.map_batches(_window, batch_format="pyarrow")
+    agg = bucket_aggregate(
+        keyed,
+        ["event_type", "hour_bucket"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+        num_buckets=32,
+    )
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(2)), batch_format="pandas"
+    )
+
+
+def embedding_label_stats(sf_dir: str):
+    """per label: n vectors and mean L2 norm (rounded) —
+    (label, n, avg_norm)."""
+    import numpy as np
+
+    from ..util import bucket_aggregate
+
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def _norms(t: pa.Table) -> pa.Table:
+        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        return pa.Table.from_arrays(
+            [t.column("label").cast(pa.int64()),
+             pa.array(np.sqrt((X * X).sum(axis=1)))],
+            names=["label", "norm"],
+        )
+
+    agg = bucket_aggregate(
+        emb.map_batches(_norms, batch_format="pyarrow"),
+        ["label"],
+        {"n": ("norm", "count"), "sum_norm": ("norm", "sum")},
+        num_buckets=8,
+    )
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(avg_norm=(b["sum_norm"] / b["n"]).round(4))
+        return b[["label", "n", "avg_norm"]]
+
+    return agg.map_batches(_final, batch_format="pandas")

@@ -46,6 +46,32 @@ def partial_count(ds, keys: list[str], *, salt_buckets: int = 0,
     )
 
 
+_TYPES_CACHE: dict = {}
+
+
+def join_types_batches(ds, *, types_ref=None, batch_size: int = 32768):
+    """Stateless-task version of TypeJoiner: the tiny entity->type table is
+    fetched once per WORKER PROCESS (module-level cache keyed by object ref)
+    instead of once per actor — no pool startup cost, elastic parallelism.
+    Top concepts are filtered driver-side before the broadcast."""
+    import pandas as _pd
+
+    if types_ref is None:
+        t = fixture_kg.entity_types_df()
+        t = t[~t["type_uri"].isin(AVOID_TOP_CONCEPTS)]
+        types_ref = ray.put(t)
+    key = types_ref.hex()
+
+    def _join(b: _pd.DataFrame) -> _pd.DataFrame:
+        df = _TYPES_CACHE.get(key)
+        if df is None:
+            df = ray.get(types_ref)
+            _TYPES_CACHE[key] = df
+        return b.merge(df, on="entity_uri", how="inner")
+
+    return ds.map_batches(_join, batch_format="pandas", batch_size=batch_size)
+
+
 class TypeJoiner:
     """linked mentions -> (key cols, type_uri) rows via pinned entity->type
     table (broadcast, never shuffled: the small side of J2)."""
@@ -62,7 +88,8 @@ class TypeJoiner:
         return batch.merge(self.types, on="entity_uri", how="inner")
 
 
-def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0):
+def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0,
+               concurrency=(1, 4)):
     """linked -> (key, type_uri) winner per key.
 
     Vote = number of linked mention occurrences whose entity has the type;
@@ -74,18 +101,36 @@ def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0):
         TypeJoiner,
         fn_constructor_kwargs={"types_ref": types_ref},
         batch_format="pandas",
-        concurrency=(1, 4),
+        batch_size=32768,
+        concurrency=concurrency,
     )
-    counts = partial_count(typed, [key, "type_uri"], salt_buckets=salt_buckets)
+    return vote_types_from_typed(typed, key, salt_buckets=salt_buckets)
+
+
+def vote_types_from_typed(typed_ds, key: str = "doc_id", *, salt_buckets: int = 0):
+    """Voting over an already type-joined stream (lets the pipeline share
+    one TypeJoiner pass between voting and type-triple emission)."""
+    # ONE shuffle: per-batch partial counts (combiner/salt step), co-locate
+    # by hash(key), then sum + vectorized argmax per bucket.
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([key, "type_uri"], sort=False, observed=True).size()
+        g = g.reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
 
     def _winners(bucket: pd.DataFrame) -> pd.DataFrame:
-        # vectorized argmax over the whole bucket: stable sort then first
-        # row per key == (count desc, type asc) winner
-        g = bucket.sort_values(["n", "type_uri"], ascending=[False, True],
-                               kind="mergesort")
-        return g.drop_duplicates(subset=[key], keep="first")[[key, "type_uri"]]
+        c = (
+            bucket.groupby([key, "type_uri"], sort=False, observed=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        # vectorized argmax: stable sort then first row per key ==
+        # (count desc, type asc) winner
+        c = c.sort_values(["n", "type_uri"], ascending=[False, True],
+                          kind="mergesort")
+        return c.drop_duplicates(subset=[key], keep="first")[[key, "type_uri"]]
 
-    return bucket_map_keyed(counts, [key], _winners)
+    return bucket_map_keyed(typed_ds, [key], _winners, pre=_pre)
 
 
 def most_specific_classes(type_uris: set[str], ancestors: dict[str, set[str]]) -> set[str]:

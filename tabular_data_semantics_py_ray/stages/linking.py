@@ -101,16 +101,24 @@ class EntityLinker:
     candidate group. Also halves the inter-stage (de)serialization.
     """
 
-    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3):
+    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3,
+                 project=None):
         self.gen = CandidateGen(lexicon_ref, top_k)
         self.score = LinkScore(alias_ref, types_ref)
+        self.project = list(project) if project else None
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return self.score(self.gen(batch))
+        out = self.score(self.gen(batch))
+        if self.project:
+            # project early: downstream shuffles move only what they need
+            out = out[self.project]
+        return out
 
 
-def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size=16384):
-    """mentions -> linked (doc_id, span_idx, tok_idx, mention, entity_uri)."""
+def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size=4096,
+                  project=None):
+    """mentions -> linked (doc_id, span_idx, tok_idx, mention, entity_uri);
+    ``project`` optionally restricts the output columns at the source."""
     lex_ref = _broadcast(fixture_kg.lexicon_df())
     alias_ref = _broadcast(fixture_kg.alias_edges_df())
     types_ref = _broadcast(fixture_kg.entity_types_df())
@@ -121,6 +129,7 @@ def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size
             "alias_ref": alias_ref,
             "types_ref": types_ref,
             "top_k": top_k,
+            "project": project,
         },
         batch_format="pandas",
         batch_size=batch_size,

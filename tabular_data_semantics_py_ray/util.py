@@ -81,12 +81,15 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         g["_b"] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
+    def _final(g: pd.DataFrame):
         named = {}
         for out, (_, fn) in agg_spec.items():
             named[out] = (out, "sum" if fn in ("sum", "count") else fn)
         out_df = g.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
-        return out_df
+        # emit Arrow: downstream sorts/shuffles are far faster on Arrow
+        # blocks than on pandas object-dtype blocks
+        return pa.Table.from_pandas(out_df.drop(columns=["_b"], errors="ignore"),
+                                    preserve_index=False)
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
@@ -103,8 +106,8 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
         g["_b"] = _bucket_of(g, keys, num_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return g[keys].drop_duplicates()
+    def _final(g: pd.DataFrame):
+        return pa.Table.from_pandas(g[keys].drop_duplicates(), preserve_index=False)
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
@@ -125,8 +128,11 @@ def bucket_map_keyed(ds, keys: list[str], bucket_fn, *, num_buckets: int = 64,
         b["_b"] = _bucket_of(b, keys, num_buckets)
         return pa.Table.from_pandas(b, preserve_index=False)
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(g.drop(columns=["_b"]))
+    def _final(g: pd.DataFrame):
+        out = bucket_fn(g.drop(columns=["_b"]))
+        if isinstance(out, pd.DataFrame):
+            out = pa.Table.from_pandas(out, preserve_index=False)
+        return out
 
     return ds.map_batches(_tag, batch_format="pandas").groupby("_b").map_groups(
         _final, batch_format="pandas"
