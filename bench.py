@@ -140,6 +140,8 @@ def run_flagship_once():
     )
 
     replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "200"))
+    global REPLICATE
+    REPLICATE = replicate  # actual corpus multiplier for this mode
     docs = _replicated_documents(replicate).materialize()  # warm, exclude read
     n_docs = docs.count()
     # warm-up: tiny run through the same stages pre-starts worker processes
@@ -161,6 +163,7 @@ def run_flagship_once():
         "sec": round(dt, 3),
         "docs_per_sec": round(n_docs / dt, 1),
         "triples_per_sec": round(n_triples / dt, 1),
+        "replicate": replicate,
     }))
 
 
