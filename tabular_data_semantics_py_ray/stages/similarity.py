@@ -110,3 +110,103 @@ def ann_label_vote(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10):
         )
 
     return joined.groupby("query_id").map_groups(_vote, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — the scale path: cluster once (offline-ish),
+# then each query probes only its ``nprobe`` nearest centroid cells, so a
+# batch contributes candidates only for queries whose probe set intersects
+# the batch's cells. With nprobe == n_clusters it degrades to brute force.
+# ---------------------------------------------------------------------------
+def fit_centroids(embeddings_ds, *, n_clusters: int = 16, sample_rows: int = 4096,
+                  iters: int = 10, seed: int = 11) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (normalized).
+
+    At 100 TB this is the one driver-side step, and it reads a bounded
+    sample (``limit``), never the full dataset.
+    """
+    sample = embeddings_ds.select_columns(["embedding"]).limit(sample_rows).to_pandas()
+    X = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for k in range(len(C)):
+            m = assign == k
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[k] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+class IVFTopK:
+    """Actor: queries + centroids pinned; per batch, scores only the rows
+    whose cell is probed by at least one query."""
+
+    def __init__(self, queries_ref, centroids_ref, k: int = 10, nprobe: int = 4):
+        q = ray.get(queries_ref)
+        self.q_ids = q["vec_id"].to_numpy()
+        self.Q = _normalize(np.stack(q["embedding"].to_numpy()).astype(np.float64))
+        self.C = ray.get(centroids_ref)
+        self.k = k
+        # per-query probe cells: nprobe nearest centroids
+        sims = self.Q @ self.C.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        self.probe = [set(row.tolist()) for row in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        cells = (X @ self.C.T).argmax(axis=1)
+        S = self.Q @ X.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            mask = np.isin(cells, list(self.probe[qi])) & (ids != self.q_ids[qi])
+            cand = np.nonzero(mask)[0]
+            if len(cand) == 0:
+                continue
+            take = min(self.k, len(cand))
+            order = np.lexsort((ids[cand], -S[qi][cand]))[:take]
+            sel = cand[order]
+            out_q.append(np.full(len(sel), self.q_ids[qi], dtype=np.int64))
+            out_n.append(ids[sel].astype(np.int64))
+            out_s.append(S[qi][sel])
+        if not out_q:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["query_id", "neighbor_id", "sim"],
+            )
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(out_q)), pa.array(np.concatenate(out_n)),
+             pa.array(np.concatenate(out_s))],
+            names=["query_id", "neighbor_id", "sim"],
+        )
+
+
+def ann_topk_ivf(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
+                 n_clusters: int = 16, nprobe: int = 4, concurrency=(1, 4)):
+    """Approximate top-k via IVF probing -> (query_id, neighbor_id, rank)."""
+    centroids = fit_centroids(embeddings_ds, n_clusters=n_clusters)
+    queries_ref = ray.put(queries_df)
+    centroids_ref = ray.put(centroids)
+    partial = embeddings_ds.map_batches(
+        IVFTopK,
+        fn_constructor_kwargs={
+            "queries_ref": queries_ref,
+            "centroids_ref": centroids_ref,
+            "k": k,
+            "nprobe": nprobe,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True],
+                              kind="mergesort").head(k)
+        out = g[["query_id", "neighbor_id"]].copy().reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return partial.groupby("query_id").map_groups(_final, batch_format="pandas")
