@@ -148,10 +148,14 @@ def run_flagship_once():
     # and actor pools' imports, so the timed run measures steady state
     triples_from_documents(docs.limit(2000), concurrency=2, num_blocks=4).materialize()
     t0 = time.time()
+    # ~45 mentions/doc: size the actor dispatch so total dispatch count
+    # stays in the low thousands regardless of corpus size
+    link_bs = int(min(65536, max(4096, n_docs * 45 / (64 * NCPU))))
     out = triples_from_documents(
         docs,
         concurrency=max(2, NCPU // 2),  # fixed pool: no autoscale lag
         num_blocks=4 * NCPU,
+        link_batch_size=link_bs,
     ).materialize()  # fully parallel consume; no serial driver iteration
     n_triples = out.count()
     dt = time.time() - t0

@@ -75,6 +75,12 @@ def q_tab2rdf_nation(sf_dir: str):
     return nation_to_rdf(sf_dir)
 
 
+def q_tab2rdf_region(sf_dir: str):
+    from .pipelines.tabular2rdf import region_to_rdf
+
+    return region_to_rdf(sf_dir)
+
+
 def q_q1_pricing(sf_dir: str):
     from .pipelines.relational import q1_pricing
 
@@ -208,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": q_kg_triples,
         "kg_alias_canonical": q_kg_alias_canonical,
         "tab2rdf_nation": q_tab2rdf_nation,
+        "tab2rdf_region": q_tab2rdf_region,
         "q1_pricing": q_q1_pricing,
         "revenue_by_nation": q_revenue_by_nation,
         "top_parts_by_revenue": q_top_parts_by_revenue,

@@ -148,6 +148,16 @@ UNION ALL
 SELECT '{_NAT}' || cast(n_nationkey AS VARCHAR), '{TAB}nation-col-2',
        cast(n_regionkey AS VARCHAR), TRUE FROM nation"""
 
+    _REG = TAB + "region-row-"
+    o["tab2rdf_region"] = f"""
+SELECT '{_REG}' || cast(r_regionkey AS VARCHAR) AS subj,
+       '{RDF_TYPE}' AS pred, '{ONT}Region' AS obj, FALSE AS obj_is_literal
+FROM region
+UNION ALL
+SELECT '{_REG}' || cast(r_regionkey AS VARCHAR), '{RDFS_LABEL}', r_name, TRUE FROM region
+UNION ALL
+SELECT '{_REG}' || cast(r_regionkey AS VARCHAR), '{TAB}region-col-1', r_name, TRUE FROM region"""
+
     o["q1_pricing"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,

@@ -53,10 +53,11 @@ def docs_dataset(sf_dir: str, *, partition: tuple[int, int] | None = None):
     return interleave(read_documents(sf_dir, partition=partition))
 
 
-def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4), project=None):
+def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4), project=None,
+                    batch_size: int = 4096):
     mentions = detect_mentions(docs_ds)
     return link_entities(mentions, top_k=top_k, concurrency=concurrency,
-                         project=project)
+                         project=project, batch_size=batch_size)
 
 
 def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
@@ -70,7 +71,8 @@ def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
 
 
 def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
-                           concurrency=(1, 4), num_blocks: int | None = None):
+                           concurrency=(1, 4), num_blocks: int | None = None,
+                           link_batch_size: int = 4096):
     """Core flagship pipeline over an already-read documents Dataset.
 
     ``num_blocks``: fan the input out to this many blocks first. A small
@@ -82,8 +84,13 @@ def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
     docs = interleave(documents_ds)
     # project to the two columns every downstream stage needs (occurrence
     # multiplicity preserved for the vote)
+    # batch_size doubles as the actor-dispatch granularity AND the block
+    # size of the materialized linked stream: too small floods the driver
+    # with dispatches (and 1-block-per-batch downstream tasks), too large
+    # starves the pool. Callers scale it with corpus size.
     linked = linked_mentions(docs, concurrency=concurrency,
-                             project=("doc_id", "entity_uri"))
+                             project=("doc_id", "entity_uri"),
+                             batch_size=link_batch_size)
 
     # Three triple streams. `linked` feeds two map lineages plus the voting
     # shuffle; Ray Data re-executes the upstream per consumer, so pin the
