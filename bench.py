@@ -150,7 +150,9 @@ def run_flagship_once():
     t0 = time.time()
     # ~45 mentions/doc: size the actor dispatch so total dispatch count
     # stays in the low thousands regardless of corpus size
-    link_bs = int(min(65536, max(4096, n_docs * 45 / (64 * NCPU))))
+    link_bs = int(os.environ.get(
+        "GRAFT_LINK_BS", min(16384, max(4096, n_docs * 45 // (512 * NCPU)))
+    ))
     out = triples_from_documents(
         docs,
         concurrency=max(2, NCPU // 2),  # fixed pool: no autoscale lag

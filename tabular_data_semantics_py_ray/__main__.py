@@ -1,0 +1,85 @@
+"""CLI entry point — the ``ray job submit`` surface of the north rule.
+
+    python -m tabular_data_semantics_py_ray run \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/kg_out --partitions 4
+
+Runs the flagship pipeline partition-by-partition with manifest commit;
+re-running the same command resumes, skipping committed partitions.
+Owns its Ray session (guarded — never re-inits inside a driver session).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tabular_data_semantics_py_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="resumable partitioned graph materialize")
+    run.add_argument("--sf-dir", required=True)
+    run.add_argument("--out", required=True)
+    run.add_argument("--partitions", type=int, default=4)
+    run.add_argument("--ntriples", action="store_true",
+                     help="also write an N-Triples text copy")
+
+    val = sub.add_parser("validate", help="P/R gate vs sequential oracle")
+    val.add_argument("--sf-dir", required=True)
+
+    args = ap.parse_args(argv)
+
+    import ray
+
+    owns_session = not ray.is_initialized()
+    if owns_session:
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.use_polars_sort = True
+
+    try:
+        if args.cmd == "run":
+            from .pipelines.materialize import read_result, run_partitioned
+            from .state import manifest as mf
+
+            done = run_partitioned(args.sf_dir, args.out,
+                                   num_partitions=args.partitions)
+            committed = mf.committed_partitions(args.out)
+            total = read_result(args.out).count() if committed else 0
+            if args.ntriples:
+                from .sources.writers import write_ntriples
+
+                write_ntriples(read_result(args.out), args.out + "_nt")
+            print(json.dumps({
+                "completed_this_run": done,
+                "committed": committed,
+                "rows": total,
+                "out": args.out,
+            }))
+        elif args.cmd == "validate":
+            from .pipelines.validate import validate_flagship
+
+            report = validate_flagship(args.sf_dir)
+            print(json.dumps({k: v for k, v in report.items()
+                              if not k.endswith("_sample")}))
+            if report["precision"] < 0.95 or report["recall"] < 0.95:
+                return 1
+        return 0
+    finally:
+        if owns_session:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
