@@ -136,7 +136,7 @@ def run_flagship_once():
     import ray
 
     from tabular_data_semantics_py_ray.pipelines.kg_pipeline import (
-        triples_from_documents,
+        triples_from_documents_doclocal,
     )
 
     replicate = int(os.environ.get("GRAFT_SCALE_REPLICATE", "200"))
@@ -148,12 +148,12 @@ def run_flagship_once():
     # and actor pools' imports, so the timed run measures steady state
     triples_from_documents(docs.limit(2000), concurrency=2, num_blocks=4).materialize()
     t0 = time.time()
-    # ~45 mentions/doc: size the actor dispatch so total dispatch count
-    # stays in the low thousands regardless of corpus size
+    # dispatch unit = DOCUMENTS per batch (~45 mentions each); keep total
+    # dispatch count in the low thousands regardless of corpus size
     link_bs = int(os.environ.get(
-        "GRAFT_LINK_BS", min(16384, max(4096, n_docs * 45 // (512 * NCPU)))
+        "GRAFT_LINK_BS", min(1024, max(256, n_docs // (128 * NCPU)))
     ))
-    out = triples_from_documents(
+    out = triples_from_documents_doclocal(
         docs,
         concurrency=max(2, NCPU // 2),  # fixed pool: no autoscale lag
         num_blocks=4 * NCPU,

@@ -62,10 +62,13 @@ def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4), project=None
 
 def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
                   partition: tuple[int, int] | None = None):
-    """documents parquet -> distinct, sorted (subj,pred,obj,obj_is_literal)."""
-    return triples_from_documents(
+    """documents parquet -> distinct, sorted (subj,pred,obj,obj_is_literal).
+
+    Uses the doc-local path (votes finalized inside the linker actors);
+    ``triples_from_documents`` keeps the classic shuffle-based path — the
+    two are asserted equal in tests/test_doclocal.py."""
+    return triples_from_documents_doclocal(
         read_documents(sf_dir, partition=partition),
-        salt_buckets=salt_buckets,
         concurrency=concurrency,
     )
 
@@ -115,3 +118,79 @@ def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
 
     all_triples = mention_triples.union(entity_type_triples).union(doc_type_triples)
     return materialize_sorted(filter_blocklist(all_triples))
+
+
+def triples_from_documents_doclocal(documents_ds, *, concurrency=(1, 4),
+                                    num_blocks: int | None = None,
+                                    link_batch_size: int = 512):
+    """Doc-local flagship: the whole per-document pipeline (interleave ->
+    mention detect -> link -> vote finalize) runs in ONE actor stage over
+    DOCUMENT batches, so every doc completes inside its batch — the voting
+    all-to-all disappears. Remaining wide ops: a tiny (entity,type)
+    distinct and the final fused sort+dedupe. ``link_batch_size`` counts
+    DOCUMENTS per dispatch (~45 mentions each)."""
+    import pyarrow as pa
+
+    from ..stages.linking import DocPipeline, _broadcast
+    from ..util import bucket_distinct
+    from ..stages.triple_extract import (
+        doc_type_triples_batch as _doc_type_batch,
+        mention_triples_batch as _mention_batch,
+        type_triples_batch as _type_batch,
+        filter_blocklist as _filter,
+        materialize_sorted as _sorted,
+    )
+
+    if num_blocks:
+        documents_ds = documents_ds.repartition(num_blocks)
+
+    tagged = documents_ds.map_batches(
+        DocPipeline,
+        fn_constructor_kwargs={
+            "lexicon_ref": _broadcast(fixture_kg.lexicon_df()),
+            "alias_ref": _broadcast(fixture_kg.alias_edges_df()),
+            "types_ref": _broadcast(fixture_kg.entity_types_df()),
+        },
+        batch_format="pyarrow",
+        batch_size=link_batch_size,
+        concurrency=concurrency,
+    ).materialize()
+
+    def _where(kind):
+        import pyarrow.compute as pc
+
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), kind))
+
+        return tagged.map_batches(_f, batch_format="pyarrow")
+
+    mention_triples = _where("mention").map_batches(
+        lambda t: _mention_batch(
+            pa.Table.from_arrays(
+                [t.column("doc_id"), t.column("a")], names=["doc_id", "entity_uri"]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    win_triples = _where("win").map_batches(
+        lambda t: _doc_type_batch(
+            pa.Table.from_arrays(
+                [t.column("doc_id"), t.column("a")], names=["doc_id", "type_uri"]
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    etypes = bucket_distinct(
+        _where("etype").map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("a"), t.column("b")], names=["entity_uri", "type_uri"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["entity_uri", "type_uri"],
+        num_buckets=4,
+    )
+    etype_triples = etypes.map_batches(_type_batch, batch_format="pandas")
+
+    all_triples = mention_triples.union(win_triples).union(etype_triples)
+    return _sorted(_filter(all_triples))

@@ -135,3 +135,87 @@ def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class DocPipeline:
+    """Whole per-document pipeline fused into ONE actor stage.
+
+    Input batches are DOCUMENT rows (doc_id:int64, text), so every document
+    is complete within its batch by construction — no cross-batch state, no
+    boundary cases. Per batch: interleave -> mention detect -> link ->
+    doc-local finalize (distinct mention pairs + vote winner per doc) +
+    batch-distinct (entity, type) pairs. Output is a tagged stream:
+
+      kind='mention'  (doc_id, a=entity_uri)
+      kind='win'      (doc_id, a=type_uri)
+      kind='etype'    (doc_id='', a=entity_uri, b=type_uri)
+
+    This removes the voting all-to-all entirely: the only wide ops left in
+    the flagship are a tiny etype distinct and the final sorted materialize.
+    A bundle may interleave blocks from different upstream tasks, but since
+    the unit is whole documents that cannot split a doc.
+    """
+
+    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3):
+        import ray as _ray
+
+        from ..constants import AVOID_TOP_CONCEPTS
+        from .. import fixture_kg as _fk
+
+        self.gen = CandidateGen(lexicon_ref, top_k)
+        self.score = LinkScore(alias_ref, types_ref)
+        types = (
+            _ray.get(types_ref) if types_ref is not None else _fk.entity_types_df()
+        )
+        self.types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        from .interleave import interleave_batch
+        from .mention_detect import detect_mentions_batch
+
+        docs_tbl = interleave_batch(batch)
+        mentions_tbl = detect_mentions_batch(docs_tbl)
+        m = mentions_tbl.to_pandas()
+        linked = self.score(self.gen(m))
+
+        empty = pa.table({
+            "kind": pa.array([], type=pa.string()),
+            "doc_id": pa.array([], type=pa.string()),
+            "a": pa.array([], type=pa.string()),
+            "b": pa.array([], type=pa.string()),
+        })
+        if len(linked) == 0:
+            return empty
+        pairs = linked[["doc_id", "entity_uri"]]
+
+        mentions = pairs.drop_duplicates(["doc_id", "entity_uri"])
+        typed = pairs.merge(self.types, on="entity_uri", how="inner")
+        votes = (
+            typed.groupby(["doc_id", "type_uri"], sort=False, observed=True)
+            .size().reset_index(name="n")
+        )
+        votes = votes.sort_values(["n", "type_uri"], ascending=[False, True],
+                                  kind="mergesort")
+        winners = votes.drop_duplicates(subset=["doc_id"], keep="first")
+
+        ents = pairs["entity_uri"].drop_duplicates()
+        et = self.types[self.types["entity_uri"].isin(ents)]
+
+        parts = []
+
+        def tag(kind, doc_id, a, b=None):
+            n = len(a)
+            parts.append(pa.table({
+                "kind": pa.array([kind] * n, type=pa.string()),
+                "doc_id": pa.array(list(doc_id), type=pa.string()),
+                "a": pa.array(list(a), type=pa.string()),
+                "b": pa.array(list(b) if b is not None else [""] * n,
+                              type=pa.string()),
+            }))
+
+        tag("mention", mentions["doc_id"], mentions["entity_uri"])
+        tag("win", winners["doc_id"], winners["type_uri"])
+        tag("etype", [""] * len(et), et["entity_uri"], et["type_uri"])
+        return pa.concat_tables(parts) if parts else empty
