@@ -146,7 +146,7 @@ def run_flagship_once():
     n_docs = docs.count()
     # warm-up: tiny run through the same stages pre-starts worker processes
     # and actor pools' imports, so the timed run measures steady state
-    triples_from_documents(docs.limit(2000), concurrency=2, num_blocks=4).materialize()
+    triples_from_documents_doclocal(docs.limit(2000), concurrency=2, num_blocks=4).materialize()
     t0 = time.time()
     # dispatch unit = DOCUMENTS per batch (~45 mentions each); keep total
     # dispatch count in the low thousands regardless of corpus size

@@ -1,0 +1,80 @@
+"""Reference string-kernel parity (M1, M2, M3/M4, M11, M12 — SURVEY §2.2,
+§2.8), including the FIXTURES.md edge cases: bracketed mentions, accents,
+quotes needing %22."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from tabular_data_semantics_py_ray.functions.text import (
+    entity_name,
+    entity_names_batch,
+    escape_quotes_uri,
+    filter_by_prefix,
+    is_valid_uri,
+    normalize_mention,
+    normalize_mentions_batch,
+    strip_accents,
+)
+
+
+class TestNormalizeMention:
+    def test_bracket_split(self):
+        # kg/dbpedia.py:19-31: main text + each bracket content
+        assert normalize_mention("Real Madrid (basketball)") == [
+            "Real Madrid", "basketball",
+        ]
+
+    def test_short_items_dropped(self):
+        # len > 2 filter (kg/dbpedia.py:29)
+        assert normalize_mention("AB (of)") == []
+        assert normalize_mention("ABC (de)") == ["ABC"]
+
+    def test_no_brackets_passthrough(self):
+        assert normalize_mention("Chicago Bulls") == ["Chicago Bulls"]
+
+    def test_multiple_brackets(self):
+        assert normalize_mention("Foo (bar) Baz (qux)") == ["Foo Baz", "bar", "qux"]
+
+    def test_batch_variant(self):
+        t = normalize_mentions_batch(
+            pa.array(["Real Madrid (basketball)", "xy", "Bulls"])
+        )
+        got = list(zip(t["item"].to_pylist(), t["parent_idx"].to_pylist()))
+        assert got == [("Real Madrid", 0), ("basketball", 0), ("Bulls", 2)]
+
+
+class TestEntityName:
+    def test_hash_wins(self):
+        assert entity_name("http://ex.org/onto#Player") == "Player"
+
+    def test_last_slash_segment(self):
+        assert entity_name("http://ex.org/resource/Chicago_Bulls") == "Chicago_Bulls"
+
+    def test_batch(self):
+        out = entity_names_batch(
+            pa.array(["http://ex.org/onto#Player", "http://ex.org/r/Bulls"])
+        )
+        assert out.to_pylist() == ["Player", "Bulls"]
+
+
+def test_prefix_filter():
+    uris = ["http://dbpedia.org/resource/X", "http://www.wikidata.org/entity/Q1",
+            "http://other.org/Y"]
+    assert filter_by_prefix(uris, ("http://dbpedia.org/",)) == [uris[0]]
+    assert filter_by_prefix(uris, ("http://dbpedia.org/", "http://www.wikidata.org/")) == uris[:2]
+
+
+def test_accent_strip_and_uri_validation():
+    assert strip_accents("Café São") == "Cafe Sao"
+    assert is_valid_uri("http://ex.org/resource/Caf%C3%A9")
+    assert is_valid_uri("http://ex.org/resource/Café")  # ascii after NFD strip
+    assert not is_valid_uri("http://ex.org/bad uri")
+    assert not is_valid_uri("not-a-uri")
+    assert not is_valid_uri('http://ex.org/"quoted"')
+
+
+def test_quote_escape():
+    assert escape_quotes_uri('http://ex.org/r/He_said_"hi"') == (
+        "http://ex.org/r/He_said_%22hi%22"
+    )
