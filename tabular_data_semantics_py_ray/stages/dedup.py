@@ -56,16 +56,47 @@ class ShingleSignatures:
         self.ngram = ngram
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import _MERSENNE, _splitmix64, stable_hash64
+
         texts = batch.column("text").to_pylist()
         doc_ids = batch.column("doc_id")
-        shingles = [shingle_hashes(t.split(" "), self.ngram) for t in texts]
-        sigs = [self.mh.signature(s) for s in shingles]
-        # shingle sets travel as binary blobs (uint64 little-endian): pyarrow
-        # hash joins can't carry list<> payload columns
+        n = self.ngram
+
+        # distinct shingle STRINGS are hashed once per batch (the corpus
+        # vocabulary repeats heavily across docs), then signatures for all
+        # docs come from one vectorized min-reduceat per permutation
+        hash_cache: dict[str, int] = {}
+        doc_hashes: list[np.ndarray] = []
+        for t in texts:
+            toks = t.split(" ")
+            if len(toks) < n:
+                doc_hashes.append(np.empty(0, dtype=np.uint64))
+                continue
+            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            hs = np.empty(len(shingles), dtype=np.uint64)
+            for j, s in enumerate(shingles):
+                h = hash_cache.get(s)
+                if h is None:
+                    h = stable_hash64(s)
+                    hash_cache[s] = h
+                hs[j] = h
+            doc_hashes.append(hs)
+
+        lens = np.fromiter((len(h) for h in doc_hashes), dtype=np.int64,
+                           count=len(doc_hashes))
+        nonempty = lens > 0
+        sigs = np.full((len(texts), self.mh.num_perm), _MERSENNE, dtype=np.uint64)
+        if nonempty.any():
+            flat = np.concatenate([h for h in doc_hashes if len(h)])
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+            mixed = _splitmix64(flat[None, :] ^ self.mh.seeds[:, None])  # (k, M)
+            mins = np.minimum.reduceat(mixed, offsets, axis=1)  # (k, docs+)
+            sigs[nonempty] = mins.T
         return pa.Table.from_arrays(
             [
                 doc_ids,
-                pa.array([s.tobytes() for s in shingles], type=pa.binary()),
+                pa.array([h.tobytes() for h in doc_hashes], type=pa.binary()),
                 pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
             ],
             names=["doc_id", "shingles", "sig"],
@@ -73,20 +104,26 @@ class ShingleSignatures:
 
 
 def _band_rows(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
-    mh = FastMinHasher(num_perm=num_perm)
-    doc_ids = batch.column("doc_id").to_pylist()
-    sigs = batch.column("sig").to_pylist()
-    out_doc, out_band, out_key = [], [], []
-    for d, sig in zip(doc_ids, sigs):
-        for b, key in enumerate(mh.band_keys(np.asarray(sig, dtype=np.uint64), bands)):
-            out_doc.append(d)
-            out_band.append(b)
-            out_key.append(key)
+    """Vectorized LSH band keys: fold each band's signature rows into one
+    uint64 via splitmix64 chaining (collision odds ~1e-11 — and candidates
+    are exact-verified afterwards anyway)."""
+    from ..functions.hashing import _splitmix64
+
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)  # (n, p)
+    r = num_perm // bands
+    keys = np.empty((len(doc), bands), dtype=np.uint64)
+    for b in range(bands):
+        fold = sig[:, b * r]
+        for j in range(1, r):
+            fold = _splitmix64(fold ^ sig[:, b * r + j])
+        keys[:, b] = fold
+    n = len(doc)
     return pa.Table.from_arrays(
         [
-            pa.array(out_doc, type=pa.int64()),
-            pa.array(out_band, type=pa.int32()),
-            pa.array(out_key, type=pa.binary()),
+            pa.array(np.repeat(doc, bands)),
+            pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            pa.array(keys.reshape(-1)),
         ],
         names=["doc_id", "band", "key"],
     )
