@@ -4,7 +4,8 @@ Ray is initialised by the driver BEFORE this module is imported; nothing in
 this module or the library calls ``ray.init()`` / ``ray.shutdown()``.
 
 - ``entry()``       — flagship interleaved-docs -> triples pipeline at
-                      sf0.001 (SURVEY §7.1 stage architecture).
+                      sf0.001 (doc-local variant of SURVEY §7.1: votes
+                      finalized inside the linker actors).
 - ``queries()``     — one callable per implemented operator/pipeline.
 - ``oracle_sql()``  — DuckDB-equivalent SQL per query; fixture KG tables are
                       inline VALUES generated from the same Python data the

@@ -12,7 +12,6 @@ import hashlib
 import numpy as np
 
 _MERSENNE = (1 << 61) - 1
-_MAXH = (1 << 32) - 1
 
 
 def stable_hash64(s: str) -> int:
@@ -27,26 +26,6 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     return np.fromiter(
         (stable_hash64(s) for s in shingles), dtype=np.uint64, count=len(shingles)
     )
-
-
-class MinHasher:
-    """num_perm universal-hash permutations over 61-bit Mersenne prime."""
-
-    def __init__(self, num_perm: int = 128, seed: int = 42):
-        rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
-        self.num_perm = num_perm
-
-    def signature(self, hashes: np.ndarray) -> np.ndarray:
-        """(num_perm,) uint64 minhash signature of a shingle-hash set."""
-        if len(hashes) == 0:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        h = hashes.astype(np.object_)  # python ints: exact 61-bit modular math
-        sig = np.empty(self.num_perm, dtype=np.uint64)
-        for i in range(self.num_perm):
-            sig[i] = int(min((int(self.a[i]) * int(x) + int(self.b[i])) % _MERSENNE for x in h))
-        return sig
 
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
@@ -78,15 +57,6 @@ class FastMinHasher:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         mixed = _splitmix64(hashes[None, :] ^ self.seeds[:, None])  # (k, m)
         return mixed.min(axis=1)
-
-    def band_keys(self, sig: np.ndarray, bands: int) -> list[bytes]:
-        """Split the signature into ``bands`` row-groups; key = digest of
-        each group (LSH bucket key)."""
-        rows = self.num_perm // bands
-        return [
-            hashlib.blake2b(sig[i * rows : (i + 1) * rows].tobytes(), digest_size=8).digest()
-            for i in range(bands)
-        ]
 
 
 def simhash64(tokens: list[str]) -> int:

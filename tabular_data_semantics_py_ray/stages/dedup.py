@@ -22,7 +22,7 @@ from ..util import (
     drop_cols,
     rename_cols,
 )
-from ..functions.hashing import FastMinHasher, hamming64, shingle_hashes, simhash64
+from ..functions.hashing import FastMinHasher, hamming64, simhash64
 from ..functions.textstats import fingerprint_batch
 
 
