@@ -153,13 +153,26 @@ def run_flagship_once():
     link_bs = int(os.environ.get(
         "GRAFT_LINK_BS", min(1024, max(256, n_docs // (128 * NCPU)))
     ))
-    out = triples_from_documents_doclocal(
+    pipeline = triples_from_documents_doclocal(
         docs,
         concurrency=max(2, NCPU // 2),  # fixed pool: no autoscale lag
         num_blocks=4 * NCPU,
         link_batch_size=link_bs,
-    ).materialize()  # fully parallel consume; no serial driver iteration
-    n_triples = out.count()
+    )
+    if os.environ.get("GRAFT_SCALE_SINK", "materialize") == "parquet":
+        # streaming sink: blocks leave the object store as they are written,
+        # bounding the working set (the fix for >=100M-triple corpora that
+        # otherwise spill during materialize+sort)
+        import shutil as _sh
+        import ray.data as _rd
+
+        sink = f"/tmp/graft_scale_out_{NCPU}"
+        _sh.rmtree(sink, ignore_errors=True)
+        pipeline.write_parquet(sink)
+        n_triples = _rd.read_parquet(sink).count()
+    else:
+        out = pipeline.materialize()  # fully parallel consume
+        n_triples = out.count()
     dt = time.time() - t0
     ray.shutdown()
     print(json.dumps({
