@@ -61,6 +61,30 @@ class TestInterleave:
         rebuilt = " ".join(s["text"] for s in spans if s["kind"] == "text")
         assert rebuilt == text
 
+    def test_vectorized_matches_scalar_reference(self):
+        # the hot-path Arrow kernel must agree with the scalar rule on every
+        # edge: empty text, chunk-boundary lengths, media modulo phases, and
+        # doc_ids past the 6-digit pad width (bench replication offsets)
+        import random
+
+        from tabular_data_semantics_py_ray.stages.interleave import (
+            interleave_batch,
+            interleave_batch_rows,
+        )
+
+        rng = random.Random(13)
+        vocab = ["join", "sort", "the", "order", "table", "dup"]
+        ids, texts = [], []
+        for i in range(200):
+            ids.append(rng.choice([i, i + 3, i + 999_998, i + 10_000_000]))
+            n = rng.choice([0, 1, SPAN_TOKENS - 1, SPAN_TOKENS, SPAN_TOKENS + 1,
+                            4 * SPAN_TOKENS, 4 * SPAN_TOKENS + 1, 97])
+            texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+        batch = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+        assert interleave_batch(batch).equals(interleave_batch_rows(batch))
+        empty = batch.slice(0, 0)
+        assert interleave_batch(empty).equals(interleave_batch_rows(empty))
+
 
 class TestMentionDetect:
     def test_span_and_token_indices(self):
