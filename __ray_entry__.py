@@ -11,8 +11,9 @@ this module or the library calls ``ray.init()`` / ``ray.shutdown()``.
                       inline VALUES generated from the same Python data the
                       Ray actors pin (``tabular_data_semantics_py_ray.fixture_kg``).
 
-``dedup_simhash`` has no SQL oracle (bit-level simhash not reasonably
-SQL-expressible) — rows-only check.
+Every query carries an oracle (28+ / 28+): ``dedup_simhash`` derives token
+bit-hashes from md5 on both sides so the whole signature + hamming pipeline
+is SQL-checkable.
 """
 
 from __future__ import annotations

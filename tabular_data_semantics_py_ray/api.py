@@ -199,6 +199,57 @@ def q_emb_label_stats(sf_dir: str):
     return embedding_label_stats(sf_dir)
 
 
+def q_kg_typed_repair(sf_dir: str):
+    from .pipelines.queries_kg import _linked_flat
+    from .stages.type_repair import typed_repair
+
+    return typed_repair(_linked_flat(sf_dir))
+
+
+def q_kg_strategy_census(sf_dir: str):
+    from .pipelines.queries_kg import _linked_flat
+    from .stages.type_repair import strategy_census
+
+    return strategy_census(_linked_flat(sf_dir))
+
+
+def q_kg_docs_without_customer(sf_dir: str):
+    from .pipelines.queries_kg import docs_without_customer
+
+    return docs_without_customer(sf_dir)
+
+
+def q_kg_prop_kind(sf_dir: str):
+    from .pipelines.queries_kg import prop_kind
+
+    return prop_kind(sf_dir)
+
+
+def q_kg_depth_stats(sf_dir: str):
+    from .pipelines.queries_kg import depth_stats
+
+    return depth_stats(sf_dir)
+
+
+def q_kg_class_sample(sf_dir: str):
+    from .pipelines.queries_kg import class_sample
+
+    return class_sample(sf_dir, k=3)
+
+
+def q_kg_class_confirm(sf_dir: str):
+    from .pipelines.queries_kg import class_confirm
+
+    return class_confirm(sf_dir, k=3)
+
+
+def q_kg_projection(sf_dir: str):
+    """A10 ontology projection (offline prep artifact; sf-independent)."""
+    from .pipelines.prep import project_ontology
+
+    return rd.from_arrow(project_ontology())
+
+
 def q_media_manifest(sf_dir: str):
     from .pipelines.queries_kg import media_manifest
 
@@ -229,6 +280,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_label_vote": q_ann_label_vote,
         "media_manifest": q_media_manifest,
+        "kg_typed_repair": q_kg_typed_repair,
+        "kg_strategy_census": q_kg_strategy_census,
+        "kg_projection": q_kg_projection,
+        "kg_docs_without_customer": q_kg_docs_without_customer,
+        "kg_prop_kind": q_kg_prop_kind,
+        "kg_depth_stats": q_kg_depth_stats,
+        "kg_class_sample": q_kg_class_sample,
+        "kg_class_confirm": q_kg_class_confirm,
         "kg_pred_census": q_kg_pred_census,
         "kg_neighborhood_topk": q_kg_neighborhood_topk,
         "kg_doc_most_specific": q_kg_doc_most_specific,

@@ -102,6 +102,10 @@ LEXICON: list[tuple[str, str, int]] = [
     ("line", _e("Line_Item"), 2),
     ("data", _e("Data_Set"), 1),
     ("value", _e("Value_Lit"), 1),
+    # --- type-repair cascade fixtures (round 2) ---
+    ("big", _e("Big_Party"), 1),    # lookup-branch fixpoint case (A5)
+    ("fast", _e("Fast_Entity"), 1),  # cross-KG-chain-only entity (A4)
+    ("slow", _e("Slow_Entity"), 1),  # cross-KG disambig-cleared entity (A4)
 ]
 
 # Direct rdf:type assertions (entity -> classes). Entities absent here have
@@ -134,6 +138,12 @@ ENTITY_TYPES: dict[str, list[str]] = {
     _e("Line_Item"): ["LineItem"],
     _e("Data_Set"): ["DataStructure"],
     _e("Value_Lit"): ["DataStructure"],
+    # Big_Party: endpoint types exercising the A5 fixpoint — lookup seed
+    # {Customer} admits Party (ancestor), then Supplier via the ALREADY
+    # ADDED Party (descendant), which a single seed-only pass would miss.
+    _e("Big_Party"): ["Party", "Supplier"],
+    # Fast_Entity / Slow_Entity deliberately have NO endpoint types: they
+    # are resolvable only via the cross-KG sameAs chain (A4).
 }
 
 # Alias edges: (src, dst, kind). Redirect chains of length 2 test the
@@ -146,6 +156,126 @@ ALIAS_EDGES: list[tuple[str, str, str]] = [
 ]
 
 DISAMBIGUATION_CLASS = _c("Disambiguation")
+
+# --------------------------------------------------------------------------
+# Type-repair cascade fixtures (A2/A3/A4/A5 — round 2).
+# --------------------------------------------------------------------------
+
+# ~ the types carried inside lookup-service responses (kg/lookup.py:162-209);
+# they SEED the repair cascade (matching/kg_matching.py:522-545). May agree
+# with, generalize, or conflict with the endpoint types above.
+LOOKUP_TYPES: dict[str, list[str]] = {
+    _e("Customer"): ["Party"],          # ancestor of endpoint type: compat
+    _e("Table_Furniture"): ["Artifact"],  # ancestor of Furniture: compat
+    _e("Part"): ["Furniture"],          # endpoint Artifact is its ancestor
+    _e("Table_Relation"): ["Relation"],  # equal to endpoint type
+    _e("Spark"): ["Process"],           # CONFLICTS with endpoint Framework
+    _e("Big_Party"): ["Customer"],      # fixpoint case (see ENTITY_TYPES)
+}
+
+# Local statement table ~ the triples the predicate strategy queries via
+# SPARQL (kg/endpoints.py:340-368). Subject/object are fixture entities.
+_ST = [
+    # Join_Op as object of usesOp x4 -> range {DBOperation}, count 4 > 3
+    ("Stream_Proc", "usesOp", "Join_Op"),
+    ("Batch_Proc", "usesOp", "Join_Op"),
+    ("Spark", "usesOp", "Join_Op"),
+    ("Big_Party", "usesOp", "Join_Op"),
+    # Hash_Op as object x4 AND as subject x4 -> range {DBOperation} plus
+    # compatible domain {Process} (domain admitted: Process ~ DBOperation)
+    ("Stream_Proc", "usesOp", "Hash_Op"),
+    ("Batch_Proc", "usesOp", "Hash_Op"),
+    ("Spark", "usesOp", "Hash_Op"),
+    ("Data_Set", "usesOp", "Hash_Op"),
+    ("Hash_Op", "usesOp", "Scan_Op"),
+    ("Hash_Op", "usesOp", "Sort_Op"),
+    ("Hash_Op", "usesOp", "Merge_Op"),
+    ("Hash_Op", "usesOp", "Filter_Op"),
+    # Query_Op: three range classes -> top-2 truncation + (n desc, type asc)
+    # tie-break: DBOperation(5), Framework(4), Process(4) -> keep first two
+    ("Stream_Proc", "usesOp", "Query_Op"),
+    ("Batch_Proc", "usesOp", "Query_Op"),
+    ("Spark", "usesOp", "Query_Op"),
+    ("Data_Set", "usesOp", "Query_Op"),
+    ("Value_Lit", "usesOp", "Query_Op"),
+    ("Join_Op", "runsOn", "Query_Op"),
+    ("Sort_Op", "runsOn", "Query_Op"),
+    ("Scan_Op", "runsOn", "Query_Op"),
+    ("Merge_Op", "runsOn", "Query_Op"),
+    ("Filter_Op", "loggedBy", "Query_Op"),
+    ("Group_Op", "loggedBy", "Query_Op"),
+    ("Agg_Op", "loggedBy", "Query_Op"),
+    ("Window_Op", "loggedBy", "Query_Op"),
+    # Merge_Op as object only x2 -> HAVING count > 3 drops it (no strategy)
+    ("Data_Set", "usesOp", "Merge_Op"),
+    ("Spark", "usesOp", "Merge_Op"),
+]
+STATEMENTS: list[tuple[str, str, str]] = [
+    (_e(s), _c(p), _e(o)) for s, p, o in _ST
+] + [
+    # literal- and mixed-object predicates for the A9 property-kind
+    # classifier (majority startswith('http') over distinct values,
+    # oaei/dbpedia_fragment.py:469-499). Not in PRED_SCHEMA, so the
+    # predicate strategy never sees them.
+    (_e("Join_Op"), _c("annotatedWith"), "hash based"),
+    (_e("Sort_Op"), _c("annotatedWith"), "stable sort"),
+    (_e("Hash_Op"), _c("annotatedWith"), "radix build"),
+    (_e("Join_Op"), _c("linkedVia"), _e("Query_Op")),
+    (_e("Merge_Op"), _c("linkedVia"), _e("Sort_Op")),
+    (_e("Scan_Op"), _c("linkedVia"), "scan hint"),
+]
+
+# pred -> (rdfs:domain class, rdfs:range class); one of each, like the
+# reference's dbpedia property declarations the strategy queries join on.
+PRED_SCHEMA: dict[str, tuple[str, str]] = {
+    _c("usesOp"): (_c("Process"), _c("DBOperation")),
+    _c("runsOn"): (_c("DBOperation"), _c("Framework")),
+    _c("loggedBy"): (_c("DBOperation"), _c("Process")),
+}
+
+# Cross-KG fixtures ~ wikidata (kg_matching.py:394-440). Second KG has its
+# own namespaces; equivalences map back into the fixture ontology.
+KG2E = "http://kg2.example.org/entity/"
+KG2C = "http://kg2.example.org/class/"
+KG2_DISAMBIGUATION_CONCEPT = KG2C + "Disambig"  # ~ wikidata Q4167410
+
+KG2_SAMEAS: list[tuple[str, str]] = [
+    (_e("Fast_Entity"), KG2E + "Fast"),
+    (_e("Slow_Entity"), KG2E + "Slow"),
+]
+KG2_TYPES: list[tuple[str, str]] = [
+    (KG2E + "Fast", KG2C + "FastClass"),
+    (KG2E + "Slow", KG2C + "SlowClass"),
+    (KG2E + "Slow", KG2_DISAMBIGUATION_CONCEPT),  # clears the whole set
+]
+KG2_EQUIV: list[tuple[str, str]] = [
+    (KG2C + "FastClass", _c("DataStructure")),
+]
+
+# --------------------------------------------------------------------------
+# Ontology axioms beyond the plain taxonomy — inputs to the A10 projection
+# (ontology/ontology_projection.py:301-662): class equivalences, existential
+# restrictions, property inverses and property equivalences.
+# --------------------------------------------------------------------------
+# owl:equivalentClass — projected as TWO subsumptions (:341-347).
+# 'Collection' exists only through this axiom (like an imported-ontology
+# class with no local taxonomy position).
+CLASS_EQUIV: list[tuple[str, str]] = [
+    ("DataStructure", "Collection"),
+]
+# C subClassOf (p some D) — projected as the triple (C, p, D) (:483-508).
+RESTRICTIONS: list[tuple[str, str, str]] = [
+    ("Customer", "places", "Commerce"),
+    ("Supplier", "supplies", "Artifact"),
+]
+# owl:inverseOf — every (s, p, o) assertion also yields (o, q, s) (:519-526).
+PROP_INVERSES: list[tuple[str, str]] = [
+    ("usesOp", "usedBy"),
+]
+# owl:equivalentProperty — (s, p, o) also yields (s, q, o) (:529-537).
+PROP_EQUIV: list[tuple[str, str]] = [
+    ("runsOn", "executesOn"),
+]
 
 
 # --------------------------------------------------------------------------
@@ -166,6 +296,40 @@ def class_closure() -> list[tuple[str, str, int]]:
             dist += 1
             rows.append((_c(cls), _c(cur), dist))
     return rows
+
+
+@lru_cache(maxsize=1)
+def all_classes() -> tuple[str, ...]:
+    return tuple(sorted(set(CLASS_PARENT) | set(CLASS_PARENT.values())))
+
+
+@lru_cache(maxsize=1)
+def compat_pairs() -> frozenset[tuple[str, str]]:
+    """(target_cls_uri, source_cls_uri) pairs where ``source`` is compatible
+    with ``target``: source in reflexive-ancestors(target) minus the Agent
+    class, or in reflexive-descendants(target).
+
+    Mirrors ``__isCompatibleType`` (matching/kg_matching.py:608-624) with
+    owlready2's REFLEXIVE ``ancestors()/descendants()`` (both include the
+    class itself and Thing) and the DBpedia-variant Agent removal
+    (onto_access.py:346-356).
+    """
+    anc: dict[str, set[str]] = {}
+    for cls in all_classes():
+        cur, chain = cls, {cls}
+        while cur in CLASS_PARENT:
+            cur = CLASS_PARENT[cur]
+            chain.add(cur)
+        anc[cls] = chain
+    pairs = set()
+    for tgt in all_classes():
+        for src in anc[tgt]:  # reflexive ancestors
+            if src != "Agent":
+                pairs.add((_c(tgt), _c(src)))
+    for src in all_classes():  # reflexive descendants: invert ancestors
+        for tgt in anc[src]:
+            pairs.add((_c(tgt), _c(src)))
+    return frozenset(pairs)
 
 
 @lru_cache(maxsize=1)
@@ -218,6 +382,36 @@ def lexicon_table() -> pa.Table:
     return pa.Table.from_pandas(lexicon_df(), preserve_index=False)
 
 
+def lookup_types_df() -> pd.DataFrame:
+    rows = [(e, _c(t)) for e, ts in LOOKUP_TYPES.items() for t in ts]
+    return pd.DataFrame(rows, columns=["entity_uri", "type_uri"])
+
+
+def statements_df() -> pd.DataFrame:
+    return pd.DataFrame(STATEMENTS, columns=["subj", "pred", "obj"])
+
+
+def pred_schema_df() -> pd.DataFrame:
+    rows = [(p, d, r) for p, (d, r) in PRED_SCHEMA.items()]
+    return pd.DataFrame(rows, columns=["pred", "domain_cls", "range_cls"])
+
+
+def compat_pairs_df() -> pd.DataFrame:
+    return pd.DataFrame(sorted(compat_pairs()), columns=["tgt_cls", "src_cls"])
+
+
+def kg2_sameas_df() -> pd.DataFrame:
+    return pd.DataFrame(KG2_SAMEAS, columns=["entity_uri", "kg2_uri"])
+
+
+def kg2_types_df() -> pd.DataFrame:
+    return pd.DataFrame(KG2_TYPES, columns=["kg2_uri", "kg2_cls"])
+
+
+def kg2_equiv_df() -> pd.DataFrame:
+    return pd.DataFrame(KG2_EQUIV, columns=["kg2_cls", "cls_uri"])
+
+
 # --------------------------------------------------------------------------
 # SQL VALUES emitters (oracle side). Generated from the same Python data, so
 # Ray and DuckDB can never drift apart on fixture content.
@@ -256,4 +450,60 @@ def class_closure_values_sql() -> str:
 def redirect_values_sql() -> str:
     """Raw single-hop redirect edges (closure left to the SQL query)."""
     rows = [(s, d) for s, d, k in ALIAS_EDGES if k == "redirect"]
+    return _values(rows, quote_cols={0, 1})
+
+
+def lookup_types_values_sql() -> str:
+    rows = [(e, _c(t)) for e, ts in LOOKUP_TYPES.items() for t in ts]
+    return _values(rows, quote_cols={0, 1})
+
+
+def statements_values_sql() -> str:
+    return _values(STATEMENTS, quote_cols={0, 1, 2})
+
+
+def pred_schema_values_sql() -> str:
+    rows = [(p, d, r) for p, (d, r) in PRED_SCHEMA.items()]
+    return _values(rows, quote_cols={0, 1, 2})
+
+
+def compat_pairs_values_sql() -> str:
+    return _values(sorted(compat_pairs()), quote_cols={0, 1})
+
+
+def kg2_sameas_values_sql() -> str:
+    return _values(KG2_SAMEAS, quote_cols={0, 1})
+
+
+def kg2_types_values_sql() -> str:
+    return _values(KG2_TYPES, quote_cols={0, 1})
+
+
+def kg2_equiv_values_sql() -> str:
+    return _values(KG2_EQUIV, quote_cols={0, 1})
+
+
+def class_parent_values_sql() -> str:
+    """Direct (child, parent) subsumption edges."""
+    rows = [(_c(ch), _c(p)) for ch, p in sorted(CLASS_PARENT.items())]
+    return _values(rows, quote_cols={0, 1})
+
+
+def class_equiv_values_sql() -> str:
+    rows = [(_c(a), _c(b)) for a, b in CLASS_EQUIV]
+    return _values(rows, quote_cols={0, 1})
+
+
+def restrictions_values_sql() -> str:
+    rows = [(_c(c), _c(p), _c(d)) for c, p, d in RESTRICTIONS]
+    return _values(rows, quote_cols={0, 1, 2})
+
+
+def prop_inverses_values_sql() -> str:
+    rows = [(_c(p), _c(q)) for p, q in PROP_INVERSES]
+    return _values(rows, quote_cols={0, 1})
+
+
+def prop_equiv_values_sql() -> str:
+    rows = [(_c(p), _c(q)) for p, q in PROP_EQUIV]
     return _values(rows, quote_cols={0, 1})

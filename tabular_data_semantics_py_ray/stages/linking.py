@@ -169,16 +169,20 @@ class DocPipeline:
         )
         self.types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
 
-    def __call__(self, batch):
-        import pyarrow as pa
-
+    def _link_batch(self, batch) -> pd.DataFrame:
+        """documents batch -> linked mention rows (shared by subclasses)."""
         from .interleave import interleave_batch
         from .mention_detect import detect_mentions_batch
 
         docs_tbl = interleave_batch(batch)
         mentions_tbl = detect_mentions_batch(docs_tbl)
         m = mentions_tbl.to_pandas()
-        linked = self.score(self.gen(m))
+        return self.score(self.gen(m))
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        linked = self._link_batch(batch)
 
         empty = pa.table({
             "kind": pa.array([], type=pa.string()),
@@ -219,3 +223,102 @@ class DocPipeline:
         tag("win", winners["doc_id"], winners["type_uri"])
         tag("etype", [""] * len(et), et["entity_uri"], et["type_uri"])
         return pa.concat_tables(parts) if parts else empty
+
+
+class DocTriples(DocPipeline):
+    """DocPipeline variant that FINALIZES the doc-keyed triple streams inside
+    the actor and writes them straight to a partitioned parquet sink — the
+    flagship's zero-all-to-all scale path.
+
+    Rationale: mention triples (doc uri, ont:mentions, entity) and doc-type
+    triples (doc uri, rdf:type, winner) are keyed by ``doc_id``, and every
+    document lives in exactly one input batch — so after the in-batch dedup
+    these streams are *globally duplicate-free by construction* and need no
+    distinct/sort shuffle at all. Each batch is sorted (T8 semantics, within
+    the output partition) and written as one parquet file by the actor that
+    produced it. The only stream that can repeat across batches — entity
+    rdf:type triples, bounded by |KG| and independent of corpus size — is
+    returned as tiny (entity_uri, type_uri) pairs, thinned by a per-actor
+    memo, for a downstream KG-sized distinct.
+
+    This removes the round-1 scaling blocker (materialize barrier + tagged
+    re-scan + global sort: F ≈ 65 s fixed cost). On a multi-node cluster
+    ``sink_dir`` must be shared storage (s3:// / NFS); single-node tests use
+    a local path.
+    """
+
+    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None,
+                 top_k=3, sink_dir=None):
+        super().__init__(lexicon_ref, alias_ref, types_ref, top_k)
+        if sink_dir is None:
+            raise ValueError("DocTriples requires sink_dir")
+        self.sink_dir = sink_dir
+        self.emitted: set[str] = set()  # per-actor (entity, type) memo
+
+    _EMPTY_PAIRS = None  # class-level lazy empty table
+
+    def __call__(self, batch):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ..constants import AVOID_PREDICATES
+        from .triple_extract import (
+            doc_type_triples_batch,
+            mention_triples_batch,
+        )
+
+        # deterministic, content-keyed file name: batches partition the
+        # doc-id space, so (min,max) is unique per batch and a RETRIED task
+        # overwrites its own file instead of duplicating rows (exactly-once
+        # output under Ray's at-least-once task execution)
+        mm = pc.min_max(batch.column("doc_id"))
+        fname = (f"part-{mm['min'].as_py() or 0:012d}-"
+                 f"{mm['max'].as_py() or 0:012d}.parquet")
+
+        empty_pairs = pa.table({
+            "entity_uri": pa.array([], type=pa.string()),
+            "type_uri": pa.array([], type=pa.string()),
+        })
+        linked = self._link_batch(batch)
+        if len(linked) == 0:
+            return empty_pairs
+        pairs = linked[["doc_id", "entity_uri"]]
+
+        mention_t = mention_triples_batch(pairs)
+
+        typed = pairs.merge(self.types, on="entity_uri", how="inner")
+        votes = (
+            typed.groupby(["doc_id", "type_uri"], sort=False, observed=True)
+            .size().reset_index(name="n")
+        )
+        votes = votes.sort_values(["n", "type_uri"], ascending=[False, True],
+                                  kind="mergesort")
+        winners = votes.drop_duplicates(subset=["doc_id"], keep="first")
+        win_t = doc_type_triples_batch(winners[["doc_id", "type_uri"]])
+
+        out = pa.concat_tables([mention_t, win_t])
+        # M6 blocklist (kept for semantics parity; minted preds never match)
+        out = out.filter(pc.invert(pc.is_in(
+            out.column("pred"), value_set=pa.array(sorted(AVOID_PREDICATES)))))
+        out = out.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                           ("obj", "ascending")])
+        # atomic publish: concurrent retry attempts each write their own tmp
+        # then rename; last rename wins with identical content
+        dst = os.path.join(self.sink_dir, fname)
+        tmp = f"{dst}.tmp{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dst)
+
+        # entity-type side stream, thinned by the per-actor memo (vectorized
+        # over a KG-bounded frame: at most |entity_types| rows per batch)
+        et = typed[["entity_uri", "type_uri"]].drop_duplicates()
+        if len(et) == 0:
+            return empty_pairs
+        key = et["entity_uri"] + "\x1f" + et["type_uri"]
+        fresh = ~key.isin(self.emitted)
+        self.emitted.update(key[fresh])
+        return pa.Table.from_pandas(et[fresh].reset_index(drop=True),
+                                    preserve_index=False)

@@ -1,0 +1,198 @@
+"""Arrow/numpy hot path for the flagship scale sink.
+
+``DocTriplesFast`` is the memory-bandwidth-lean rewrite of
+``linking.DocTriples``: the per-occurrence link (CandidateGen + LinkScore's
+rank-min after redirect resolution and disambiguation drop) collapses into a
+precomputed SURFACE FORM -> ENTITY map — the per-occurrence result depends
+only on the token — so linking becomes one ``pc.index_in`` against a pinned
+form array plus integer-code gathers. Voting is integer-key ``np.unique``
+per batch; no pandas frame is allocated per batch at all. Equality with the
+pandas path (and hence with the oracle-checked classic pipeline) is asserted
+in tests/test_doclocal.py.
+
+Integer-key encoding bounds: keys are ``doc_idx * n_entities + ent_code``
+(and ``doc_idx * n_types + type_code``) in int64 — safe for batches of 10^5
+docs against KGs up to ~10^13/|batch| entities; assert guards the bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import fixture_kg
+from ..constants import AVOID_PREDICATES, AVOID_TOP_CONCEPTS, DOC, MENTIONS_PRED, RDF_TYPE
+from ..schemas import TRIPLES_SCHEMA
+from .linking import LinkScore
+
+
+def _surface_resolution(lexicon: pd.DataFrame, top_k: int) -> pd.DataFrame:
+    """surface_form -> linked entity (lowest rank, canonical, non-disambig)
+    — the closed form of LinkScore over the lexicon (linking.py LinkScore)."""
+    scorer = LinkScore()
+    lex = lexicon[lexicon["rank"] <= top_k].copy()
+    lex["entity_uri"] = lex["entity_uri"].map(
+        lambda u: scorer.canonical.get(u, u))
+    lex = lex[~lex["entity_uri"].isin(scorer.disambig)]
+    lex = lex.sort_values(["surface_form", "rank"], kind="mergesort")
+    return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
+
+
+class DocTriplesFast:
+    """Actor: document batches -> sorted parquet files (doc-keyed triples)
+    + (entity_uri, type_uri) pair stream. Same contract and sink layout as
+    ``linking.DocTriples`` (see its docstring for the zero-all-to-all and
+    exactly-once-naming rationale); hot path is Arrow kernels + numpy only.
+    """
+
+    def __init__(self, sink_dir=None, top_k: int = 3):
+        if sink_dir is None:
+            raise ValueError("DocTriplesFast requires sink_dir")
+        self.sink_dir = sink_dir
+
+        res = _surface_resolution(fixture_kg.lexicon_df(), top_k)
+        ent_uris = sorted(res["entity_uri"].unique())
+        ent_code = {e: i for i, e in enumerate(ent_uris)}
+        self.n_ent = len(ent_uris)
+        self.ent_uri_arr = pa.array(ent_uris, type=pa.string())
+        self.forms_arr = pa.array(list(res["surface_form"]), type=pa.string())
+        self.form2ent = np.array(
+            [ent_code[e] for e in res["entity_uri"]], dtype=np.int64)
+
+        types = fixture_kg.entity_types_df()
+        types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
+        type_uris = sorted(types["type_uri"].unique())
+        t_code = {t: i for i, t in enumerate(type_uris)}
+        self.n_type = max(len(type_uris), 1)
+        self.type_uri_arr = pa.array(type_uris, type=pa.string())
+        per_ent: list[list[int]] = [[] for _ in range(self.n_ent)]
+        for r in types.itertuples(index=False):
+            c = ent_code.get(r.entity_uri)
+            if c is not None:
+                per_ent[c].append(t_code[r.type_uri])
+        self.ent_tcount = np.array([len(v) for v in per_ent], dtype=np.int64)
+        self.ent_toff = np.concatenate(
+            ([0], np.cumsum(self.ent_tcount)[:-1])).astype(np.int64)
+        self.tcodes_flat = np.array(
+            [t for v in per_ent for t in sorted(v)], dtype=np.int64)
+
+        self.block = pa.array(sorted(AVOID_PREDICATES))
+        self.emitted = np.empty(0, dtype=np.int64)  # (ent, type) pair memo
+
+    def _doc_uri(self, ddict: pa.Array, idx: np.ndarray) -> pa.Array:
+        taken = ddict.take(pa.array(idx))
+        return pc.binary_join_element_wise(
+            pa.scalar(DOC), taken, pa.scalar(""))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from .interleave import interleave_batch
+        from .mention_detect import detect_mentions_batch
+
+        empty_pairs = pa.table({
+            "entity_uri": pa.array([], type=pa.string()),
+            "type_uri": pa.array([], type=pa.string()),
+        })
+        mm = pc.min_max(batch.column("doc_id"))
+        fname = (f"part-{mm['min'].as_py() or 0:012d}-"
+                 f"{mm['max'].as_py() or 0:012d}.parquet")
+
+        mentions = detect_mentions_batch(interleave_batch(batch))
+        if mentions.num_rows == 0:
+            return empty_pairs
+
+        m = mentions.column("mention")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        codes = pc.fill_null(
+            pc.index_in(m, value_set=self.forms_arr), -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+
+        d = mentions.column("doc_id")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        denc = d.dictionary_encode()
+        didx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ddict = denc.dictionary
+
+        keep = codes >= 0
+        didx_k, ent_k = didx[keep], self.form2ent[codes[keep]]
+        if len(didx_k) == 0:
+            return empty_pairs
+        assert len(ddict) * self.n_ent < (1 << 62)
+
+        # mention triples: distinct (doc, entity)
+        uq = np.unique(didx_k * self.n_ent + ent_k)
+        mdoc, ment = uq // self.n_ent, uq % self.n_ent
+        subj_m = self._doc_uri(ddict, mdoc)
+        obj_m = self.ent_uri_arr.take(pa.array(ment))
+
+        # votes: expand entity -> type codes, count, deterministic argmax
+        tc = self.ent_tcount[ent_k]
+        tot = int(tc.sum())
+        if tot:
+            first = np.cumsum(tc) - tc
+            within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
+            tflat = self.tcodes_flat[np.repeat(self.ent_toff[ent_k], tc) + within]
+            vdoc = np.repeat(didx_k, tc)
+            ukey, cnt = np.unique(vdoc * self.n_type + tflat,
+                                  return_counts=True)
+            wd, wt = ukey // self.n_type, ukey % self.n_type
+            order = np.lexsort((wt, -cnt, wd))  # (doc asc, n desc, type asc)
+            wd_o = wd[order]
+            firsts = np.unique(wd_o, return_index=True)[1]
+            win_doc, win_type = wd_o[firsts], wt[order][firsts]
+        else:
+            win_doc = np.empty(0, dtype=np.int64)
+            win_type = np.empty(0, dtype=np.int64)
+        subj_w = self._doc_uri(ddict, win_doc)
+        obj_w = self.type_uri_arr.take(pa.array(win_type))
+
+        n_m, n_w = len(subj_m), len(subj_w)
+        out = pa.Table.from_arrays(
+            [
+                pa.concat_arrays([subj_m.cast(pa.string()),
+                                  subj_w.cast(pa.string())]),
+                pa.concat_arrays([
+                    pa.nulls(n_m, pa.string()).fill_null(MENTIONS_PRED),
+                    pa.nulls(n_w, pa.string()).fill_null(RDF_TYPE),
+                ]),
+                pa.concat_arrays([obj_m.cast(pa.string()),
+                                  obj_w.cast(pa.string())]),
+                pa.array(np.zeros(n_m + n_w, dtype=bool)),
+            ],
+            schema=TRIPLES_SCHEMA,
+        )
+        out = out.filter(pc.invert(pc.is_in(out.column("pred"),
+                                            value_set=self.block)))
+        out = out.sort_by([("subj", "ascending"), ("pred", "ascending"),
+                           ("obj", "ascending")])
+        dst = os.path.join(self.sink_dir, fname)
+        tmp = f"{dst}.tmp{os.getpid()}"
+        pq.write_table(out, tmp)
+        os.replace(tmp, dst)
+
+        # entity-type pair stream, per-actor memo (integer set difference)
+        ents_present = np.unique(ent_k)
+        tcp = self.ent_tcount[ents_present]
+        totp = int(tcp.sum())
+        if totp == 0:
+            return empty_pairs
+        firstp = np.cumsum(tcp) - tcp
+        withinp = np.arange(totp, dtype=np.int64) - np.repeat(firstp, tcp)
+        tflatp = self.tcodes_flat[
+            np.repeat(self.ent_toff[ents_present], tcp) + withinp]
+        pair_codes = np.repeat(ents_present, tcp) * self.n_type + tflatp
+        new = np.setdiff1d(pair_codes, self.emitted, assume_unique=False)
+        if len(new) == 0:
+            return empty_pairs
+        self.emitted = np.union1d(self.emitted, new)
+        return pa.table({
+            "entity_uri": self.ent_uri_arr.take(pa.array(new // self.n_type)),
+            "type_uri": self.type_uri_arr.take(pa.array(new % self.n_type)),
+        })

@@ -53,6 +53,43 @@ import pandas as pd
 _AGG_FNS = {"sum", "min", "max", "count"}
 
 
+def _to_arrow(df: pd.DataFrame) -> pa.Table:
+    """pandas -> Arrow that stays schema-stable on EMPTY frames.
+
+    ``pa.Table.from_pandas`` maps an empty object column to ``null`` type,
+    which poisons downstream shuffles/joins with mismatched block schemas
+    (zero-column/null-typed empties). Empty object columns are typed as
+    string — the only thing object columns hold in this engine."""
+    if len(df):
+        return pa.Table.from_pandas(df, preserve_index=False)
+    sch = pa.Schema.from_pandas(df, preserve_index=False)
+    fields = [
+        pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
+        for f in sch
+    ]
+    return pa.Table.from_arrays(
+        [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields)
+    )
+
+
+def conform_schema(ds, schema: pa.Schema):
+    """Force every block to ``schema`` (column order + types).
+
+    Ray 2.49's hash-shuffle join emits ZERO-COLUMN blocks for empty
+    partitions; feeding those into a second join fails inside Acero
+    ("no match for key field"). Conforming empty blocks to the declared
+    schema keeps multi-join pipelines robust at any data size."""
+
+    def _c(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=f.type) for f in schema], schema=schema
+            )
+        return t.select(schema.names).cast(schema)
+
+    return ds.map_batches(_c, batch_format="pyarrow")
+
+
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
     return (h % num_buckets).astype(np.int64)
@@ -69,8 +106,6 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
             raise ValueError(f"unsupported agg fn {fn} for {out}")
 
     def _partial(b: pd.DataFrame):
-        if len(b) == 0:
-            return pa.table({})
         named = {
             # pandas named agg needs a real column even for size
             out: (col if col in b.columns else keys[0],
@@ -79,7 +114,7 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         }
         g = b.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
         g["_b"] = _bucket_of(g, keys, num_buckets)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _to_arrow(g)
 
     def _final(g: pd.DataFrame):
         named = {}
@@ -88,8 +123,7 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         out_df = g.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
         # emit Arrow: downstream sorts/shuffles are far faster on Arrow
         # blocks than on pandas object-dtype blocks
-        return pa.Table.from_pandas(out_df.drop(columns=["_b"], errors="ignore"),
-                                    preserve_index=False)
+        return _to_arrow(out_df.drop(columns=["_b"], errors="ignore"))
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
@@ -99,18 +133,117 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
     """Global DISTINCT on the key tuple via bucket shuffle (exact dedup)."""
 
     def _partial(b: pd.DataFrame):
-        if len(b) == 0:
-            return pa.table({})
-        g = b[keys].drop_duplicates()
-        g = g.copy()
+        g = b[keys].drop_duplicates().copy()
         g["_b"] = _bucket_of(g, keys, num_buckets)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return _to_arrow(g)
 
     def _final(g: pd.DataFrame):
-        return pa.Table.from_pandas(g[keys].drop_duplicates(), preserve_index=False)
+        return _to_arrow(g[keys].drop_duplicates())
 
     partials = ds.map_batches(_partial, batch_format="pandas")
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
+
+
+def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
+                left_cols: dict[str, pa.DataType],
+                right_cols: dict[str, pa.DataType],
+                key_type: pa.DataType = pa.int64(), num_buckets: int = 64):
+    """Hash-partitioned inner equi-join on one key column, built on the
+    bucket-groupby machinery (both sides shuffled on the key — the
+    scale-safe large-large join shape).
+
+    Exists because Ray 2.49's ``Dataset.join`` raises ArrowInvalid whenever
+    an input contains empty blocks (zero-column partition builds inside
+    Acero) — routine for filtered/aggregated intermediates. Sides are
+    tagged into one union-able superset schema (missing columns
+    null-filled), co-located by key hash, and merged per bucket with
+    vectorized pandas. Output columns: ``key`` + left_cols + right_cols,
+    cast back to their declared types.
+    """
+    right_key = right_key or key
+    declared = {**left_cols, **right_cols}
+
+    def _mk_tagger(side: int, own: set, key_col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            arrs = [t.column(key_col).cast(key_type)]
+            names = [key]
+            for c, tp in declared.items():
+                arrs.append(t.column(c).cast(tp) if c in own
+                            else pa.nulls(n, tp))
+                names.append(c)
+            arrs.append(pa.array(np.full(n, side, dtype=np.int8)))
+            names.append("_side")
+            return pa.Table.from_arrays(arrs, names=names)
+
+        return _f
+
+    tagged = left_ds.map_batches(
+        _mk_tagger(0, set(left_cols), key), batch_format="pyarrow"
+    ).union(right_ds.map_batches(
+        _mk_tagger(1, set(right_cols), right_key), batch_format="pyarrow"))
+
+    lsel = [key] + list(left_cols)
+    rsel = [key] + list(right_cols)
+    dtypes = {c: tp.to_pandas_dtype() for c, tp in declared.items()}
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.loc[g["_side"] == 0, lsel].merge(
+            g.loc[g["_side"] == 1, rsel], on=key, how="inner")
+        # null-filling upcasts int columns to float in the union; restore
+        return out.astype({c: dtypes[c] for c in out.columns if c in dtypes})
+
+    return bucket_map_keyed(tagged, [key], _join, num_buckets=num_buckets)
+
+
+def bucket_anti_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
+                     left_cols: dict[str, pa.DataType] | None = None,
+                     key_type: pa.DataType = pa.int64(),
+                     num_buckets: int = 64):
+    """J8 anti-join: left rows whose key has NO match on the right
+    (kg/dbpedia.py:89-105 'generated minus training entities'), as a
+    hash-partitioned bucket shuffle — both sides shuffled, no broadcast."""
+    right_key = right_key or key
+    left_cols = left_cols or {}
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        arrs = [t.column(key).cast(key_type)]
+        names = [key]
+        for c, tp in left_cols.items():
+            arrs.append(t.column(c).cast(tp))
+            names.append(c)
+        arrs.append(pa.array(np.zeros(n, dtype=np.int8)))
+        names.append("_side")
+        return pa.Table.from_arrays(arrs, names=names)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        ks = _pd.Series(
+            t.column(right_key).cast(key_type).to_numpy(zero_copy_only=False)
+        ).drop_duplicates()
+        n = len(ks)
+        arrs = [pa.array(ks.to_numpy())]
+        names = [key]
+        for c, tp in left_cols.items():
+            arrs.append(pa.nulls(n, tp))
+            names.append(c)
+        arrs.append(pa.array(np.ones(n, dtype=np.int8)))
+        names.append("_side")
+        return pa.Table.from_arrays(arrs, names=names)
+
+    tagged = left_ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(_tag_right, batch_format="pyarrow"))
+    sel = [key] + list(left_cols)
+    dtypes = {c: tp.to_pandas_dtype() for c, tp in left_cols.items()}
+
+    def _anti(g: pd.DataFrame) -> pd.DataFrame:
+        present = set(g.loc[g["_side"] == 1, key])
+        out = g.loc[(g["_side"] == 0) & ~g[key].isin(present), sel]
+        return out.astype(dtypes) if dtypes else out
+
+    return bucket_map_keyed(tagged, [key], _anti, num_buckets=num_buckets)
 
 
 def bucket_map_keyed(ds, keys: list[str], bucket_fn, *, num_buckets: int = 64,
@@ -122,16 +255,14 @@ def bucket_map_keyed(ds, keys: list[str], bucket_fn, *, num_buckets: int = 64,
     def _tag(b: pd.DataFrame):
         if pre is not None:
             b = pre(b)
-        if len(b) == 0:
-            return pa.table({})
         b = b.copy()
         b["_b"] = _bucket_of(b, keys, num_buckets)
-        return pa.Table.from_pandas(b, preserve_index=False)
+        return _to_arrow(b)
 
     def _final(g: pd.DataFrame):
         out = bucket_fn(g.drop(columns=["_b"]))
         if isinstance(out, pd.DataFrame):
-            out = pa.Table.from_pandas(out, preserve_index=False)
+            out = _to_arrow(out)
         return out
 
     return ds.map_batches(_tag, batch_format="pandas").groupby("_b").map_groups(

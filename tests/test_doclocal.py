@@ -6,8 +6,10 @@ import pandas as pd
 
 from tabular_data_semantics_py_ray.pipelines.kg_pipeline import (
     read_documents,
+    read_stream_result,
     triples_from_documents,
     triples_from_documents_doclocal,
+    triples_stream_to_parquet,
 )
 
 COLS = ["subj", "pred", "obj", "obj_is_literal"]
@@ -23,6 +25,44 @@ def test_doclocal_equals_classic(sf_small):
         triples_from_documents_doclocal(read_documents(sf_small)).to_pandas()
     )
     pd.testing.assert_frame_equal(classic, doclocal)
+
+
+import pytest
+
+
+@pytest.mark.parametrize("fast", [True, False])
+def test_stream_sink_equals_classic(sf_small, tmp_path, fast):
+    """The zero-shuffle parquet sink path (both the pandas actor and the
+    Arrow/numpy fast actor) emits exactly the classic triple set (doc-keyed
+    stream unique by construction + KG-bounded etype distinct)."""
+    out = str(tmp_path / f"stream_sink_{fast}")
+    triples_stream_to_parquet(read_documents(sf_small), out,
+                              link_batch_size=13, fast=fast)
+    streamed = _canon(read_stream_result(out).to_pandas())
+    classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
+    pd.testing.assert_frame_equal(classic, streamed)
+
+
+def test_stream_sink_files_sorted(sf_small, tmp_path):
+    """Each sink file is internally sorted by (subj, pred, obj) — the
+    per-partition sorted-materialize layout (T8)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "stream_sink2")
+    main_dir, _ = triples_stream_to_parquet(
+        read_documents(sf_small), out, link_batch_size=29
+    )
+    files = [f for f in os.listdir(main_dir) if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        t = pq.read_table(os.path.join(main_dir, f))
+        df = t.to_pandas()
+        assert df[["subj", "pred", "obj"]].equals(
+            df[["subj", "pred", "obj"]].sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
 
 
 def test_doclocal_small_batches_still_exact(sf_small):

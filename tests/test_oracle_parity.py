@@ -74,6 +74,7 @@ def test_query_matches_oracle(name):
 
 
 def test_all_queries_have_oracle_or_are_listed():
+    """Every registered query carries an oracle — the matrix is complete
+    (dedup_simhash gained one in round 2 via md5-derived bit hashes)."""
     no_oracle = set(_QUERIES) - set(_ORACLES)
-    # rows-only checks, deliberately: simhash is not SQL-expressible
-    assert no_oracle == {"dedup_simhash"}, no_oracle
+    assert no_oracle == set(), no_oracle

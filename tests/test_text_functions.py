@@ -57,6 +57,13 @@ class TestEntityName:
         )
         assert out.to_pylist() == ["Player", "Bulls"]
 
+    def test_batch_trailing_slash_matches_scalar(self):
+        uris = ["http://ex.org/r/Bulls/", "http://ex.org/r/Bulls//"]
+        out = entity_names_batch(pa.array(uris))
+        assert out.to_pylist() == [entity_name(u) for u in uris] == [
+            "Bulls", "Bulls"
+        ]
+
 
 def test_prefix_filter():
     uris = ["http://dbpedia.org/resource/X", "http://www.wikidata.org/entity/Q1",
