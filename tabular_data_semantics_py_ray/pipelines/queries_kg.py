@@ -56,7 +56,9 @@ def _link_surface_batch(b: pd.DataFrame) -> pd.DataFrame:
 
 
 def _linked_flat(sf_dir: str):
-    docs = read_documents(sf_dir)
+    # fan the single-row-group documents file out so the stateless task
+    # stages parallelize (shuffle-free repartition split)
+    docs = read_documents(sf_dir).repartition(16)
     mentions = docs.map_batches(detect_mentions_flat_batch, batch_format="pyarrow")
     return mentions.map_batches(_link_surface_batch, batch_format="pandas")
 

@@ -20,8 +20,14 @@ import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Column-pruned read; ``blocks`` fans a single-row-group file out so
+    task-pool stages parallelize (the test parquet has one row group, which
+    Ray cannot split at read time — a shuffle-free repartition split)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    if blocks:
+        ds = ds.repartition(blocks)
+    return ds
 
 
 def q1_pricing(sf_dir: str):
@@ -91,9 +97,10 @@ def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
     ``ray.put``. Each join input is pre-combined on its join key inside
     ``map_batches``, so the shuffles move aggregate-sized rows.
     """
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
+               blocks=32)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=16)
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=8)
 
     from ..util import bucket_aggregate, bucket_join
 
@@ -141,7 +148,8 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
     """top-k partkeys by revenue (T-family): two-phase sum -> sort desc ->
     limit k -> broadcast-join part names. Deterministic tie-break
     (revenue desc, p_partkey asc)."""
-    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"],
+               blocks=32)
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
@@ -165,7 +173,7 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
 def events_by_type(sf_dir: str):
     """events census: per event_type n_events, n_users (two-phase distinct:
     groupby pair first — no per-group nunique), sum_value."""
-    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"], blocks=16)
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("event_type", sort=False).agg(
@@ -201,7 +209,7 @@ def token_freq_topk(sf_dir: str, *, k: int = 20):
     before the tiny groupby — the canonical pre-aggregated wide shuffle."""
     import pyarrow.compute as pc
 
-    docs = _read(sf_dir, "documents", ["text"])
+    docs = _read(sf_dir, "documents", ["text"], blocks=8)
 
     def _partial(t: pa.Table) -> pa.Table:
         texts = t.column("text")
@@ -232,7 +240,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30):
 
     from ..util import bucket_map_keyed
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=16)
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def _sessions(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -271,7 +279,7 @@ def events_tumbling_1h(sf_dir: str):
 
     from ..util import bucket_aggregate
 
-    ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"], blocks=16)
 
     def _window(t: pa.Table) -> pa.Table:
         ts = t.column("ts").cast(pa.int64())  # microseconds since epoch
@@ -302,7 +310,7 @@ def embedding_label_stats(sf_dir: str):
 
     from ..util import bucket_aggregate
 
-    emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"], blocks=8)
 
     def _norms(t: pa.Table) -> pa.Table:
         X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)

@@ -313,10 +313,14 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
         batch_format="pyarrow",
         concurrency=(1, 4),
     ).write_parquet(checkpoint_dir)
-    sig_cols = rd.read_parquet(checkpoint_dir,
-                               columns=["doc_id", "sig", "n_shingles"])
-    shingle_cols = rd.read_parquet(checkpoint_dir,
-                                   columns=["doc_id", "shingles"])
+    # repartition: checkpoint files carry one row group each, so fan out
+    # for the downstream task-pool stages (shuffle-free split)
+    sig_cols = rd.read_parquet(
+        checkpoint_dir, columns=["doc_id", "sig", "n_shingles"]
+    ).repartition(16)
+    shingle_cols = rd.read_parquet(
+        checkpoint_dir, columns=["doc_id", "shingles"]
+    ).repartition(16)
     cands = minhash_candidate_pairs(sig_cols, bands=bands, num_perm=num_perm)
     return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
 
