@@ -24,11 +24,16 @@ def _embeddings(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, n: int = 8):
+    """The n query vectors, via predicate + column pushdown — only the
+    matching row groups/columns leave storage (never the whole table)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    df = t.to_pandas()
-    return df[df["vec_id"] < n][["vec_id", "embedding"]].reset_index(drop=True)
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
+    return t.to_pandas().reset_index(drop=True)
 
 
 # ---- query callables -------------------------------------------------------

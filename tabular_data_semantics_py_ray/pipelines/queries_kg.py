@@ -92,23 +92,21 @@ def cta_type_ancestors(sf_dir: str):
 
 def cpa_cooccur(sf_dir: str):
     """CPA analogue: co-occurring entity pairs per doc ->
-    (uri_a, uri_b, n_docs) with uri_a < uri_b."""
-    from itertools import combinations
-
+    (uri_a, uri_b, n_docs) with uri_a < uri_b. Pair expansion is one
+    vectorized self-merge per bucket (no per-doc Python loop)."""
     from ..util import bucket_distinct, bucket_map_keyed
 
     linked = _linked_flat(sf_dir)
     ents = bucket_distinct(linked, ["doc_id", "entity_uri"])
 
     def _pairs_bucket(bucket: pd.DataFrame) -> pd.DataFrame:
-        rows_a, rows_b = [], []
-        for _, group in bucket.groupby("doc_id", sort=False):
-            uris = sorted(group["entity_uri"].unique())
-            for a, b in combinations(uris, 2):
-                rows_a.append(a)
-                rows_b.append(b)
-        return pd.DataFrame({"uri_a": pd.Series(rows_a, dtype="string"),
-                             "uri_b": pd.Series(rows_b, dtype="string")})
+        b = bucket[["doc_id", "entity_uri"]]
+        m = b.merge(b, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["entity_uri_a"] < m["entity_uri_b"]]
+        return pd.DataFrame({
+            "uri_a": m["entity_uri_a"].astype("string"),
+            "uri_b": m["entity_uri_b"].astype("string"),
+        }).reset_index(drop=True)
 
     pairs = bucket_map_keyed(ents, ["doc_id"], _pairs_bucket)
     return rename_cols(partial_count(pairs, ["uri_a", "uri_b"]), {"n": "n_docs"})
