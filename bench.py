@@ -126,6 +126,28 @@ def run_default():
         if name == "kg_triples":
             triples_rows = n
     total = round(time.time() - total0, 3)
+
+    # flagship STREAM sink (the scale path measured by --scaling): timed
+    # read -> link -> vote -> emit -> durable sorted parquet at this sf
+    import shutil as _sh
+
+    import ray.data as _rd
+
+    from tabular_data_semantics_py_ray.pipelines.kg_pipeline import (
+        read_stream_result,
+        triples_stream_to_parquet,
+    )
+
+    sink = "/tmp/graft_bench_stream_sink"
+    _sh.rmtree(sink, ignore_errors=True)
+    docs = _rd.read_parquet(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    ).repartition(16)
+    t0 = time.time()
+    triples_stream_to_parquet(docs, sink, concurrency=max(2, (3 * NCPU) // 4))
+    stream_sec = round(time.time() - t0, 3)
+    stream_rows = read_stream_result(sink).count()
+
     out = {
         "metric": "headline_pipelines_total",
         "value": total,
@@ -134,6 +156,11 @@ def run_default():
         "sf": SF_DIR,
         "num_cpus": NCPU,
         "triples_per_sec": round(triples_rows / max(times["kg_triples"], 1e-9), 1),
+        "flagship_stream": {
+            "sec": stream_sec,
+            "triples": stream_rows,
+            "triples_per_sec": round(stream_rows / max(stream_sec, 1e-9), 1),
+        },
     }
     ray.shutdown()
     print(json.dumps(out))
