@@ -284,12 +284,15 @@ def class_sample(sf_dir: str, k: int = 3):
     sample replacing the reference's ORDER BY RAND() paging
     (kg/endpoints.py:413-425), reproducible on any cluster and in SQL ->
     (type_uri, entity_uri, sample_rank)."""
+    return _class_sample_from(_linked_flat(sf_dir), k)
+
+
+def _class_sample_from(linked, k: int = 3):
     import hashlib
 
     from ..util import bucket_distinct, bucket_map_keyed
 
     types = fixture_kg.entity_types_df()
-    linked = _linked_flat(sf_dir)
     ents = bucket_distinct(linked, ["entity_uri"], num_buckets=8)
 
     def _join_types(b: pd.DataFrame) -> pd.DataFrame:
@@ -323,10 +326,13 @@ def class_confirm(sf_dir: str, k: int = 3):
     import pyarrow as pa
 
     from ..stages.type_repair import typed_repair
-    from ..util import bucket_map_keyed
+    from ..util import bucket_map_keyed, select_cols
 
-    sample = class_sample(sf_dir, k=k)
-    repaired = typed_repair(_linked_flat(sf_dir))
+    # ONE linking scan feeds both the sampler and the repair cascade
+    # (mention-level, far smaller than the corpus — pinning it is fine)
+    linked = select_cols(_linked_flat(sf_dir), ["entity_uri"]).materialize()
+    sample = _class_sample_from(linked, k=k)
+    repaired = typed_repair(linked)
 
     def _tag(side):
         def _f(t: pa.Table) -> pa.Table:

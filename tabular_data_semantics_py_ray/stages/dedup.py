@@ -180,9 +180,15 @@ def _pairs_from_keyed(bucket: pd.DataFrame, key_cols: list[str],
     return pd.DataFrame(out)
 
 
-def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 128):
-    """signatures -> distinct candidate (doc_a < doc_b) pairs via band-bucket
-    shuffle (the shingle->minhash->band->bucket groupby)."""
+def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 128,
+                            distinct: bool = True):
+    """signatures -> candidate (doc_a < doc_b) pairs via band-bucket shuffle
+    (the shingle->minhash->band->bucket groupby).
+
+    ``distinct=False`` skips the dedup all-to-all: callers whose next stage
+    co-locates by doc_a anyway (``verify_pairs_exact``) dedupe for free
+    inside that shuffle — multi-band collisions of the same pair always
+    land in the same doc_a bucket."""
     band_rows = signatures_ds.select_columns(
         ["doc_id", "sig", "n_shingles"]
     ).map_batches(
@@ -192,6 +198,8 @@ def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 1
         band_rows, ["band", "key"],
         lambda b: _pairs_from_keyed(b, ["band", "key"]),
     )
+    if not distinct:
+        return pairs
     # distinct pairs (same pair can collide in many bands)
     return bucket_distinct(pairs, ["doc_a", "doc_b"])
 
@@ -243,6 +251,8 @@ def _attach_shingles(pairs_ds, signatures_ds, *, key_col: str, out_col: str,
     def _bf(g: pd.DataFrame) -> pd.DataFrame:
         s = g.loc[g["side"] == 1, ["k", "shingles"]].drop_duplicates("k")
         p = g[g["side"] == 0].drop(columns=["shingles"])
+        # free dedup: every copy of a (doc_a, doc_b) pair is co-located here
+        p = p.drop_duplicates(["doc_a", "doc_b"])
         out = p.merge(s, on="k", how="inner").drop(columns=["k", "side"])
         return out.rename(columns={"shingles": out_col})
 
@@ -321,7 +331,8 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
     shingle_cols = rd.read_parquet(
         checkpoint_dir, columns=["doc_id", "shingles"]
     ).repartition(16)
-    cands = minhash_candidate_pairs(sig_cols, bands=bands, num_perm=num_perm)
+    cands = minhash_candidate_pairs(sig_cols, bands=bands, num_perm=num_perm,
+                                    distinct=False)  # deduped inside verify
     return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
 
 
