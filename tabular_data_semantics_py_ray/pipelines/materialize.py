@@ -31,13 +31,23 @@ def run_partitioned(
     num_partitions: int = 4,
     max_partitions_this_run: int | None = None,
     salt_buckets: int = 0,
+    sink: str = "stream",
 ) -> list[int]:
     """Run the flagship pipeline partition-by-partition with resume.
 
     Returns the list of partitions completed by THIS run (committed ones are
     skipped). ``max_partitions_this_run`` exists for the kill-resume test —
     it simulates a run dying after N partitions.
+
+    ``sink="stream"`` (default) runs each partition through the
+    zero-all-to-all streaming sink (``triples_stream_to_parquet``) — the
+    scale path, with per-partition-distinct set semantics (doc-keyed
+    triples globally unique; entity-type triples may repeat across
+    partitions, see ``read_result``). ``sink="sorted"`` keeps the
+    globally-distinct+sorted per-partition materialize.
     """
+    from .kg_pipeline import read_documents, triples_stream_to_parquet
+
     os.makedirs(out_dir, exist_ok=True)
     done_now: list[int] = []
     for p in range(num_partitions):
@@ -45,13 +55,18 @@ def run_partitioned(
             continue
         if max_partitions_this_run is not None and len(done_now) >= max_partitions_this_run:
             break
-        triples = build_triples(
-            sf_dir, partition=(p, num_partitions), salt_buckets=salt_buckets
-        )
         pdir = mf.partition_dir(out_dir, p)
         tmp = pdir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)  # stale half-write from a kill
-        triples.write_parquet(tmp)
+        if sink == "stream":
+            triples_stream_to_parquet(
+                read_documents(sf_dir, partition=(p, num_partitions)), tmp
+            )
+        else:
+            triples = build_triples(
+                sf_dir, partition=(p, num_partitions), salt_buckets=salt_buckets
+            )
+            triples.write_parquet(tmp)
 
         # metrics from the written files (what's on disk is what's committed)
         import pyarrow.dataset as pads
@@ -80,7 +95,9 @@ def run_partitioned(
             lineage={
                 "input": os.path.join(sf_dir, "documents.parquet"),
                 "filter": f"doc_id % {num_partitions} == {p}",
-                "pipeline": "kg_pipeline.build_triples",
+                "pipeline": ("kg_pipeline.triples_stream_to_parquet"
+                             if sink == "stream" else
+                             "kg_pipeline.build_triples"),
             },
         )
         done_now.append(p)
@@ -100,10 +117,11 @@ def read_result(out_dir: str):
     files = []
     for p in mf.committed_partitions(out_dir):
         pdir = mf.partition_dir(out_dir, p)
-        files.extend(
-            os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
-            if f.endswith(".parquet")
-        )
+        for root, _dirs, names in sorted(os.walk(pdir)):
+            files.extend(
+                os.path.join(root, f) for f in sorted(names)
+                if f.endswith(".parquet")
+            )
     # explicit columns: dir names are hive-style (part=NNNNN) and pyarrow
     # would otherwise add an inferred 'part' partition column
     return rd.read_parquet(files, columns=["subj", "pred", "obj", "obj_is_literal"])
