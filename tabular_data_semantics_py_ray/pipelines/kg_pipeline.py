@@ -200,7 +200,8 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
                               concurrency=(1, 4),
                               link_batch_size: int | None = None,
                               etype_shuffle: bool = False,
-                              fast: bool = True) -> tuple[str, str]:
+                              fast: bool = True,
+                              pre_interleaved: bool = False) -> tuple[str, str]:
     """Flagship scale path: stream documents -> partitioned sorted parquet
     with ZERO all-to-alls over the doc-keyed triple stream.
 
@@ -245,12 +246,15 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
 
     if fast:
         # Arrow/numpy hot path (see stages/linking_fast.py) — same output,
-        # ~2x less memory traffic per doc than the pandas actor
+        # ~2x less memory traffic per doc than the pandas actor.
+        # ``pre_interleaved=True`` accepts the input_hint table directly
+        # (doc_id:string, spans) instead of deriving spans from raw docs.
         from ..stages.linking_fast import DocTriplesFast
 
         pairs = documents_ds.map_batches(
             DocTriplesFast,
-            fn_constructor_kwargs={"sink_dir": main_dir},
+            fn_constructor_kwargs={"sink_dir": main_dir,
+                                   "pre_interleaved": pre_interleaved},
             batch_format="pyarrow",
             batch_size=link_batch_size,
             concurrency=concurrency,

@@ -47,10 +47,14 @@ class DocTriplesFast:
     exactly-once-naming rationale); hot path is Arrow kernels + numpy only.
     """
 
-    def __init__(self, sink_dir=None, top_k: int = 3):
+    def __init__(self, sink_dir=None, top_k: int = 3,
+                 pre_interleaved: bool = False):
         if sink_dir is None:
             raise ValueError("DocTriplesFast requires sink_dir")
         self.sink_dir = sink_dir
+        # input batches are already the interleaved (doc_id:string, spans)
+        # table (the input_hint shape) — skip the span derivation
+        self.pre_interleaved = pre_interleaved
 
         res = _surface_resolution(fixture_kg.lexicon_df(), top_k)
         ent_uris = sorted(res["entity_uri"].unique())
@@ -99,10 +103,16 @@ class DocTriplesFast:
             "type_uri": pa.array([], type=pa.string()),
         })
         mm = pc.min_max(batch.column("doc_id"))
-        fname = (f"part-{mm['min'].as_py() or 0:012d}-"
-                 f"{mm['max'].as_py() or 0:012d}.parquet")
-
-        mentions = detect_mentions_batch(interleave_batch(batch))
+        lo, hi = mm["min"].as_py(), mm["max"].as_py()
+        if self.pre_interleaved:
+            # string doc ids ("doc-000123"): still unique and disjoint per
+            # batch, so (min, max) stays a content key
+            fname = f"part-{lo or 'x'}-{hi or 'x'}.parquet"
+            docs_tbl = batch
+        else:
+            fname = f"part-{lo or 0:012d}-{hi or 0:012d}.parquet"
+            docs_tbl = interleave_batch(batch)
+        mentions = detect_mentions_batch(docs_tbl)
         if mentions.num_rows == 0:
             return empty_pairs
 

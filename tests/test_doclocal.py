@@ -43,6 +43,20 @@ def test_stream_sink_equals_classic(sf_small, tmp_path, fast):
     pd.testing.assert_frame_equal(classic, streamed)
 
 
+def test_stream_sink_pre_interleaved_equals_raw(sf_small, tmp_path):
+    """Streaming from the ALREADY-interleaved (doc_id:string, spans) table —
+    the input_hint shape — emits the identical triple set as streaming from
+    raw documents (span derivation fused in)."""
+    from tabular_data_semantics_py_ray.pipelines.kg_pipeline import docs_dataset
+
+    out = str(tmp_path / "stream_interleaved")
+    triples_stream_to_parquet(docs_dataset(sf_small), out,
+                              pre_interleaved=True, link_batch_size=17)
+    streamed = _canon(read_stream_result(out).to_pandas())
+    classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
+    pd.testing.assert_frame_equal(classic, streamed)
+
+
 def test_stream_sink_files_sorted(sf_small, tmp_path):
     """Each sink file is internally sorted by (subj, pred, obj) — the
     per-partition sorted-materialize layout (T8)."""
