@@ -112,9 +112,12 @@ def run_default():
     from tabular_data_semantics_py_ray.api import queries as _queries
 
     qs = _queries()
-    # warm the page cache (untimed read)
+    # warm-up (untimed): page cache + worker-process spin-up + actor imports,
+    # so the first timed query doesn't pay cluster cold-start
     _consume(__import__("ray.data", fromlist=["data"]).read_parquet(
         os.path.join(SF_DIR, "documents.parquet")))
+    _consume(qs["events_by_type"](SF_DIR))
+    _consume(qs["kg_cea_link"](SF_DIR))
 
     times: dict[str, float] = {}
     triples_rows = 0

@@ -17,7 +17,7 @@ import pyarrow as pa
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):

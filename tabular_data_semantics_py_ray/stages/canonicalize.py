@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 
 import ray
-from ray.data.aggregate import Sum
+
 
 from ..constants import AGENT_CLASS, AVOID_TOP_CONCEPTS
 from ..util import bucket_aggregate, bucket_map_keyed
