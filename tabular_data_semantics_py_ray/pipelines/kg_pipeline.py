@@ -201,7 +201,8 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
                               link_batch_size: int | None = None,
                               etype_shuffle: bool = False,
                               fast: bool = True,
-                              pre_interleaved: bool = False) -> tuple[str, str]:
+                              pre_interleaved: bool = False,
+                              backend: str | None = None) -> tuple[str, str]:
     """Flagship scale path: stream documents -> partitioned sorted parquet
     with ZERO all-to-alls over the doc-keyed triple stream.
 
@@ -251,10 +252,18 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
         # (doc_id:string, spans) instead of deriving spans from raw docs.
         from ..stages.linking_fast import DocTriplesFast
 
+        ctor = {"sink_dir": main_dir, "pre_interleaved": pre_interleaved}
+        if backend is not None:
+            # named KG backend (state/backends.py): the actors pin ITS
+            # tables instead of the fixture's
+            from ..state.backends import get_backend
+
+            b = get_backend(backend)
+            ctor.update(lexicon=b.lexicon(), entity_types=b.entity_types(),
+                        alias_edges=b.alias_edges())
         pairs = documents_ds.map_batches(
             DocTriplesFast,
-            fn_constructor_kwargs={"sink_dir": main_dir,
-                                   "pre_interleaved": pre_interleaved},
+            fn_constructor_kwargs=ctor,
             batch_format="pyarrow",
             batch_size=link_batch_size,
             concurrency=concurrency,

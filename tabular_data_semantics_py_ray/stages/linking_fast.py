@@ -28,14 +28,30 @@ from ..schemas import TRIPLES_SCHEMA
 from .linking import LinkScore
 
 
-def _surface_resolution(lexicon: pd.DataFrame, top_k: int) -> pd.DataFrame:
+def _surface_resolution(lexicon: pd.DataFrame, top_k: int,
+                        alias_edges: pd.DataFrame | None = None,
+                        entity_types: pd.DataFrame | None = None) -> pd.DataFrame:
     """surface_form -> linked entity (lowest rank, canonical, non-disambig)
-    — the closed form of LinkScore over the lexicon (linking.py LinkScore)."""
-    scorer = LinkScore()
+    — the closed form of LinkScore over the lexicon (linking.py LinkScore).
+
+    ``alias_edges`` / ``entity_types`` default to the fixture backend;
+    passing frames makes the stage backend-pluggable (state/backends.py)."""
+    if alias_edges is None and entity_types is None:
+        scorer = LinkScore()
+        canonical, disambig = scorer.canonical, scorer.disambig
+    else:
+        alias = (alias_edges if alias_edges is not None
+                 else fixture_kg.alias_edges_df())
+        types = (entity_types if entity_types is not None
+                 else fixture_kg.entity_types_df())
+        red = alias[alias["kind"] == "redirect"]
+        one = dict(zip(red["uri_a"], red["uri_b"]))
+        canonical = {s: one.get(one.get(s, s), one.get(s, s)) for s in one}
+        disambig = set(types.loc[
+            types["type_uri"] == fixture_kg.DISAMBIGUATION_CLASS, "entity_uri"])
     lex = lexicon[lexicon["rank"] <= top_k].copy()
-    lex["entity_uri"] = lex["entity_uri"].map(
-        lambda u: scorer.canonical.get(u, u))
-    lex = lex[~lex["entity_uri"].isin(scorer.disambig)]
+    lex["entity_uri"] = lex["entity_uri"].map(lambda u: canonical.get(u, u))
+    lex = lex[~lex["entity_uri"].isin(disambig)]
     lex = lex.sort_values(["surface_form", "rank"], kind="mergesort")
     return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
 
@@ -48,15 +64,25 @@ class DocTriplesFast:
     """
 
     def __init__(self, sink_dir=None, top_k: int = 3,
-                 pre_interleaved: bool = False):
+                 pre_interleaved: bool = False,
+                 lexicon: pd.DataFrame | None = None,
+                 entity_types: pd.DataFrame | None = None,
+                 alias_edges: pd.DataFrame | None = None):
         if sink_dir is None:
             raise ValueError("DocTriplesFast requires sink_dir")
         self.sink_dir = sink_dir
         # input batches are already the interleaved (doc_id:string, spans)
         # table (the input_hint shape) — skip the span derivation
         self.pre_interleaved = pre_interleaved
+        lexicon = lexicon if lexicon is not None else fixture_kg.lexicon_df()
+        # mention detection is scoped to THIS lexicon's surfaces (minus
+        # stopwords), so a registered backend's vocabulary takes effect
+        from ..constants import STOPWORDS
 
-        res = _surface_resolution(fixture_kg.lexicon_df(), top_k)
+        self.surface_set = pa.array(sorted(
+            set(lexicon["surface_form"]) - set(STOPWORDS)))
+
+        res = _surface_resolution(lexicon, top_k, alias_edges, entity_types)
         ent_uris = sorted(res["entity_uri"].unique())
         ent_code = {e: i for i, e in enumerate(ent_uris)}
         self.n_ent = len(ent_uris)
@@ -65,7 +91,8 @@ class DocTriplesFast:
         self.form2ent = np.array(
             [ent_code[e] for e in res["entity_uri"]], dtype=np.int64)
 
-        types = fixture_kg.entity_types_df()
+        types = (entity_types if entity_types is not None
+                 else fixture_kg.entity_types_df())
         types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
         type_uris = sorted(types["type_uri"].unique())
         t_code = {t: i for i, t in enumerate(type_uris)}
@@ -112,7 +139,8 @@ class DocTriplesFast:
         else:
             fname = f"part-{lo or 0:012d}-{hi or 0:012d}.parquet"
             docs_tbl = interleave_batch(batch)
-        mentions = detect_mentions_batch(docs_tbl)
+        mentions = detect_mentions_batch(docs_tbl,
+                                         surface_forms=self.surface_set)
         if mentions.num_rows == 0:
             return empty_pairs
 

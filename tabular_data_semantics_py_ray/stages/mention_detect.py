@@ -24,8 +24,12 @@ from ..schemas import MENTIONS_SCHEMA
 _SURFACE_FORMS = sorted({s for s, _, _ in LEXICON} - set(STOPWORDS))
 
 
-def detect_mentions_batch(batch: pa.Table) -> pa.Table:
-    """docs(doc_id, spans) -> mentions(doc_id, span_idx, tok_idx, mention)."""
+def detect_mentions_batch(batch: pa.Table,
+                          surface_forms: pa.Array | None = None) -> pa.Table:
+    """docs(doc_id, spans) -> mentions(doc_id, span_idx, tok_idx, mention).
+
+    ``surface_forms`` overrides the fixture lexicon's surface set (backend
+    pluggability, state/backends.py)."""
     spans = batch.column("spans")
     if isinstance(spans, pa.ChunkedArray):
         spans = spans.combine_chunks()
@@ -58,7 +62,8 @@ def detect_mentions_batch(batch: pa.Table) -> pa.Table:
         - tok_offsets[tok_parent_np]
     )
 
-    keep = pc.is_in(flat_toks, value_set=pa.array(_SURFACE_FORMS))
+    vs = surface_forms if surface_forms is not None else pa.array(_SURFACE_FORMS)
+    keep = pc.is_in(flat_toks, value_set=vs)
     keep_np = keep.to_numpy(zero_copy_only=False)
     sel = np.nonzero(keep_np)[0]
 

@@ -57,6 +57,43 @@ def test_stream_sink_pre_interleaved_equals_raw(sf_small, tmp_path):
     pd.testing.assert_frame_equal(classic, streamed)
 
 
+def test_stream_sink_large_backend_lexicon(sf_small, tmp_path):
+    """Backend pluggability + |KG| scaling: a registered backend whose
+    lexicon carries 100k extra (non-occurring) surface forms produces the
+    IDENTICAL triple set — the index_in/gather link path is lexicon-size
+    independent in output and stays vectorized in cost."""
+    import pandas as pd_
+
+    from tabular_data_semantics_py_ray import fixture_kg
+    from tabular_data_semantics_py_ray.state.backends import (
+        KGBackend,
+        register_backend,
+    )
+
+    base = fixture_kg.lexicon_df()
+    noise = pd_.DataFrame({
+        "surface_form": [f"zzznoise{i:06d}" for i in range(100_000)],
+        "entity_uri": [f"http://example.org/resource/Noise{i:06d}"
+                       for i in range(100_000)],
+        "rank": 1,
+    }).astype({"rank": "int32"})
+    big_lex = pd_.concat([base, noise], ignore_index=True)
+    register_backend(KGBackend(
+        name="bigtest",
+        lexicon=lambda: big_lex,
+        entity_types=fixture_kg.entity_types_df,
+        alias_edges=fixture_kg.alias_edges_df,
+        class_closure=fixture_kg.class_closure_df,
+    ))
+
+    out = str(tmp_path / "stream_big_backend")
+    triples_stream_to_parquet(read_documents(sf_small), out,
+                              backend="bigtest", link_batch_size=97)
+    streamed = _canon(read_stream_result(out).to_pandas())
+    classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
+    pd.testing.assert_frame_equal(classic, streamed)
+
+
 def test_stream_sink_files_sorted(sf_small, tmp_path):
     """Each sink file is internally sorted by (subj, pred, obj) — the
     per-partition sorted-materialize layout (T8)."""
