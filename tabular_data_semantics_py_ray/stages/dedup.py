@@ -272,17 +272,36 @@ def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
                           num_buckets=num_buckets)
 
     def _jaccard(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        for r in batch.itertuples(index=False):
-            sa = np.frombuffer(r.sh_a, dtype=np.uint64)
-            sb = np.frombuffer(r.sh_b, dtype=np.uint64)
-            inter = len(np.intersect1d(sa, sb))
-            union = len(sa) + len(sb) - inter
-            rows.append(float(inter) / union if union else 0.0)
+        n = len(batch)
+        if n == 0:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        # vectorized pairwise set intersection: explode both shingle-hash
+        # sets to (pair_idx, hash) rows, count (pair, hash) collisions with
+        # ONE sort over the concatenated arrays — no per-pair Python
+        la = np.fromiter((len(b) // 8 for b in batch["sh_a"]),
+                         dtype=np.int64, count=n)
+        lb = np.fromiter((len(b) // 8 for b in batch["sh_b"]),
+                         dtype=np.int64, count=n)
+        flat_a = np.frombuffer(b"".join(batch["sh_a"]), dtype=np.uint64)
+        flat_b = np.frombuffer(b"".join(batch["sh_b"]), dtype=np.uint64)
+        ids = np.concatenate([
+            np.repeat(np.arange(n, dtype=np.int64), la),
+            np.repeat(np.arange(n, dtype=np.int64), lb),
+        ])
+        hashes = np.concatenate([flat_a, flat_b])
+        order = np.lexsort((hashes, ids))
+        sid, sh = ids[order], hashes[order]
+        # within-set hashes are distinct, so a duplicate (id, hash) adjacent
+        # pair means the hash is in BOTH sets
+        dup = (sid[1:] == sid[:-1]) & (sh[1:] == sh[:-1])
+        inter = np.bincount(sid[1:][dup], minlength=n).astype(np.float64)
+        union = (la + lb).astype(np.float64) - inter
+        j = np.divide(inter, union, out=np.zeros(n), where=union > 0)
         out = batch[["doc_a", "doc_b"]].copy()
         # threshold on the UNROUNDED jaccard (matching the oracle's WHERE
         # jaccard >= t before round()), round only for output
-        j = np.asarray(rows, dtype=np.float64)
         out["jaccard"] = np.round(j, 6)
         return out[j >= threshold].reset_index(drop=True)
 
