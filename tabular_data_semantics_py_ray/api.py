@@ -261,6 +261,12 @@ def q_media_manifest(sf_dir: str):
     return media_manifest(sf_dir)
 
 
+def q_media_features(sf_dir: str):
+    from .pipelines.queries_kg import media_features
+
+    return media_features(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_cea_link": q_kg_cea_link,
@@ -285,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_label_vote": q_ann_label_vote,
         "media_manifest": q_media_manifest,
+        "media_features": q_media_features,
         "kg_typed_repair": q_kg_typed_repair,
         "kg_strategy_census": q_kg_strategy_census,
         "kg_projection": q_kg_projection,

@@ -603,8 +603,8 @@ SELECT cast(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
 FROM embeddings GROUP BY 1"""
 
-    o["media_manifest"] = """
-WITH d AS (
+    _MEDIA_CTES = """
+d AS (
   SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
 ),
 c AS (
@@ -614,11 +614,27 @@ c AS (
     FROM d
   ) t
   WHERE (doc_id + chunk_idx) % 4 = 0
-)
-SELECT doc_id, chunk_idx,
-       CASE WHEN chunk_idx % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
-       'media://' || cast(doc_id AS VARCHAR) || '/' || cast(chunk_idx AS VARCHAR)
-         AS media_ref
-FROM c"""
+),
+manifest AS (
+  SELECT doc_id, chunk_idx,
+         CASE WHEN chunk_idx % 2 = 0 THEN 'image' ELSE 'audio' END AS media_kind,
+         'media://' || cast(doc_id AS VARCHAR) || '/' || cast(chunk_idx AS VARCHAR)
+           AS media_ref
+  FROM c
+)"""
+
+    o["media_manifest"] = f"""WITH {_MEDIA_CTES}
+SELECT doc_id, chunk_idx, media_kind, media_ref FROM manifest"""
+
+    # md5-derived fake features (stages/multimodal.py MediaFeaturizer):
+    # byte i of md5('<kind>:<ref>') -> value round(byte/255, 6)
+    o["media_features"] = f"""WITH {_MEDIA_CTES}
+SELECT m.doc_id, m.chunk_idx, m.media_kind,
+       cast(b.dim AS BIGINT) AS dim,
+       round((('0x' || substr(md5(m.media_kind || ':' || m.media_ref),
+                              cast(b.dim * 2 + 1 AS INT), 2))::INT) / 255.0,
+             6) AS value
+FROM manifest m
+CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) b"""
 
     return o

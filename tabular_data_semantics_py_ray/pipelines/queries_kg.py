@@ -155,6 +155,57 @@ def media_manifest(sf_dir: str):
     return docs.map_batches(_extract, batch_format="pyarrow")
 
 
+def media_features(sf_dir: str):
+    """Multimodal decode/featurize plumbing, oracle-checked end-to-end:
+    media spans -> actor-pool featurizer (md5-derived deterministic fake,
+    stages/multimodal.py) -> exploded (doc_id, chunk_idx, media_kind, dim,
+    value) rows. ``value`` is re-derived in float64 from the recovered md5
+    byte so engine and DuckDB compute the identical double."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.interleave import interleave
+    from ..stages.multimodal import FEATURE_DIM, featurize_media
+
+    docs = interleave(read_documents(sf_dir).repartition(8))
+    feats = featurize_media(docs)
+
+    def _explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        refs = t.column("media_ref")
+        if isinstance(refs, pa.ChunkedArray):
+            refs = refs.combine_chunks()
+        parts = pc.split_pattern(
+            pc.replace_substring(refs, "media://", ""), "/")
+        doc_num = pc.list_element(parts, 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        chunk = pc.list_element(parts, 1).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        kinds = t.column("kind").to_pylist()
+        flat = pc.list_flatten(
+            t.column("feature").combine_chunks()
+            if isinstance(t.column("feature"), pa.ChunkedArray)
+            else t.column("feature"))
+        f32 = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+        byte = np.rint(f32 * 255.0).astype(np.int64)  # exact byte recovery
+        value = np.round(byte / 255.0, 6)
+        dim = np.tile(np.arange(FEATURE_DIM, dtype=np.int64), n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(doc_num, FEATURE_DIM)),
+                pa.array(np.repeat(chunk, FEATURE_DIM)),
+                pa.array(np.repeat(np.asarray(kinds, dtype=object),
+                                   FEATURE_DIM).tolist(), type=pa.string()),
+                pa.array(dim),
+                pa.array(value),
+            ],
+            names=["doc_id", "chunk_idx", "media_kind", "dim", "value"],
+        )
+
+    return feats.map_batches(_explode, batch_format="pyarrow")
+
+
 def pred_census(sf_dir: str):
     """G5 predicate census over the flagship triples:
     (pred, n_triples, n_subj, n_obj) with exact distinct counts."""

@@ -66,11 +66,13 @@ class MediaFeaturizer:
         # real path would do: self.model = load_image_encoder(...); etc.
 
     def _fake_feature(self, media_ref: str, kind: str) -> np.ndarray:
-        # deterministic fake: blake2b(media_ref) bytes -> [0,1) floats
-        digest = hashlib.blake2b(
-            f"{kind}:{media_ref}".encode(), digest_size=self.feature_dim
-        ).digest()
-        return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+        # deterministic fake: md5(kind:ref) bytes -> [0,1] floats. md5 (16
+        # bytes == FEATURE_DIM) is chosen so a DuckDB oracle can derive the
+        # identical values from hex substrings — the whole multimodal
+        # plumbing becomes oracle-checkable (see oracles.media_features)
+        digest = hashlib.md5(f"{kind}:{media_ref}".encode()).digest()
+        return (np.frombuffer(digest, dtype=np.uint8)[: self.feature_dim]
+                .astype(np.float32) / 255.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_decode:
