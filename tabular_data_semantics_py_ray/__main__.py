@@ -30,6 +30,17 @@ def main(argv=None) -> int:
     val = sub.add_parser("validate", help="P/R gate vs sequential oracle")
     val.add_argument("--sf-dir", required=True)
 
+    st = sub.add_parser(
+        "stream",
+        help="zero-shuffle streaming flagship over an interleaved corpus "
+        "(Lance dataset or parquet; the north-rule input shape)",
+    )
+    st.add_argument("--corpus", required=True,
+                    help="path to the interleaved docs table "
+                    "(doc_id:string, spans:list<struct>) — *.lance or parquet")
+    st.add_argument("--out", required=True)
+    st.add_argument("--actors", type=int, default=4)
+
     args = ap.parse_args(argv)
 
     import ray
@@ -66,6 +77,24 @@ def main(argv=None) -> int:
                 "committed": committed,
                 "rows": total,
                 "out": args.out,
+            }))
+        elif args.cmd == "stream":
+            from .pipelines.kg_pipeline import (
+                read_stream_result,
+                triples_stream_to_parquet,
+            )
+            from .sources.lance_io import read_interleaved_checked
+
+            docs = read_interleaved_checked(args.corpus)
+            main_dir, etype_dir = triples_stream_to_parquet(
+                docs, args.out,
+                concurrency=args.actors,
+                pre_interleaved=True,
+            )
+            print(json.dumps({
+                "doc_triples": main_dir,
+                "entity_type_triples": etype_dir,
+                "rows": read_stream_result(args.out).count(),
             }))
         elif args.cmd == "validate":
             from .pipelines.validate import validate_flagship
