@@ -88,6 +88,35 @@ def normalize_mentions_batch(texts: pa.Array | pa.ChunkedArray,
     })
 
 
+def valid_uris_batch(uris: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """M11 vectorized: boolean mask of :func:`is_valid_uri` over a batch.
+
+    Arrow regex kernels handle the all-ascii fast path; rows containing
+    non-ascii bytes fall back to the scalar accent-strip check (they may
+    still be valid if their accents decompose to ascii).
+    """
+    if isinstance(uris, pa.ChunkedArray):
+        uris = uris.combine_chunks()
+    filled = pc.fill_null(uris, "")
+    ok = pc.and_(
+        pc.and_(
+            pc.is_valid(uris),
+            pc.match_substring(filled, "://"),
+        ),
+        pc.invert(pc.match_substring_regex(filled, '[ <>"{}|\\\\^`\n\r\t]')),
+    )
+    is_ascii = pc.match_substring_regex(filled, r"^[\x00-\x7F]*$")
+    need_scalar = pc.and_(ok, pc.invert(is_ascii))
+    if not pc.any(need_scalar).as_py():
+        return pc.and_(ok, is_ascii)
+    mask = pc.and_(ok, is_ascii).to_numpy(zero_copy_only=False).copy()
+    idx = np.flatnonzero(need_scalar.to_numpy(zero_copy_only=False))
+    vals = filled.take(pa.array(idx)).to_pylist()
+    for i, v in zip(idx, vals):
+        mask[i] = strip_accents(v).isascii()
+    return pa.array(mask)
+
+
 def entity_names_batch(uris: pa.Array | pa.ChunkedArray) -> pa.Array:
     """M2 vectorized: last '#' / '/' segment via Arrow string kernels."""
     if isinstance(uris, pa.ChunkedArray):

@@ -77,7 +77,8 @@ def test_ntriples_sink(sf_small, tmp_path):
     from tabular_data_semantics_py_ray.pipelines.tabular2rdf import nation_to_rdf
 
     out = os.path.join(tmp_path, "nt")
-    write_ntriples(nation_to_rdf(sf_small), out)
+    stats = write_ntriples(nation_to_rdf(sf_small), out)
+    assert stats["rows"] == 100 and stats["dropped_invalid_uri"] == 0
     lines = []
     for f in sorted(os.listdir(out)):
         with open(os.path.join(out, f)) as fh:
@@ -88,3 +89,27 @@ def test_ntriples_sink(sf_small, tmp_path):
     assert uri_lines and all(l.split(" ")[2].startswith("<") for l in uri_lines)
     lit_lines = [l for l in lines if "nation-col-1" in l]
     assert lit_lines and all('"' in l for l in lit_lines)
+
+
+def test_ntriples_sink_drops_invalid_uris(tmp_path):
+    import ray
+
+    triples = ray.data.from_items([
+        {"subj": "http://ex.org/s1", "pred": "http://ex.org/p",
+         "obj": "http://ex.org/o", "obj_is_literal": False},
+        {"subj": "http://ex.org/bad subj", "pred": "http://ex.org/p",
+         "obj": "x", "obj_is_literal": True},
+        {"subj": "http://ex.org/s2", "pred": "http://ex.org/p",
+         "obj": "not-a-uri", "obj_is_literal": False},  # URI obj: invalid
+        {"subj": "http://ex.org/s3", "pred": "http://ex.org/p",
+         "obj": "not-a-uri", "obj_is_literal": True},   # literal obj: fine
+    ])
+    out = os.path.join(tmp_path, "nt_invalid")
+    stats = write_ntriples(triples, out)
+    assert stats["rows"] == 2 and stats["dropped_invalid_uri"] == 2
+    lines = []
+    for f in sorted(os.listdir(out)):
+        with open(os.path.join(out, f)) as fh:
+            lines.extend(fh.read().splitlines())
+    assert len(lines) == 2
+    assert not any("bad subj" in l or "not-a-uri>" in l for l in lines)

@@ -81,6 +81,30 @@ def test_accent_strip_and_uri_validation():
     assert not is_valid_uri('http://ex.org/"quoted"')
 
 
+def test_valid_uris_batch_matches_scalar():
+    from tabular_data_semantics_py_ray.functions.text import valid_uris_batch
+
+    uris = [
+        "http://ex.org/resource/Caf%C3%A9",
+        "http://ex.org/resource/Café",      # non-ascii, valid after NFD strip
+        "http://ex.org/资源",                # non-ascii, invalid after strip
+        "http://ex.org/bad uri",
+        "not-a-uri",
+        'http://ex.org/"quoted"',
+        "http://ex.org/back\\slash",
+        "",
+        None,
+        "http://ex.org/ok",
+    ]
+    out = valid_uris_batch(pa.array(uris, type=pa.string())).to_pylist()
+    expected = [is_valid_uri(u) if u is not None else False for u in uris]
+    assert out == expected
+    # all-ascii fast path (no scalar fallback rows)
+    ascii_only = ["http://ex.org/a", "bad uri", "http://ex.org/b"]
+    out2 = valid_uris_batch(pa.array(ascii_only)).to_pylist()
+    assert out2 == [True, False, True]
+
+
 def test_quote_escape():
     assert escape_quotes_uri('http://ex.org/r/He_said_"hi"') == (
         "http://ex.org/r/He_said_%22hi%22"
