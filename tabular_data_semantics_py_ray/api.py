@@ -162,6 +162,28 @@ def q_ann_topk(sf_dir: str):
     )
 
 
+def q_ann_topk_ivf_full(sf_dir: str):
+    """IVF probing run at nprobe == n_clusters: exhaustive probe, so the
+    output is EXACT and oracle-comparable against the brute-force SQL —
+    the correctness gate for the whole IVF machinery (centroid fit, cell
+    assignment, probe masking, partial-top-k reduce). Partial-probe recall
+    is pytest-covered (`test_similarity.py`)."""
+    from .stages.similarity import ann_topk_ivf
+
+    out = ann_topk_ivf(_embeddings(sf_dir), _query_vectors(sf_dir), k=10,
+                       n_clusters=16, nprobe=16)
+    return out.map_batches(
+        lambda b: b.rename(columns={"rank": "knn_rank"}), batch_format="pandas"
+    )
+
+
+def q_emb_near_pairs(sf_dir: str):
+    """Exact embedding-cosine pair join (block-partitioned all-pairs)."""
+    from .stages.dedup import near_dup_pairs_exact_embedding
+
+    return near_dup_pairs_exact_embedding(_embeddings(sf_dir), threshold=0.4)
+
+
 def q_ann_label_vote(sf_dir: str):
     from .stages.similarity import ann_label_vote
 
@@ -289,7 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
+        "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ann_label_vote": q_ann_label_vote,
+        "emb_near_pairs": q_emb_near_pairs,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
         "kg_typed_repair": q_kg_typed_repair,

@@ -528,6 +528,21 @@ r AS (
     o["ann_topk"] = f"""WITH {_ANN_CTES}
 SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 10"""
 
+    # IVF at nprobe == n_clusters probes every cell -> identical to the
+    # exhaustive search, so it shares the brute-force oracle
+    o["ann_topk_ivf_full"] = o["ann_topk"]
+
+    # exact block-partitioned cosine pair join; ::DOUBLE[] so DuckDB
+    # computes in float64 like the engine (float32 compute diverges at
+    # ~1.6e-7, enough to flip the 6-decimal rounding)
+    o["emb_near_pairs"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.4"""
+
     o["ann_label_vote"] = f"""WITH {_ANN_CTES},
 lab AS (
   SELECT r.query_id, e.label FROM r

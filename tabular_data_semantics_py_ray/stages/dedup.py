@@ -436,7 +436,101 @@ def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
 
 
 # ----------------------------------------------------------------------
-# Embedding-cosine near-dup.
+# Embedding-cosine near-dup — exact block-partitioned similarity join.
+# ----------------------------------------------------------------------
+def near_dup_pairs_exact_embedding(embeddings_ds, *, threshold: float = 0.4,
+                                   block_rows: int = 4096,
+                                   checkpoint_dir: str | None = None):
+    """embeddings -> (vec_a, vec_b, cosine) for EXACT cosine >= threshold.
+
+    Block-partitioned all-pairs: normalized vectors are checkpointed to
+    parquet in ~``block_rows``-row files, then each of the B(B+1)/2 file
+    pairs is scored by one task that streams just its two blocks from
+    storage — memory per task is 2 x ``block_rows`` vectors, never the
+    corpus, and the driver holds only file paths. Work is inherently
+    O(n^2 / block_rows) block reads: this is the exact-baseline operator
+    (the verification counterpart of ``near_dup_pairs_embedding``'s
+    hyperplane LSH, like brute-force top-k is for IVF); at 100 TB run it
+    on a bounded subset or use the LSH path.
+    """
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="embpairs_", dir="/tmp")
+    else:
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id").cast(pa.int64()),
+             pa.array(list(Xn), type=pa.list_(pa.float64()))],
+            names=["vec_id", "nvec"],
+        )
+
+    embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _norm, batch_format="pyarrow"
+    ).write_parquet(checkpoint_dir, min_rows_per_file=block_rows,
+                    max_rows_per_file=block_rows)
+
+    files = sorted(_glob.glob(f"{checkpoint_dir}/*.parquet"))
+    items = [{"fa": files[i], "fb": files[j]}
+             for i in range(len(files)) for j in range(i, len(files))]
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        outs_a, outs_b, outs_c = [], [], []
+        for fa, fb in zip(batch.column("fa").to_pylist(),
+                          batch.column("fb").to_pylist()):
+            ta = pq.read_table(fa, columns=["vec_id", "nvec"])
+            ids_a = ta.column("vec_id").to_numpy()
+            A = np.stack(ta.column("nvec").to_pylist())
+            if fa == fb:
+                ids_b, B = ids_a, A
+            else:
+                tb = pq.read_table(fb, columns=["vec_id", "nvec"])
+                ids_b = tb.column("vec_id").to_numpy()
+                B = np.stack(tb.column("nvec").to_pylist())
+            S = A @ B.T
+            if fa == fb:
+                ia, ib = np.triu_indices(len(ids_a), k=1)
+            else:
+                ia, ib = np.indices(S.shape).reshape(2, -1)
+            keep = S[ia, ib] >= threshold  # unrounded threshold
+            if not keep.any():
+                continue
+            va, vb = ids_a[ia[keep]], ids_b[ib[keep]]
+            lo, hi = np.minimum(va, vb), np.maximum(va, vb)
+            outs_a.append(lo)
+            outs_b.append(hi)
+            outs_c.append(np.round(S[ia, ib][keep], 6))
+        if not outs_a:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["vec_a", "vec_b", "cosine"],
+            )
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate(outs_a)), pa.array(np.concatenate(outs_b)),
+             pa.array(np.concatenate(outs_c))],
+            names=["vec_a", "vec_b", "cosine"],
+        )
+
+    return (
+        rd.from_items(items)
+        .repartition(len(items))  # one block-pair per task
+        .map_batches(_score, batch_format="pyarrow")
+    )
+
+
+# ----------------------------------------------------------------------
+# Embedding-cosine near-dup — hyperplane-LSH scale path.
 # ----------------------------------------------------------------------
 def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
                              bands: int = 8, seed: int = 7):

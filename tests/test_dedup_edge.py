@@ -41,3 +41,53 @@ def test_simhash_derived_segments_k7(ray_session):
     ds = _docs([(1, "a b c d"), (2, "a b c d"), (3, "zz yy xx ww vv uu")])
     out = near_dup_pairs_simhash(ds, max_hamming=7).to_pandas()
     assert (1, 2) in set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+
+
+def test_exact_embedding_pairs_multi_block(ray_session, tmp_path):
+    """Force the cross-file block pairs: 300 vectors at block_rows=64 give
+    5 files and 15 block-pair tasks; the result must equal a single
+    driver-side numpy all-pairs computation (exact operator, so equality,
+    not recall)."""
+    import numpy as np
+
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        near_dup_pairs_exact_embedding,
+    )
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 16))
+    # plant near-dups straddling block boundaries (ids 10 & 250, 70 & 130)
+    X[250] = X[10] + rng.normal(scale=1e-3, size=16)
+    X[130] = X[70] + rng.normal(scale=1e-3, size=16)
+    df = pd.DataFrame(
+        {"vec_id": np.arange(300), "embedding": [r.tolist() for r in X]}
+    )
+    out = (
+        near_dup_pairs_exact_embedding(
+            rd.from_pandas(df), threshold=0.6, block_rows=64,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        .to_pandas()
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    ia, ib = np.triu_indices(300, k=1)
+    keep = S[ia, ib] >= 0.6
+    exp = pd.DataFrame(
+        {
+            "vec_a": ia[keep],
+            "vec_b": ib[keep],
+            "cosine": np.round(S[ia, ib][keep], 6),
+        }
+    ).sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    assert {(10, 250), (70, 130)} <= set(
+        zip(out["vec_a"], out["vec_b"])
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"vec_a": "int64", "vec_b": "int64"}), exp.astype(
+            {"vec_a": "int64", "vec_b": "int64"})
+    )
