@@ -44,6 +44,12 @@ def q_kg_cea_link(sf_dir: str):
     return cea_link(sf_dir)
 
 
+def q_kg_cell_norm_link(sf_dir: str):
+    from .pipelines.queries_kg import cell_norm_link
+
+    return cell_norm_link(sf_dir)
+
+
 def q_kg_cta_doc_type(sf_dir: str):
     from .pipelines.queries_kg import cta_doc_type
 
@@ -292,6 +298,7 @@ def q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_cea_link": q_kg_cea_link,
+        "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,
         "kg_cta_ancestors": q_kg_cta_ancestors,
         "kg_cpa_cooccur": q_kg_cpa_cooccur,

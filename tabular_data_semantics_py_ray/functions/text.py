@@ -45,6 +45,20 @@ def filter_by_prefix(uris: list[str], prefixes: tuple[str, ...]) -> list[str]:
     return [u for u in uris if u.startswith(prefixes)]
 
 
+def prefix_mask_batch(uris: pa.Array | pa.ChunkedArray,
+                      prefixes: tuple[str, ...]) -> pa.Array:
+    """M3/M4/M5 vectorized: boolean whitelist mask — URI starts with one of
+    the selected KG prefixes (util/utilities.py:18-41; the result-URI
+    whitelist of kg/lookup.py:422-435)."""
+    if isinstance(uris, pa.ChunkedArray):
+        uris = uris.combine_chunks()
+    filled = pc.fill_null(uris, "")
+    mask = pa.array(np.zeros(len(filled), dtype=bool))
+    for p in prefixes:
+        mask = pc.or_(mask, pc.starts_with(filled, p))
+    return pc.and_(mask, pc.is_valid(uris))
+
+
 def strip_accents(text: str) -> str:
     """M11 (oaei/dbpedia_fragment.py:72-78): NFD-decompose and drop
     combining marks."""

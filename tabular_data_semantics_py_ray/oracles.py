@@ -100,6 +100,54 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
 FROM linked GROUP BY 1, 2, 3"""
 
+    # M1 bracket normalization + M3/M4/M5 KG-prefix whitelist: cells are
+    # 'tok0 (tok1)'; main text and bracket content become separate items;
+    # candidates = lexicon UNION kg2-aliased candidates at rank 0 (which
+    # would win without the whitelist) filtered to the primary namespace
+    o["kg_cell_norm_link"] = f"""WITH {_kg_ctes()},
+kg2_sameas(entity_uri, kg2_uri) AS (VALUES
+    {kg2_sameas_values_sql()}),
+cells AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN string_split(text, ' ')[1] || ' (' ||
+                   string_split(text, ' ')[2] || ')'
+              ELSE text END AS cell
+  FROM documents),
+items AS (
+  SELECT doc_id, item FROM (
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(cell, '\\(([^)]*)\\)', '', 'g'),
+                               '\\s{{2,}}', ' ', 'g')) AS item FROM cells
+    UNION ALL
+    SELECT doc_id, trim(u.b) AS item
+    FROM cells, unnest(regexp_extract_all(cell, '\\(([^)]*)\\)', 1)) AS u(b)
+  ) WHERE length(item) >= 3),
+cand AS (
+  SELECT surface_form, entity_uri, rank FROM lex
+  UNION ALL
+  SELECT l.surface_form, s.kg2_uri, 0
+  FROM lex l JOIN kg2_sameas s ON l.entity_uri = s.entity_uri),
+wl AS (SELECT * FROM cand WHERE starts_with(entity_uri, '{ENT}')),
+res2 AS (
+  SELECT w.surface_form, w.rank,
+         coalesce(r2.dst, r1.dst, w.entity_uri) AS entity_uri
+  FROM wl w
+  LEFT JOIN redirect r1 ON w.entity_uri = r1.src
+  LEFT JOIN redirect r2 ON r1.dst = r2.src
+  WHERE w.rank <= 3),
+best2 AS (
+  SELECT surface_form, entity_uri FROM (
+    SELECT surface_form, entity_uri,
+           row_number() OVER (PARTITION BY surface_form ORDER BY rank) AS rn
+    FROM res2
+    WHERE entity_uri NOT IN (
+      SELECT entity_uri FROM etypes WHERE type_uri = '{DISAMBIGUATION_CLASS}')
+  ) WHERE rn = 1)
+SELECT i.doc_id, i.item, b.entity_uri, count(*) AS n_items
+FROM items i JOIN best2 b ON i.item = b.surface_form
+GROUP BY 1, 2, 3"""
+
     o["kg_cta_doc_type"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
 SELECT doc_id, type_uri FROM win WHERE rn = 1"""
 

@@ -454,3 +454,80 @@ def doc_most_specific_types(sf_dir: str):
         return pd.concat(outs, ignore_index=True)
 
     return bucket_map_keyed(dtypes, ["doc_id"], _reduce)
+
+
+# --------------------------------------------------------------------------
+# Cell normalization + KG-prefix whitelist link (M1 + M3/M4/M5 wired).
+# --------------------------------------------------------------------------
+@lru_cache(maxsize=1)
+def _cell_norm_resolution() -> pd.DataFrame:
+    """surface_form -> entity for the whitelist-filtered candidate union.
+
+    Candidates are the primary lexicon UNIONed with KG2-aliased candidates
+    at rank 0 (they would out-rank every primary candidate), so the
+    KG-prefix whitelist (M3/M4, util/utilities.py:18-41; M5 result-URI
+    whitelist, kg/lookup.py:422-435) is load-bearing: without it 'fast' and
+    'slow' would resolve into the kg2 namespace. After the whitelist, the
+    standard top-k / redirect / disambiguation / lowest-rank resolution.
+    """
+    import pyarrow as pa
+
+    from ..constants import ENT
+    from ..functions.text import prefix_mask_batch
+
+    scorer = LinkScore()
+    lex = fixture_kg.lexicon_df()
+    kg2 = fixture_kg.kg2_sameas_df()
+    kg2lex = lex.merge(kg2, on="entity_uri")[["surface_form", "kg2_uri"]]
+    kg2lex = kg2lex.rename(columns={"kg2_uri": "entity_uri"})
+    kg2lex["rank"] = 0
+    cand = pd.concat([lex, kg2lex], ignore_index=True)
+    mask = prefix_mask_batch(pa.array(cand["entity_uri"]), (ENT,))
+    cand = cand[mask.to_numpy(zero_copy_only=False)]
+    cand = cand[cand["rank"] <= 3].copy()  # T1 top-k
+    cand["entity_uri"] = cand["entity_uri"].map(
+        lambda u: scorer.canonical.get(u, u))
+    cand = cand[~cand["entity_uri"].isin(scorer.disambig)]
+    cand = cand.sort_values(["surface_form", "rank"], kind="mergesort")
+    return cand.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
+
+
+def _cells_items_batch(b: pd.DataFrame) -> pd.DataFrame:
+    """documents batch -> (doc_id, item) lookup items.
+
+    Builds a bracketed cell per doc — ``tok0 (tok1)`` when the doc has >= 2
+    tokens, else the raw text — then runs the M1 bracket-normalization
+    kernel (kg/dbpedia.py:19-31,59-70): the stripped main text AND each
+    bracket content become separate lookup items, min length 3.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions.text import normalize_mentions_batch
+
+    toks = b["text"].str.split(" ")
+    t0, t1 = toks.str[0], toks.str[1]
+    cell = np.where(t1.notna(), t0 + " (" + t1 + ")", b["text"])
+    items = normalize_mentions_batch(pa.array(cell, type=pa.string()))
+    par = items.column("parent_idx").to_numpy()
+    return pd.DataFrame({
+        "doc_id": b["doc_id"].to_numpy()[par],
+        "item": items.column("item").to_pylist(),
+    })
+
+
+def _link_items_batch(b: pd.DataFrame) -> pd.DataFrame:
+    return b.merge(
+        _cell_norm_resolution(), left_on="item", right_on="surface_form"
+    ).drop(columns=["surface_form"])
+
+
+def cell_norm_link(sf_dir: str):
+    """M1+M3/M4/M5 end-to-end: (doc_id, item, entity_uri, n_items)."""
+    docs = read_documents(sf_dir).repartition(16)
+    items = docs.map_batches(_cells_items_batch, batch_format="pandas")
+    linked = items.map_batches(_link_items_batch, batch_format="pandas")
+    return rename_cols(
+        partial_count(linked, ["doc_id", "item", "entity_uri"]),
+        {"n": "n_items"},
+    )

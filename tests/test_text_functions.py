@@ -109,3 +109,43 @@ def test_quote_escape():
     assert escape_quotes_uri('http://ex.org/r/He_said_"hi"') == (
         "http://ex.org/r/He_said_%22hi%22"
     )
+
+
+def test_prefix_mask_batch():
+    from tabular_data_semantics_py_ray.functions.text import (
+        filter_by_prefix,
+        prefix_mask_batch,
+    )
+
+    uris = ["http://a.org/x", "http://b.org/y", None, "http://a.org/"]
+    mask = prefix_mask_batch(
+        pa.array(uris, type=pa.string()), ("http://a.org/",)
+    ).to_pylist()
+    assert mask == [True, False, False, True]
+    assert filter_by_prefix(
+        [u for u in uris if u], ("http://a.org/",)
+    ) == ["http://a.org/x", "http://a.org/"]
+
+
+def test_cell_norm_whitelist_is_load_bearing():
+    """Without the M3/M4/M5 whitelist, the rank-0 KG2 candidates would win
+    the 'fast'/'slow' surfaces; with it they resolve into the primary
+    namespace (the resolution the oracle checks end-to-end)."""
+    import pandas as pd
+
+    from tabular_data_semantics_py_ray import fixture_kg
+    from tabular_data_semantics_py_ray.constants import ENT
+    from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+        _cell_norm_resolution,
+    )
+
+    res = _cell_norm_resolution()
+    assert res.loc[res.surface_form == "fast", "entity_uri"].item() == (
+        ENT + "Fast_Entity"
+    )
+    # the unfiltered union WOULD prefer the kg2 uri (rank 0 < any primary)
+    lex = fixture_kg.lexicon_df()
+    kg2 = fixture_kg.kg2_sameas_df()
+    kg2lex = lex.merge(kg2, on="entity_uri")
+    assert "fast" in set(kg2lex["surface_form"])
+    assert (kg2lex["kg2_uri"].str.startswith("http://kg2.")).all()
