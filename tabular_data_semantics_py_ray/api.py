@@ -152,6 +152,14 @@ def q_dedup_near_pairs(sf_dir: str):
     return near_dup_pairs_minhash(_documents(sf_dir))
 
 
+def q_dedup_components(sf_dir: str):
+    """Dup-cluster assignment: connected components over the verified
+    near-dup pair graph; component_id = min reachable doc_id."""
+    from .stages.dedup import dedup_components, near_dup_pairs_minhash
+
+    return dedup_components(near_dup_pairs_minhash(_documents(sf_dir)))
+
+
 def q_dedup_simhash(sf_dir: str):
     from .stages.dedup import near_dup_pairs_simhash
 
@@ -317,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_components": q_dedup_components,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ann_label_vote": q_ann_label_vote,

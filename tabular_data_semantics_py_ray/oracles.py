@@ -533,6 +533,44 @@ j AS (
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
 
+    # connected components over the near-dup pair graph; recursive closure
+    # computes min reachable doc_id per node. UNION ALL in every
+    # non-recursive CTE (under WITH RECURSIVE, DuckDB's bare UNION there
+    # does NOT deduplicate); the recursive UNION itself dedups and
+    # guarantees termination.
+    o["dedup_components"] = """
+WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cast(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, r) AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+)
+SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node"""
+
     # simhash made oracle-checkable by deriving token bit-hashes from md5
     # (functions/hashing.py:md5_hash64); signature + hamming fully in SQL
     o["dedup_simhash"] = """

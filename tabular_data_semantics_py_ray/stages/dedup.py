@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..util import (
     bucket_aggregate,
@@ -592,3 +593,82 @@ def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
 
     pairs = bucket_map_keyed(bucketed, ["band", "key"], _pairs_bucket)
     return bucket_aggregate(pairs, ["vec_a", "vec_b"], {"cosine": ("cosine", "min")})
+
+
+# ----------------------------------------------------------------------
+# Connected-component dup clustering over the near-dup pair graph.
+# ----------------------------------------------------------------------
+def dedup_components(pairs_ds, *, max_iters: int = 50, num_buckets: int = 32):
+    """(doc_a, doc_b) near-dup edges -> (doc_id, component_id).
+
+    ``component_id`` is the minimum doc_id reachable in the undirected
+    pair graph — the canonical representative each dup cluster keeps.
+    Distributed hash-to-min label propagation: every round is one
+    bucket-hash join of the current labels across the edge list plus one
+    min-reduce per node, converging in O(log diameter) rounds (dup
+    clusters are shallow in practice — pairs and small cliques).
+
+    Scale notes: the edge list and label table are bounded by the number
+    of docs that appear in ANY verified near-dup pair — a small fraction
+    of the corpus (the partitioning assumption). The per-round label
+    table is materialized (object-store-resident) so each iteration's
+    plan does not replay all previous rounds; the corpus itself never
+    enters this operator.
+    """
+    from ..util import bucket_aggregate, bucket_join
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").cast(pa.int64()).combine_chunks()
+        b = t.column("doc_b").cast(pa.int64()).combine_chunks()
+        u = pa.concat_arrays(a.chunks + b.chunks) if isinstance(a, pa.ChunkedArray) else pa.concat_arrays([a, b])
+        v = pa.concat_arrays(b.chunks + a.chunks) if isinstance(b, pa.ChunkedArray) else pa.concat_arrays([b, a])
+        return pa.Table.from_arrays([u, v], names=["u", "v"])
+
+    und = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+        _undirect, batch_format="pyarrow"
+    ).materialize()  # re-scanned every round; edges only, not the corpus
+
+    # label(v) = min(v, min neighbor)
+    labels = bucket_aggregate(
+        und, ["u"], {"label": ("v", "min")}, num_buckets=num_buckets
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("u"),
+             pc.min_element_wise(t.column("u"), t.column("label"))],
+            names=["node", "label"],
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _checksum(lbl) -> int:
+        return int(lbl.sum("label"))
+
+    prev = _checksum(labels)
+    for _ in range(max_iters):
+        joined = bucket_join(
+            und, labels, key="u", right_key="node",
+            left_cols={"v": pa.int64()}, right_cols={"label": pa.int64()},
+            num_buckets=num_buckets,
+        )
+        contrib = joined.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("v"), t.column("label")], names=["node", "label"]
+            ),
+            batch_format="pyarrow",
+        )
+        labels = bucket_aggregate(
+            contrib.union(labels), ["node"], {"label": ("label", "min")},
+            num_buckets=num_buckets,
+        ).materialize()
+        cur = _checksum(labels)
+        if cur == prev:  # labels are monotone non-increasing ints
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("node"), t.column("label")],
+            names=["doc_id", "component_id"],
+        ),
+        batch_format="pyarrow",
+    )

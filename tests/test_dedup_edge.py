@@ -91,3 +91,24 @@ def test_exact_embedding_pairs_multi_block(ray_session, tmp_path):
         out.astype({"vec_a": "int64", "vec_b": "int64"}), exp.astype(
             {"vec_a": "int64", "vec_b": "int64"})
     )
+
+def test_dedup_components_chain_and_clique(ray_session):
+    """Label propagation must close transitive chains: a path graph
+    1-2-3-4 (diameter 3) and a separate clique {10,11,12} each collapse
+    to min-id components; isolated pair keeps its own min."""
+    from tabular_data_semantics_py_ray.stages.dedup import dedup_components
+
+    edges = pd.DataFrame(
+        {
+            "doc_a": [1, 2, 3, 10, 10, 11, 20],
+            "doc_b": [2, 3, 4, 11, 12, 12, 21],
+        }
+    )
+    out = (
+        dedup_components(rd.from_pandas(edges), num_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert dict(zip(out["doc_id"], out["component_id"])) == exp
