@@ -14,9 +14,13 @@ import ray.data as rd
 
 
 def _documents(sf_dir: str):
+    # testdata parquet carries ONE row group, which Ray cannot split at
+    # read time — every downstream task stage would run at parallelism 1.
+    # A shuffle-free repartition right after the read fans the corpus out
+    # (at cluster scale the input is many files and needs no fan-out).
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
+    ).repartition(32)
 
 
 def _embeddings(sf_dir: str):

@@ -74,28 +74,21 @@ def q1_pricing(sf_dir: str):
     return agg.map_batches(_round, batch_format="pandas")
 
 
-class _NationNameJoiner:
-    """Broadcast nationkey -> name map (25 rows — the ONLY broadcast side)."""
-
-    def __init__(self, map_ref):
-        self.nation = ray.get(map_ref)  # DataFrame(c_nationkey, n_name)
-
-    def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
-        return b.merge(self.nation, on="c_nationkey", how="inner")
-
-
 def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
     """revenue per nation, fully distributed:
 
     lineitem --(combiner by orderkey)--> JOIN orders (hash-partitioned)
-    --(combiner by custkey)--> JOIN customer (hash-partitioned)
-    --> broadcast-map nationkey->name (25 rows) --> two-phase final sum.
+    --(combiner by custkey)--> JOIN customer (hash-partitioned, with the
+    25-row nation naming + per-bucket partial sum fused INTO the join
+    bucket) --> shuffle-free coalesce + final sum.
 
     Scale shape (round-2 fix of the VERDICT's 'customer-map broadcast'
     finding): customer is O(SF) and is JOINED distributed, never broadcast
-    or collected to the driver; only the 25-row nation table ships via
-    ``ray.put``. Each join input is pre-combined on its join key inside
-    ``map_batches``, so the shuffles move aggregate-sized rows.
+    or collected to the driver; only the 25-row nation table ships in the
+    bucket-fn closure. Exactly TWO all-to-alls (the classic distributed
+    TPC-H Q5 minimum); the final reduce input is <= num_buckets x 25 rows,
+    so it coalesces without a shuffle instead of paying a third
+    sort-barrier.
     """
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
                blocks=32)
@@ -120,27 +113,31 @@ def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
         return b.groupby("o_custkey", sort=False)["revenue"].sum().reset_index()
 
     cust_part = j1.map_batches(_cust_partial, batch_format="pandas")
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
+
+    def _name_and_combine(df: pd.DataFrame) -> pd.DataFrame:
+        # runs inside the join bucket: nation naming (25-row closure map)
+        # + partial sum, so no third shuffle is needed downstream
+        df = df.merge(nation, on="c_nationkey", how="inner")
+        return df.groupby("n_name", sort=False)["revenue"].sum().reset_index()
+
     j2 = bucket_join(
         cust_part, customer, key="o_custkey", right_key="c_custkey",
         left_cols={"revenue": pa.float64()},
         right_cols={"c_nationkey": pa.int64()},
         num_buckets=num_buckets,
+        post=_name_and_combine,
     )
 
-    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    map_ref = ray.put(nation.rename(columns={"n_nationkey": "c_nationkey"}))
-    with_name = j2.map_batches(
-        _NationNameJoiner,
-        fn_constructor_kwargs={"map_ref": map_ref},
-        batch_format="pandas",
-        concurrency=(1, 4),
-    )
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        out = b.groupby("n_name", sort=False)["revenue"].sum().reset_index()
+        return out.assign(revenue=out["revenue"].round(2))
 
-    agg = bucket_aggregate(
-        with_name, ["n_name"], {"revenue": ("revenue", "sum")}, num_buckets=8
-    )
-    return agg.map_batches(
-        lambda b: b.assign(revenue=b["revenue"].round(2)), batch_format="pandas"
+    # <= num_buckets x 25 partial rows: coalesce (narrow, no sort barrier)
+    return j2.repartition(1).map_batches(
+        _final, batch_format="pandas", batch_size=None
     )
 
 

@@ -44,64 +44,96 @@ def exact_dedup_groups(documents_ds):
 # ----------------------------------------------------------------------
 # MinHash + LSH near-dup.
 # ----------------------------------------------------------------------
-class ShingleSignatures:
-    """Actor: docs -> (doc_id, shingles:list<uint64>, sig:list<uint64>).
+def _minhash_seeds(num_perm: int, seed: int) -> np.ndarray:
+    from functools import lru_cache
 
-    Shingle hashing + permutations are pinned in ``__init__`` (once per
-    actor); per-batch work is numpy-vectorized per doc.
+    @lru_cache(maxsize=8)
+    def _mk(p: int, s: int):
+        return FastMinHasher(num_perm=p, seed=s).seeds
+
+    return _mk(num_perm, seed)
+
+
+def shingle_signatures_batch(batch: pa.Table, *, num_perm: int = 128,
+                             ngram: int = 3, seed: int = 42) -> pa.Table:
+    """docs -> (doc_id, shingles:binary, sig:list<uint64>, n_shingles).
+
+    Fully vectorized, no per-doc Python: Arrow ``split_pattern`` tokenizes,
+    pandas' C siphash hashes every token once, and shingle hashes are a
+    chained splitmix64 over position-shifted token-hash slices (an
+    order-sensitive 64-bit mix — hash-set Jaccard equals string-set Jaccard
+    up to ~2^-64 collisions, same as hashing the joined strings).
+    Stateless-task-friendly (seeds are an ``lru_cache``d per-process
+    singleton), so the stage runs on the full task pool with no actor
+    startup. Docs with < ngram tokens keep the all-sentinel signature and
+    n_shingles = 0 (excluded from banding downstream).
     """
+    from ..functions.hashing import _MERSENNE, _splitmix64
 
-    def __init__(self, num_perm: int = 128, ngram: int = 3, seed: int = 42):
-        self.mh = FastMinHasher(num_perm=num_perm, seed=seed)
-        self.ngram = ngram
+    import pyarrow.compute as pc
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.hashing import _MERSENNE, _splitmix64, stable_hash64
+    doc_ids = batch.column("doc_id")
+    ndocs = batch.num_rows
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]  # sliced arrays carry a nonzero start
+    tok_hash = pd.util.hash_pandas_object(
+        pd.Series(toks.flatten().to_pandas()), index=False
+    ).to_numpy().astype(np.uint64)
 
-        texts = batch.column("text").to_pylist()
-        doc_ids = batch.column("doc_id")
-        n = self.ngram
+    lens = offsets[1:] - offsets[:-1]
+    ns = np.maximum(lens - (ngram - 1), 0)  # shingles per doc
+    total = int(ns.sum())
+    sigs = np.full((ndocs, num_perm), _MERSENNE, dtype=np.uint64)
+    if total == 0:
+        counts = np.zeros(ndocs, dtype=np.int64)
+        uniq = np.empty(0, dtype=np.uint64)
+    else:
+        # global start index of every shingle (vectorized ragged arange)
+        base = np.repeat(offsets[:-1], ns)
+        cum = np.cumsum(ns) - ns
+        within = np.arange(total, dtype=np.int64) - np.repeat(cum, ns)
+        starts = base + within
+        sh = _splitmix64(tok_hash[starts])
+        for j in range(1, ngram):
+            sh = _splitmix64(sh ^ tok_hash[starts + j])
+        # per-doc distinct: sort by (doc, hash), drop adjacent dups
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), ns)
+        order = np.lexsort((sh, doc_idx))
+        d_s, s_s = doc_idx[order], sh[order]
+        keep = np.ones(total, dtype=bool)
+        keep[1:] = (d_s[1:] != d_s[:-1]) | (s_s[1:] != s_s[:-1])
+        d_u, uniq = d_s[keep], s_s[keep]
+        counts = np.bincount(d_u, minlength=ndocs).astype(np.int64)
+        nonempty = counts > 0
+        red_off = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=red_off[1:])
+        seeds = _minhash_seeds(num_perm, seed)
+        mixed = _splitmix64(uniq[None, :] ^ seeds[:, None])  # (k, M)
+        sigs[nonempty] = np.minimum.reduceat(mixed, red_off, axis=1).T
 
-        # distinct shingle STRINGS are hashed once per batch (the corpus
-        # vocabulary repeats heavily across docs), then signatures for all
-        # docs come from one vectorized min-reduceat per permutation
-        hash_cache: dict[str, int] = {}
-        doc_hashes: list[np.ndarray] = []
-        for t in texts:
-            toks = t.split(" ")
-            if len(toks) < n:
-                doc_hashes.append(np.empty(0, dtype=np.uint64))
-                continue
-            shingles = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
-            hs = np.empty(len(shingles), dtype=np.uint64)
-            for j, s in enumerate(shingles):
-                h = hash_cache.get(s)
-                if h is None:
-                    h = stable_hash64(s)
-                    hash_cache[s] = h
-                hs[j] = h
-            doc_hashes.append(hs)
-
-        lens = np.fromiter((len(h) for h in doc_hashes), dtype=np.int64,
-                           count=len(doc_hashes))
-        nonempty = lens > 0
-        sigs = np.full((len(texts), self.mh.num_perm), _MERSENNE, dtype=np.uint64)
-        if nonempty.any():
-            flat = np.concatenate([h for h in doc_hashes if len(h)])
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-            mixed = _splitmix64(flat[None, :] ^ self.mh.seeds[:, None])  # (k, M)
-            mins = np.minimum.reduceat(mixed, offsets, axis=1)  # (k, docs+)
-            sigs[nonempty] = mins.T
-        return pa.Table.from_arrays(
-            [
-                doc_ids,
-                pa.array([h.tobytes() for h in doc_hashes], type=pa.binary()),
-                pa.array([s.tolist() for s in sigs], type=pa.list_(pa.uint64())),
-                pa.array(lens.astype(np.int32)),
-            ],
-            names=["doc_id", "shingles", "sig", "n_shingles"],
-        )
+    # shingle sets as one binary column built straight from the uint64
+    # buffer (no per-doc Python objects)
+    boff = np.zeros(ndocs + 1, dtype=np.int32)
+    np.cumsum(counts * 8, out=boff[1:])
+    shingle_arr = pa.Array.from_buffers(
+        pa.binary(), ndocs,
+        [None, pa.py_buffer(boff.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(uniq, dtype="<u8").tobytes())],
+    )
+    return pa.Table.from_arrays(
+        [
+            doc_ids,
+            shingle_arr,
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1)), num_perm
+            ).cast(pa.list_(pa.uint64())),
+            pa.array(counts.astype(np.int32)),
+        ],
+        names=["doc_id", "shingles", "sig", "n_shingles"],
+    )
 
 
 def _band_rows(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
@@ -126,7 +158,12 @@ def _band_rows(batch: pa.Table, *, bands: int, num_perm: int) -> pa.Table:
              pa.array([], type=pa.uint64())],
             names=["doc_id", "band", "key"],
         )
-    sig = np.asarray(batch.column("sig").to_pylist(), dtype=np.uint64)  # (n, p)
+    sig_col = batch.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    # zero-copy: list<uint64> values buffer reshaped (fixed length num_perm)
+    sig = sig_col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.uint64, copy=False).reshape(len(doc), num_perm)
     r = num_perm // bands
     keys = np.empty((len(doc), bands), dtype=np.uint64)
     for b in range(bands):
@@ -337,11 +374,11 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
         import os as _os
 
         _os.makedirs(checkpoint_dir, exist_ok=True)
+    from functools import partial
+
     documents_ds.map_batches(
-        ShingleSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "ngram": ngram},
+        partial(shingle_signatures_batch, num_perm=num_perm, ngram=ngram),
         batch_format="pyarrow",
-        concurrency=(1, 4),
     ).write_parquet(checkpoint_dir)
     # repartition: checkpoint files carry one row group each, so fan out
     # for the downstream task-pool stages (shuffle-free split)

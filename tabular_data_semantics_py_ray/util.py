@@ -147,7 +147,8 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
 def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
                 left_cols: dict[str, pa.DataType],
                 right_cols: dict[str, pa.DataType],
-                key_type: pa.DataType = pa.int64(), num_buckets: int = 64):
+                key_type: pa.DataType = pa.int64(), num_buckets: int = 64,
+                post=None):
     """Hash-partitioned inner equi-join on one key column, built on the
     bucket-groupby machinery (both sides shuffled on the key — the
     scale-safe large-large join shape).
@@ -159,6 +160,12 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
     null-filled), co-located by key hash, and merged per bucket with
     vectorized pandas. Output columns: ``key`` + left_cols + right_cols,
     cast back to their declared types.
+
+    ``post`` (pandas df -> pandas df), when given, runs on each bucket's
+    joined frame INSIDE the shuffle stage — fusing a post-join transform /
+    partial aggregate into the join saves a whole extra all-to-all
+    downstream (every sort-shuffle carries a fixed sampling-barrier cost
+    that scales with block count, independent of data size).
     """
     right_key = right_key or key
     declared = {**left_cols, **right_cols}
@@ -191,7 +198,8 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
         out = g.loc[g["_side"] == 0, lsel].merge(
             g.loc[g["_side"] == 1, rsel], on=key, how="inner")
         # null-filling upcasts int columns to float in the union; restore
-        return out.astype({c: dtypes[c] for c in out.columns if c in dtypes})
+        out = out.astype({c: dtypes[c] for c in out.columns if c in dtypes})
+        return post(out) if post is not None else out
 
     return bucket_map_keyed(tagged, [key], _join, num_buckets=num_buckets)
 
