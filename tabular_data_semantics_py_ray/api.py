@@ -164,6 +164,28 @@ def q_dedup_components(sf_dir: str):
     return dedup_components(near_dup_pairs_minhash(_documents(sf_dir)))
 
 
+def q_dedup_keep(sf_dir: str):
+    """The deduped corpus: documents minus near-dup non-keepers. Chains
+    minhash near-dup pairs -> connected components -> anti-join (each dup
+    cluster keeps only its min doc_id) — the end-to-end 'dedup a training
+    corpus' pipeline. Both sides of the anti-join are hash-partitioned;
+    the components side is edge-bounded (docs in at least one dup pair)."""
+    import pyarrow.compute as pc
+
+    from .stages.dedup import dedup_components, near_dup_pairs_minhash
+    from .util import bucket_anti_join
+
+    comp = dedup_components(near_dup_pairs_minhash(_documents(sf_dir)))
+    drop = comp.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("component_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    docs = _documents(sf_dir).select_columns(["doc_id"])
+    return bucket_anti_join(docs, drop, key="doc_id")
+
+
 def q_dedup_simhash(sf_dir: str):
     from .stages.dedup import near_dup_pairs_simhash
 
@@ -330,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
+        "dedup_keep": q_dedup_keep,
         "ann_topk": q_ann_topk,
         "ann_topk_ivf_full": q_ann_topk_ivf_full,
         "ann_label_vote": q_ann_label_vote,

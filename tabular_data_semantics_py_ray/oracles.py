@@ -571,6 +571,19 @@ reach(node, r) AS (
 )
 SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node"""
 
+    # the deduped corpus: anti-join documents against non-keeper component
+    # members (each dup cluster keeps its min doc_id)
+    o["dedup_keep"] = o["dedup_components"].replace(
+        "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",
+        """comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)""",
+    ).replace(
+        ")\ncomp AS (", "),\ncomp AS ("
+    )
+
     # simhash made oracle-checkable by deriving token bit-hashes from md5
     # (functions/hashing.py:md5_hash64); signature + hamming fully in SQL
     o["dedup_simhash"] = """
