@@ -132,6 +132,12 @@ def q_doc_text_stats(sf_dir: str):
     return _documents(sf_dir).map_batches(text_stats_batch, batch_format="pyarrow")
 
 
+def q_doc_token_bpe(sf_dir: str):
+    from .functions.textstats import token_bpe_batch
+
+    return _documents(sf_dir).map_batches(token_bpe_batch, batch_format="pyarrow")
+
+
 def q_lang_id(sf_dir: str):
     from .functions.textstats import lang_id_batch
 
@@ -346,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": q_events_by_type,
         "token_freq_top20": q_token_freq_top20,
         "doc_text_stats": q_doc_text_stats,
+        "doc_token_bpe": q_doc_token_bpe,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,

@@ -83,6 +83,32 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# GPT-2-style pre-tokenizer shape (contraction suffixes, letter runs, digit
+# runs, punctuation runs, whitespace), restricted to ASCII classes so the
+# SAME RE2 pattern runs in pyarrow.compute and the DuckDB oracle with
+# identical match counts (both are RE2; \p{L} is avoided because Python's
+# re can't mirror it in unit tests).
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_bpe_batch(batch: pa.Table) -> pa.Table:
+    """documents -> (doc_id, n_tokens_ws, n_tokens_bpe): whitespace token
+    count plus a BPE-ish regex token count (non-overlapping RE2 matches of
+    ``BPE_ISH_PATTERN``) — the two token-budget estimators a training-data
+    pipeline runs over every document. Fully vectorized (RE2 inside Arrow)."""
+    texts = batch.column("text")
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            token_counts(texts),
+            pc.count_substring_regex(texts, BPE_ISH_PATTERN).cast(pa.int64()),
+        ],
+        names=["doc_id", "n_tokens_ws", "n_tokens_bpe"],
+    )
+
+
 def _md5_array(strings: list[str]) -> pa.Array:
     return pa.array(
         [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings],

@@ -493,6 +493,15 @@ SELECT doc_id, n_tokens, stop_ratio,
        (n_tokens BETWEEN 20 AND 400 AND stop_ratio < 0.3) AS quality_ok
 FROM s"""
 
+    # same RE2 pattern as functions.textstats.BPE_ISH_PATTERN — pyarrow and
+    # DuckDB both run RE2, so non-overlapping match counts are identical
+    _BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+    _BPE_SQL = _BPE_PAT.replace("'", "''")
+    o["doc_token_bpe"] = f"""
+SELECT doc_id, cast(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+       cast(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_tokens_bpe
+FROM documents"""
+
     o["lang_id"] = f"""
 WITH s AS (
   SELECT doc_id,

@@ -149,3 +149,36 @@ def test_cell_norm_whitelist_is_load_bearing():
     kg2lex = lex.merge(kg2, on="entity_uri")
     assert "fast" in set(kg2lex["surface_form"])
     assert (kg2lex["kg2_uri"].str.startswith("http://kg2.")).all()
+
+
+def test_bpe_ish_token_count_matches_python_re():
+    """The Arrow RE2 match count equals Python re.findall on adversarial
+    inputs: contractions, punctuation runs, digit runs, leading/trailing
+    space, empty string."""
+    import re
+
+    import pyarrow as pa
+
+    from tabular_data_semantics_py_ray.functions.textstats import (
+        BPE_ISH_PATTERN,
+        token_bpe_batch,
+    )
+
+    texts = [
+        "it's a test, isn't it?!",
+        "we'll we've we're I'm I'd you'd've",
+        "abc123def  double  space",
+        " leading and trailing ",
+        "",
+        "!!!...,,,",
+        "word",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = token_bpe_batch(batch)
+    expected = [len(re.findall(BPE_ISH_PATTERN, t)) for t in texts]
+    assert out.column("n_tokens_bpe").to_pylist() == expected
+    assert out.column("n_tokens_ws").to_pylist() == [
+        len(t.split(" ")) for t in texts
+    ]
+    # contractions split off as their own token: "it's" -> "it" + "'s"
+    assert expected[0] > len(texts[0].split(" "))
