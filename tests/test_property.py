@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis) for the pure algebraic kernels the
+dedup/similarity operators stand on. A silent defect in any of these
+corrupts results at 100 TB without failing an example-based test, so each
+property is checked over randomized inputs:
+
+- splitmix64 is a bijection and matches a scalar reference
+- minhash signatures are order-invariant and slot-collision rate estimates
+  Jaccard (the statistical contract LSH banding relies on)
+- the 4-segment simhash pigeonhole really covers every hamming<=3 pair
+- hamming64 == popcount(xor); jaccard == set formula
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tabular_data_semantics_py_ray.functions.hashing import (
+    FastMinHasher,
+    _splitmix64,
+    hamming64,
+    jaccard,
+)
+
+u64 = st.integers(min_value=0, max_value=(1 << 64) - 1)
+
+
+def _splitmix64_scalar(x: int) -> int:
+    m = (1 << 64) - 1
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & m
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & m
+    return x ^ (x >> 31)
+
+
+@given(st.lists(u64, min_size=1, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_splitmix64_matches_scalar_reference(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    out = _splitmix64(arr)
+    assert out.dtype == np.uint64
+    assert out.tolist() == [_splitmix64_scalar(x) for x in xs]
+
+
+@given(st.lists(u64, min_size=2, max_size=500, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_splitmix64_injective_on_distinct_inputs(xs):
+    out = _splitmix64(np.array(xs, dtype=np.uint64))
+    assert len(set(out.tolist())) == len(xs)
+
+
+@given(st.lists(u64, min_size=1, max_size=300, unique=True), st.randoms())
+@settings(max_examples=50, deadline=None)
+def test_minhash_signature_is_order_invariant(hashes, rnd):
+    mh = FastMinHasher(num_perm=32, seed=42)
+    arr = np.array(hashes, dtype=np.uint64)
+    sig = mh.signature(arr)
+    shuffled = arr.copy()
+    rnd.shuffle(shuffled)
+    assert np.array_equal(sig, mh.signature(shuffled))
+    # a signature slot is always the image of SOME element (min over images)
+    images = set(_splitmix64(arr[None, :] ^ mh.seeds[:, None]).ravel().tolist())
+    assert set(sig.tolist()) <= images
+
+
+@given(
+    st.integers(min_value=20, max_value=120),  # |A ∩ B|
+    st.integers(min_value=0, max_value=60),    # |A \ B|
+    st.integers(min_value=0, max_value=60),    # |B \ A|
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_minhash_collision_rate_estimates_jaccard(n_common, n_a, n_b, seed):
+    """E[sig_i(A) == sig_i(B)] == J(A, B); with 256 independent permutations
+    the observed rate stays within 4.5 sigma (binomial) of J — a bound a
+    monotone 'permutation' (the classic a*x+b-without-wrap bug this kernel
+    documents) fails immediately, because that makes every slot agree on
+    the global min and the rate collapse to 0 or 1."""
+    rng = np.random.RandomState(seed)
+    need = n_common + n_a + n_b
+    pool = np.unique(rng.randint(1, 1 << 62, size=need * 2).astype(np.uint64))
+    rng.shuffle(pool)
+    pool = pool[:need]  # 2x oversample + unique: collisions at 62 bits are nil
+    common, only_a, only_b = np.split(pool, [n_common, n_common + n_a])
+    a = np.concatenate([common, only_a])
+    b = np.concatenate([common, only_b])
+    j = jaccard(np.sort(a), np.sort(b))
+    mh = FastMinHasher(num_perm=256, seed=7)
+    rate = float(np.mean(mh.signature(a) == mh.signature(b)))
+    sigma = max(np.sqrt(j * (1 - j) / 256), 1 / 256)
+    assert abs(rate - j) <= 4.5 * sigma
+
+
+@given(u64, st.sets(st.integers(min_value=0, max_value=63), max_size=3))
+@settings(max_examples=200, deadline=None)
+def test_simhash_pigeonhole_covers_hamming_le_3(x, flip_bits):
+    """Flipping <=3 bits of a 64-bit signature always leaves at least one of
+    the four 16-bit segments untouched — the recall guarantee the simhash
+    blocking relies on (dedup.near_dup_pairs_simhash)."""
+    y = x
+    for b in flip_bits:
+        y ^= 1 << b
+    segs_equal = [
+        ((x >> (16 * s)) & 0xFFFF) == ((y >> (16 * s)) & 0xFFFF) for s in range(4)
+    ]
+    assert any(segs_equal)
+    d = hamming64(np.array([x], dtype=np.uint64), np.array([y], dtype=np.uint64))
+    assert d[0] == len(flip_bits)
+
+
+@given(st.lists(u64, min_size=1, max_size=100, unique=True),
+       st.lists(u64, min_size=1, max_size=100, unique=True))
+@settings(max_examples=100, deadline=None)
+def test_jaccard_matches_set_formula(a, b):
+    ja = jaccard(np.sort(np.array(a, dtype=np.uint64)),
+                 np.sort(np.array(b, dtype=np.uint64)))
+    sa, sb = set(a), set(b)
+    assert ja == len(sa & sb) / len(sa | sb)
