@@ -292,6 +292,12 @@ def q_kg_docs_without_customer(sf_dir: str):
     return docs_without_customer(sf_dir)
 
 
+def q_kg_gt_repair(sf_dir: str):
+    from .pipelines.queries_kg import gt_repair_customer
+
+    return gt_repair_customer(sf_dir)
+
+
 def q_kg_prop_kind(sf_dir: str):
     from .pipelines.queries_kg import prop_kind
 
@@ -370,6 +376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_strategy_census": q_kg_strategy_census,
         "kg_projection": q_kg_projection,
         "kg_docs_without_customer": q_kg_docs_without_customer,
+        "kg_gt_repair": q_kg_gt_repair,
         "kg_prop_kind": q_kg_prop_kind,
         "kg_depth_stats": q_kg_depth_stats,
         "kg_class_sample": q_kg_class_sample,

@@ -345,6 +345,49 @@ WHERE NOT EXISTS (
   SELECT 1 FROM linked l
   WHERE l.doc_id = d.doc_id AND l.entity_uri = '{ENT}Customer')"""
 
+    o["kg_gt_repair"] = f"""WITH
+cells AS (
+  SELECT 'customer' AS table_id, c_custkey AS row, 0 AS col,
+         CAST(c_custkey AS VARCHAR) AS value FROM customer
+  UNION ALL
+  SELECT 'customer', c_custkey, 1, c_name FROM customer
+  UNION ALL
+  SELECT 'customer', c_custkey, 2, CAST(c_nationkey AS VARCHAR) FROM customer
+),
+gt AS (
+  SELECT 'customer' AS table_id,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN 7 ELSE 1 END AS INT) AS col,
+         c_custkey AS row,
+         '{ENT}' || c_name AS entity_uri
+  FROM customer
+),
+mentions AS (
+  SELECT 'customer' AS table_id, c_custkey AS row, c_name AS mention
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+valid AS (
+  SELECT g.*,
+         EXISTS (SELECT 1 FROM cells c
+                 WHERE c.table_id = g.table_id AND c.row = g.row
+                   AND c.col = g.col) AS ok
+  FROM gt g
+),
+fixes AS (
+  SELECT v.table_id, v.row, CAST(min(c.col) AS INT) AS fix_col
+  FROM valid v
+  JOIN mentions m ON v.table_id = m.table_id AND v.row = m.row
+  JOIN cells c ON c.table_id = v.table_id AND c.row = v.row
+             AND c.value = m.mention
+  WHERE NOT v.ok
+  GROUP BY 1, 2
+)
+SELECT v.table_id,
+       CASE WHEN v.ok THEN v.col ELSE coalesce(f.fix_col, v.col) END AS col,
+       v.row, v.entity_uri,
+       (NOT v.ok AND f.fix_col IS NOT NULL) AS repaired
+FROM valid v
+LEFT JOIN fixes f ON v.table_id = f.table_id AND v.row = f.row"""
+
     o["kg_prop_kind"] = f"""WITH
 stmts(subj, pred, obj) AS (VALUES
     {statements_values_sql()}),

@@ -531,3 +531,75 @@ def cell_norm_link(sf_dir: str):
         partial_count(linked, ["doc_id", "item", "entity_uri"]),
         {"n": "n_items"},
     )
+
+
+def gt_repair_customer(sf_dir: str):
+    """M18 end-to-end: CEA GT with deterministically-corrupted cell
+    addresses over the ``customer`` table, repaired by the co-located
+    validation join (``gt_repair.repair_cea_gt``).
+
+    Deterministic corruption (mirrored verbatim in the oracle SQL):
+    - cells: col0 = custkey, col1 = name, col2 = nationkey (as strings);
+    - GT points at col 1 (the name column), except custkey % 5 == 0 rows
+      whose col is rewritten to 7 — an address that does not exist
+      (the reference's IndexError branch, test/error_detection.py:40-66);
+    - the mention table drops custkey % 10 == 0 rows, so half the broken
+      addresses are unrepairable (the reference's printed 'Problem with'
+      branch becomes ``repaired = False`` with the column left as-is).
+    """
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..constants import ENT
+    from .gt_repair import repair_cea_gt
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).repartition(8)
+
+    def _cells(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy()
+        vals = [
+            pa.array(key.astype(str)),
+            t.column("c_name").cast(pa.string()).combine_chunks(),
+            pa.array(t.column("c_nationkey").to_numpy().astype(str)),
+        ]
+        n = len(key)
+        parts = []
+        for col, v in enumerate(vals):
+            parts.append(pa.Table.from_arrays(
+                [pa.array(np.repeat("customer", n)),
+                 pa.array(key, type=pa.int64()),
+                 pa.array(np.full(n, col, dtype=np.int32)),
+                 v],
+                names=["table_id", "row", "col", "value"]))
+        return pa.concat_tables(parts)
+
+    def _gt(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy()
+        name = t.column("c_name").to_pandas()
+        col = np.where(key % 5 == 0, 7, 1).astype(np.int32)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat("customer", len(key))),
+             pa.array(col, type=pa.int32()),
+             pa.array(key, type=pa.int64()),
+             pa.array((ENT + name).to_numpy())],
+            names=["table_id", "col", "row", "entity_uri"])
+
+    def _mentions(t: pa.Table) -> pa.Table:
+        mask = pa.array(t.column("c_custkey").to_numpy() % 10 != 0)
+        kept = t.filter(mask)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat("customer", kept.num_rows)),
+             kept.column("c_custkey").cast(pa.int64()).combine_chunks(),
+             kept.column("c_name").cast(pa.string()).combine_chunks()],
+            names=["table_id", "row", "mention"])
+
+    gt = cust.map_batches(_gt, batch_format="pyarrow")
+    cells = cust.map_batches(_cells, batch_format="pyarrow")
+    mentions = cust.map_batches(_mentions, batch_format="pyarrow")
+    return repair_cea_gt(gt, cells, mentions)
