@@ -292,6 +292,18 @@ def q_kg_docs_without_customer(sf_dir: str):
     return docs_without_customer(sf_dir)
 
 
+def q_media_frames(sf_dir: str):
+    from .pipelines.queries_kg import media_frames
+
+    return media_frames(sf_dir)
+
+
+def q_media_resize(sf_dir: str):
+    from .pipelines.queries_kg import media_resize
+
+    return media_resize(sf_dir)
+
+
 def q_kg_gt_repair(sf_dir: str):
     from .pipelines.queries_kg import gt_repair_customer
 
@@ -372,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_near_pairs": q_emb_near_pairs,
         "media_manifest": q_media_manifest,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "kg_typed_repair": q_kg_typed_repair,
         "kg_strategy_census": q_kg_strategy_census,
         "kg_projection": q_kg_projection,

@@ -803,4 +803,48 @@ SELECT m.doc_id, m.chunk_idx, m.media_kind,
 FROM manifest m
 CROSS JOIN (SELECT unnest(range(0, 16)) AS dim) b"""
 
+    # md5-derived fake frame sampling (stages/multimodal.py FrameSampler):
+    # n_frames = 1 + byte0(md5(ref)) % 4, stride 250 ms,
+    # frame payload stand-in = md5('<ref>#<frame_idx>')
+    o["media_frames"] = f"""WITH {_MEDIA_CTES},
+f AS (
+  SELECT doc_id, chunk_idx, media_ref,
+         1 + (('0x' || substr(md5(media_ref), 1, 2))::INT % 4) AS n_frames
+  FROM manifest WHERE media_kind = 'audio'
+),
+x AS (
+  SELECT doc_id, chunk_idx, media_ref,
+         unnest(range(0, n_frames)) AS frame_idx
+  FROM f
+)
+SELECT doc_id, chunk_idx, frame_idx, frame_idx * 250 AS ts_ms,
+       md5(media_ref || '#' || cast(frame_idx AS VARCHAR)) AS frame_md5
+FROM x"""
+
+    # md5-derived fake image resize (stages/multimodal.py ImageResizer):
+    # src dims = 32 + md5 bytes 0/1; long side scaled to 64 preserving
+    # aspect ratio with integer division; payload stand-in =
+    # md5('<ref>:<out_w>x<out_h>')
+    o["media_resize"] = f"""WITH {_MEDIA_CTES},
+i AS (
+  SELECT doc_id, chunk_idx, media_ref,
+         cast(32 + ('0x' || substr(md5(media_ref), 1, 2))::INT AS BIGINT)
+           AS src_w,
+         cast(32 + ('0x' || substr(md5(media_ref), 3, 2))::INT AS BIGINT)
+           AS src_h
+  FROM manifest WHERE media_kind = 'image'
+),
+r AS (
+  SELECT *,
+         CASE WHEN src_w >= src_h THEN 64
+              ELSE greatest(1, (src_w * 64) // src_h) END AS out_w,
+         CASE WHEN src_w >= src_h THEN greatest(1, (src_h * 64) // src_w)
+              ELSE 64 END AS out_h
+  FROM i
+)
+SELECT doc_id, chunk_idx, src_w, src_h, out_w, out_h,
+       md5(media_ref || ':' || cast(out_w AS VARCHAR) || 'x' ||
+           cast(out_h AS VARCHAR)) AS data_md5
+FROM r"""
+
     return o

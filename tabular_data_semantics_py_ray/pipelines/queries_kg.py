@@ -603,3 +603,39 @@ def gt_repair_customer(sf_dir: str):
     cells = cust.map_batches(_cells, batch_format="pyarrow")
     mentions = cust.map_batches(_mentions, batch_format="pyarrow")
     return repair_cea_gt(gt, cells, mentions)
+
+
+def _media_of_kind(sf_dir: str, kind: str):
+    import pyarrow as pa
+
+    def _f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.equal(t.column("media_kind"), kind))
+
+    return media_manifest(sf_dir).map_batches(_f, batch_format="pyarrow")
+
+
+def media_frames(sf_dir: str):
+    """Frame-sampling plumbing, oracle-checked end-to-end: time-based
+    (audio) media spans -> actor-pool FrameSampler -> one row per sampled
+    frame (doc_id, chunk_idx, frame_idx, ts_ms, frame_md5)."""
+    from ..stages.multimodal import sample_frames
+    from ..util import select_cols
+
+    frames = sample_frames(_media_of_kind(sf_dir, "audio"))
+    return select_cols(
+        frames, ["doc_id", "chunk_idx", "frame_idx", "ts_ms", "frame_md5"])
+
+
+def media_resize(sf_dir: str):
+    """Image-resize plumbing, oracle-checked end-to-end: image media spans
+    -> actor-pool ImageResizer -> (doc_id, chunk_idx, src_w, src_h, out_w,
+    out_h, data_md5)."""
+    from ..stages.multimodal import resize_images
+    from ..util import select_cols
+
+    resized = resize_images(_media_of_kind(sf_dir, "image"))
+    return select_cols(
+        resized,
+        ["doc_id", "chunk_idx", "src_w", "src_h", "out_w", "out_h",
+         "data_md5"])

@@ -97,3 +97,115 @@ def featurize_media(docs_ds, *, concurrency=(1, 4), batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for time-based media (audio/video).
+
+    ``__init__`` is the once-per-actor codec seam (``real_decode=True``
+    raises exactly where pyav/torchaudio frame iteration would plug in).
+    ``__call__`` expands each media row into its sampled frames — a 1->n
+    flat expansion built with numpy repeat/arange, no per-frame Python.
+
+    Deterministic fake decode: the media 'duration' derives from the first
+    byte of md5(media_ref) (n_frames = 1 + byte % 4), frames are sampled on
+    a fixed ``stride_ms`` grid, and the sampled-frame payload stand-in is
+    the hex digest md5('<media_ref>#<frame_idx>') — all three DuckDB-
+    derivable, so the whole plumbing is oracle-checkable.
+
+    Scale notes: expansion is bounded (<= 4 frames/row fake; a real decoder
+    would cap frames per item the same way), so output blocks stay within a
+    constant factor of input blocks and the stage streams.
+    """
+
+    def __init__(self, real_decode: bool = False, stride_ms: int = 250):
+        self.real_decode = real_decode
+        self.stride_ms = stride_ms
+        # real path would do: self.container = av.open(...) per item; etc.
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_decode:
+            raise NotImplementedError(
+                "real frame sampling requires video/audio codecs not "
+                "present in this environment; plug pyav/torchaudio here"
+            )
+        refs = batch.column("media_ref").to_pylist()
+        digests = [hashlib.md5(r.encode()).digest() for r in refs]
+        n_frames = np.array([1 + d[0] % 4 for d in digests], dtype=np.int64)
+        rep = np.repeat(np.arange(len(refs), dtype=np.int64), n_frames)
+        # frame_idx = position within each row's run
+        starts = np.zeros(len(refs), dtype=np.int64)
+        np.cumsum(n_frames[:-1], out=starts[1:])
+        frame_idx = np.arange(rep.size, dtype=np.int64) - starts[rep]
+        frame_md5 = pa.array(
+            [hashlib.md5(f"{refs[r]}#{f}".encode()).hexdigest()
+             for r, f in zip(rep, frame_idx)],
+            type=pa.string(),
+        )
+        cols = [batch.column(c).take(pa.array(rep)) for c in batch.column_names]
+        return pa.Table.from_arrays(
+            cols + [pa.array(frame_idx),
+                    pa.array(frame_idx * self.stride_ms),
+                    frame_md5],
+            names=batch.column_names + ["frame_idx", "ts_ms", "frame_md5"],
+        )
+
+
+class ImageResizer:
+    """Actor-pool image-resize stage.
+
+    The decode itself is stubbed (``real_decode=True`` raises at the PIL
+    seam); the deterministic fake derives source dimensions from md5 bytes
+    of the ref (src_w = 32 + byte0, src_h = 32 + byte1). The resize *plan*
+    — aspect-preserving integer scaling of the long side to ``max_side`` —
+    is real vectorized numpy, and the resized-payload stand-in is
+    md5('<ref>:<out_w>x<out_h>'), so engine and oracle agree bit-for-bit.
+    """
+
+    def __init__(self, real_decode: bool = False, max_side: int = 64):
+        self.real_decode = real_decode
+        self.max_side = max_side
+        # real path would do: from PIL import Image  (once per actor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_decode:
+            raise NotImplementedError(
+                "real image resize requires PIL/opencv not present in this "
+                "environment; plug Image.open(...).resize(...) in here"
+            )
+        refs = batch.column("media_ref").to_pylist()
+        digests = [hashlib.md5(r.encode()).digest() for r in refs]
+        src_w = np.array([32 + d[0] for d in digests], dtype=np.int64)
+        src_h = np.array([32 + d[1] for d in digests], dtype=np.int64)
+        wide = src_w >= src_h
+        m = self.max_side
+        out_w = np.where(wide, m, np.maximum(1, (src_w * m) // src_h))
+        out_h = np.where(wide, np.maximum(1, (src_h * m) // src_w), m)
+        data_md5 = pa.array(
+            [hashlib.md5(f"{r}:{w}x{h}".encode()).hexdigest()
+             for r, w, h in zip(refs, out_w, out_h)],
+            type=pa.string(),
+        )
+        return pa.Table.from_arrays(
+            [batch.column(c) for c in batch.column_names]
+            + [pa.array(src_w), pa.array(src_h),
+               pa.array(out_w), pa.array(out_h), data_md5],
+            names=batch.column_names
+            + ["src_w", "src_h", "out_w", "out_h", "data_md5"],
+        )
+
+
+def sample_frames(media_ds, *, concurrency=(1, 4), batch_size: int = 256):
+    """time-based media rows -> + (frame_idx, ts_ms, frame_md5)."""
+    return media_ds.map_batches(
+        FrameSampler, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def resize_images(media_ds, *, concurrency=(1, 4), batch_size: int = 256):
+    """image media rows -> + (src_w, src_h, out_w, out_h, data_md5)."""
+    return media_ds.map_batches(
+        ImageResizer, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+    )
