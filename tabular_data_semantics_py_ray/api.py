@@ -12,6 +12,8 @@ from typing import Any
 
 import ray.data as rd
 
+from .util import fanout_blocks
+
 
 def _documents(sf_dir: str):
     # testdata parquet carries ONE row group, which Ray cannot split at
@@ -20,7 +22,7 @@ def _documents(sf_dir: str):
     # (at cluster scale the input is many files and needs no fan-out).
     return rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).repartition(32)
+    ).repartition(fanout_blocks())
 
 
 def _embeddings(sf_dir: str):

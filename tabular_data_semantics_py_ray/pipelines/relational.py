@@ -19,6 +19,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from ..util import fanout_blocks
+
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     """Column-pruned read; ``blocks`` fans a single-row-group file out so
@@ -91,9 +93,9 @@ def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
     sort-barrier.
     """
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"],
-               blocks=32)
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=16)
-    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=8)
+               blocks=fanout_blocks())
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"], blocks=fanout_blocks(0.5))
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"], blocks=fanout_blocks(0.25))
 
     from ..util import bucket_aggregate, bucket_join
 
@@ -146,7 +148,7 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
     limit k -> broadcast-join part names. Deterministic tie-break
     (revenue desc, p_partkey asc)."""
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"],
-               blocks=32)
+               blocks=fanout_blocks())
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
@@ -170,7 +172,7 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
 def events_by_type(sf_dir: str):
     """events census: per event_type n_events, n_users (two-phase distinct:
     groupby pair first — no per-group nunique), sum_value."""
-    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"], blocks=16)
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"], blocks=fanout_blocks(0.5))
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby("event_type", sort=False).agg(
@@ -206,7 +208,7 @@ def token_freq_topk(sf_dir: str, *, k: int = 20):
     before the tiny groupby — the canonical pre-aggregated wide shuffle."""
     import pyarrow.compute as pc
 
-    docs = _read(sf_dir, "documents", ["text"], blocks=8)
+    docs = _read(sf_dir, "documents", ["text"], blocks=fanout_blocks(0.25))
 
     def _partial(t: pa.Table) -> pa.Table:
         texts = t.column("text")
@@ -237,7 +239,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30):
 
     from ..util import bucket_map_keyed
 
-    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=16)
+    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=fanout_blocks(0.5))
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def _sessions(bucket: pd.DataFrame) -> pd.DataFrame:
@@ -276,7 +278,7 @@ def events_tumbling_1h(sf_dir: str):
 
     from ..util import bucket_aggregate
 
-    ev = _read(sf_dir, "events", ["event_type", "ts", "value"], blocks=16)
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"], blocks=fanout_blocks(0.5))
 
     def _window(t: pa.Table) -> pa.Table:
         ts = t.column("ts").cast(pa.int64())  # microseconds since epoch
@@ -307,7 +309,7 @@ def embedding_label_stats(sf_dir: str):
 
     from ..util import bucket_aggregate
 
-    emb = _read(sf_dir, "embeddings", ["label", "embedding"], blocks=8)
+    emb = _read(sf_dir, "embeddings", ["label", "embedding"], blocks=fanout_blocks(0.25))
 
     def _norms(t: pa.Table) -> pa.Table:
         X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)

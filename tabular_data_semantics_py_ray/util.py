@@ -90,17 +90,52 @@ def conform_schema(ds, schema: pa.Schema):
     return ds.map_batches(_c, batch_format="pyarrow")
 
 
+def adaptive_buckets(multiplier: int = 2, lo: int = 8, hi: int = 65536) -> int:
+    """Default bucket count for the hash-partitioned shuffle helpers, sized
+    to the cluster: ~2 bucket tasks per core. Bucket count is a pure
+    parallelism knob — too many buckets at low parallelism is per-task
+    overhead (a fixed 64 measured 4-8x slower than 16 on the dedup verify
+    join in a 4-CPU session), too few at high parallelism starves cores.
+    The floor keeps tiny test sessions on the multi-bucket code path; the
+    cap sits far above any realistic cluster width."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:  # not initialised yet (import time, offline tools)
+        cpus = 8
+    return min(hi, max(lo, multiplier * cpus))
+
+
+def fanout_blocks(frac: float = 1.0, lo: int = 4, hi: int = 4096) -> int:
+    """Read fan-out width, ~``frac`` x cluster CPUs. Single-row-group test
+    parquet arrives as ONE block, serializing every task stage, so reads
+    fan out with a shuffle-free repartition — but downstream shuffle cost
+    scales with block COUNT (each block pays a fixed tag/sample/reduce
+    overhead, ~70 ms at 4 CPUs), so the width must track the session's
+    parallelism rather than a fixed 32. At cluster scale inputs are many
+    files and the repartition is a near-no-op coalesce/split."""
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:  # not initialised yet
+        cpus = 8
+    return min(hi, max(lo, int(cpus * frac)))
+
+
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
     return (h % num_buckets).astype(np.int64)
 
 
 def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
-                     *, num_buckets: int = 64):
+                     *, num_buckets: int | None = None):
     """agg_spec: out_col -> (in_col, fn), fn in {sum,min,max,count}.
 
     count counts rows per key (in_col ignored). Output: keys + out cols.
     """
+    num_buckets = num_buckets or adaptive_buckets()
     for out, (_, fn) in agg_spec.items():
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported agg fn {fn} for {out}")
@@ -129,8 +164,9 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
 
 
-def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
+def bucket_distinct(ds, keys: list[str], *, num_buckets: int | None = None):
     """Global DISTINCT on the key tuple via bucket shuffle (exact dedup)."""
+    num_buckets = num_buckets or adaptive_buckets()
 
     def _partial(b: pd.DataFrame):
         g = b[keys].drop_duplicates().copy()
@@ -147,8 +183,8 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int = 64):
 def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
                 left_cols: dict[str, pa.DataType],
                 right_cols: dict[str, pa.DataType],
-                key_type: pa.DataType = pa.int64(), num_buckets: int = 64,
-                post=None):
+                key_type: pa.DataType = pa.int64(),
+                num_buckets: int | None = None, post=None):
     """Hash-partitioned inner equi-join on one key column, built on the
     bucket-groupby machinery (both sides shuffled on the key — the
     scale-safe large-large join shape).
@@ -207,7 +243,7 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
 def bucket_anti_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
                      left_cols: dict[str, pa.DataType] | None = None,
                      key_type: pa.DataType = pa.int64(),
-                     num_buckets: int = 64):
+                     num_buckets: int | None = None):
     """J8 anti-join: left rows whose key has NO match on the right
     (kg/dbpedia.py:89-105 'generated minus training entities'), as a
     hash-partitioned bucket shuffle — both sides shuffled, no broadcast."""
@@ -254,11 +290,12 @@ def bucket_anti_join(left_ds, right_ds, *, key: str, right_key: str | None = Non
     return bucket_map_keyed(tagged, [key], _anti, num_buckets=num_buckets)
 
 
-def bucket_map_keyed(ds, keys: list[str], bucket_fn, *, num_buckets: int = 64,
-                     pre=None):
+def bucket_map_keyed(ds, keys: list[str], bucket_fn, *,
+                     num_buckets: int | None = None, pre=None):
     """Co-locate rows by key hash, then run ``bucket_fn`` (vectorized pandas
     over the whole bucket; all rows of a key tuple are guaranteed present).
     ``pre`` optionally thins each batch before the shuffle."""
+    num_buckets = num_buckets or adaptive_buckets()
 
     def _tag(b: pd.DataFrame):
         if pre is not None:
