@@ -31,7 +31,7 @@ from .. import fixture_kg
 
 
 def partial_count(ds, keys: list[str], *, salt_buckets: int = 0,
-                  num_buckets: int = 64):
+                  num_buckets: int | None = None):
     """Two-phase count of rows per key tuple -> Dataset[keys..., n:int64].
 
     Per-batch partial counts (a hot key contributes ONE row per batch — the

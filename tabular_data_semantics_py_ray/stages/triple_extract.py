@@ -99,11 +99,14 @@ def filter_blocklist(triples_ds):
     return triples_ds.map_batches(_f, batch_format="pyarrow")
 
 
-def distinct_triples(triples_ds, *, num_buckets: int = 64):
+def distinct_triples(triples_ds, *, num_buckets: int | None = None):
     """D5: global set semantics. Arrow-native bucket distinct: per-batch
     C++ hash-distinct (combiner), bucket key from a cheap per-row hash of
     subj (identical rows always share a bucket), then one distinct per
     bucket. No pandas round-trip, no per-key Python."""
+    from ..util import adaptive_buckets
+
+    num_buckets = num_buckets or adaptive_buckets()
     keys = ["subj", "pred", "obj", "obj_is_literal"]
 
     def _tag(t: pa.Table) -> pa.Table:
