@@ -64,26 +64,63 @@ class BruteForceTopK:
         )
 
 
-def ann_topk(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
-             concurrency=(1, 4)):
+_BF_CACHE: dict = {}
+
+
+def _bf_partial(batch: pa.Table, queries_ref, k: int) -> pa.Table:
+    """Stateless-task wrapper around ``BruteForceTopK``: the constructed
+    kernel (normalized query matrix) is cached per worker PROCESS keyed on
+    the broadcast ref, so the task pool gets actor-init semantics with no
+    actor startup latency — the query matrix is ray.put once and fetched
+    zero-copy in each process (the canonical broadcast-small-side shape)."""
+    key = (queries_ref.hex(), k)
+    bf = _BF_CACHE.get(key)
+    if bf is None:
+        bf = _BF_CACHE[key] = BruteForceTopK(queries_ref, k=k)
+    return bf(batch)
+
+
+def ann_topk(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10):
     """-> (query_id, neighbor_id, rank) global top-k per query by cosine,
     rank 1..k ordered (sim desc, neighbor_id asc)."""
     queries_ref = ray.put(queries_df)
     partial = embeddings_ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": queries_ref, "k": k},
+        _bf_partial,
+        fn_kwargs={"queries_ref": queries_ref, "k": k},
         batch_format="pyarrow",
-        concurrency=concurrency,
     )
 
-    def _final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        out = g[["query_id", "neighbor_id"]].copy().reset_index(drop=True)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
+    return _topk_reduce(partial, k)
 
-    return partial.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+def _topk_reduce(partial, k: int):
+    """(query_id, neighbor_id, sim) partials -> global (query_id,
+    neighbor_id, rank), rank 1..k by (sim desc, neighbor_id asc).
+
+    The partial stream is BOUNDED (<= input_blocks x n_queries x k rows,
+    each block already thinned to per-query top-k), so the reduce is a
+    two-level narrow coalesce + vectorized pandas top-k — replacing a
+    groupby sort-shuffle whose sampling barrier alone cost ~2.7 s on an
+    80-row result. Level 1 re-thins per coalesced block, so the final
+    single-block frame stays ~queries x k x level1_blocks regardless of
+    input block count."""
+
+    def _thin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k)
+
+    def _final_all(df: pd.DataFrame) -> pd.DataFrame:
+        df = _thin(df)
+        out = df[["query_id", "neighbor_id"]].copy()
+        out["rank"] = (df.groupby("query_id", sort=False).cumcount() + 1
+                       ).to_numpy(dtype=np.int64)
+        return out.reset_index(drop=True)
+
+    lvl1 = partial.repartition(8).map_batches(
+        _thin, batch_format="pandas", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        _final_all, batch_format="pandas", batch_size=None)
 
 
 def ann_label_vote(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10):
@@ -202,11 +239,4 @@ def ann_topk_ivf(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
         concurrency=concurrency,
     )
 
-    def _final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True],
-                              kind="mergesort").head(k)
-        out = g[["query_id", "neighbor_id"]].copy().reset_index(drop=True)
-        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-        return out
-
-    return partial.groupby("query_id").map_groups(_final, batch_format="pandas")
+    return _topk_reduce(partial, k)

@@ -126,3 +126,15 @@ def test_bucket_anti_join_empty_right():
     pd.testing.assert_frame_equal(
         _canon(got).astype("int64"), _canon(left).astype("int64")
     )
+
+
+def test_adaptive_widths_track_cluster(ray_session):
+    from tabular_data_semantics_py_ray.util import adaptive_buckets, fanout_blocks
+
+    # session fixture runs at num_cpus=4 -> floor values
+    assert adaptive_buckets() == 8
+    assert fanout_blocks() == 4
+    assert fanout_blocks(0.25, lo=4) == 4
+    # bounds hold for any multiplier
+    assert adaptive_buckets(multiplier=100000) == 65536
+    assert fanout_blocks(frac=100000.0) == 4096
