@@ -248,108 +248,109 @@ def minhash_candidate_pairs(signatures_ds, *, bands: int = 32, num_perm: int = 1
     return bucket_distinct(pairs, ["doc_a", "doc_b"])
 
 
-def _attach_shingles(pairs_ds, signatures_ds, *, key_col: str, out_col: str,
-                     carry_binary: list[str], num_buckets: int | None = None):
-    """Attach each candidate pair the shingle set of its ``key_col`` doc.
+def _jaccard_arrays(sh_a, sh_b) -> np.ndarray:
+    """Vectorized pairwise exact Jaccard over two aligned sequences of
+    shingle-set blobs (binary: concatenated little-endian uint64 hashes).
+    Explodes both sets to (pair_idx, hash) rows and counts (pair, hash)
+    collisions with ONE lexsort over the concatenated arrays — no per-pair
+    Python."""
+    n = len(sh_a)
+    la = np.fromiter((len(b) // 8 for b in sh_a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(b) // 8 for b in sh_b), dtype=np.int64, count=n)
+    flat_a = np.frombuffer(b"".join(sh_a), dtype=np.uint64)
+    flat_b = np.frombuffer(b"".join(sh_b), dtype=np.uint64)
+    ids = np.concatenate([
+        np.repeat(np.arange(n, dtype=np.int64), la),
+        np.repeat(np.arange(n, dtype=np.int64), lb),
+    ])
+    hashes = np.concatenate([flat_a, flat_b])
+    order = np.lexsort((hashes, ids))
+    sid, sh = ids[order], hashes[order]
+    # within-set hashes are distinct, so a duplicate (id, hash) adjacent
+    # pair means the hash is in BOTH sets
+    dup = (sid[1:] == sid[:-1]) & (sh[1:] == sh[:-1])
+    inter = np.bincount(sid[1:][dup], minlength=n).astype(np.float64)
+    union = (la + lb).astype(np.float64) - inter
+    return np.divide(inter, union, out=np.zeros(n), where=union > 0)
 
-    Hash-partitioned co-location (both sides shuffled on the key — the
-    scale-safe large-large join shape) built on ``bucket_map_keyed`` instead
-    of ``Dataset.join``: Ray 2.49's hash-shuffle join raises ArrowInvalid
-    when an input contains empty blocks (zero-column partition builds inside
-    Acero), which candidate streams routinely do. ``carry_binary`` lists
-    binary columns of ``pairs_ds`` to carry through (e.g. a previously
-    attached shingle column).
+
+def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
+                       num_buckets: int | None = None):
+    """Exact-Jaccard verification of candidate pairs in TWO shuffles, only
+    the first of which moves corpus-sized data.
+
+    Stage 1 co-locates by doc id: each candidate pair is duplicated into
+    both endpoint keys (side 0 = the pair's ``doc_a`` endpoint, side 1 =
+    ``doc_b``), unioned with the shingle stream, and each bucket attaches
+    the endpoint's shingle set — the corpus shingles are shuffled ONCE
+    (the previous two-attachment design shuffled them twice). Multi-band
+    duplicates of a pair dedupe for free here (all copies of a (pair,
+    endpoint) row share the endpoint key). Stage 2 co-locates the two
+    half-pair rows by (doc_a, doc_b) — candidate-bounded data only — and
+    computes exact Jaccard vectorized. Both stages are hash-partitioned
+    bucket shuffles (never broadcast), built on ``bucket_map_keyed``
+    because Ray 2.49's ``Dataset.join`` raises ArrowInvalid on the empty
+    blocks candidate streams routinely contain.
     """
 
     def _tag_pairs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        arrays = [
-            t.column(key_col).cast(pa.int64()),
-            pa.array(np.zeros(n, dtype=np.int8)),
-            pa.array([b""] * n, type=pa.binary()),
-            t.column("doc_a").cast(pa.int64()),
-            t.column("doc_b").cast(pa.int64()),
-        ] + [t.column(c) for c in carry_binary]
+        a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(a)
+        sides = np.empty(2 * n, dtype=np.int8)
+        sides[:n] = 0
+        sides[n:] = 1
         return pa.Table.from_arrays(
-            arrays, names=["k", "side", "shingles", "doc_a", "doc_b"]
-            + carry_binary)
+            [pa.array(np.concatenate([a, b])), pa.array(sides),
+             pa.array([b""] * (2 * n), type=pa.binary()),
+             pa.array(np.concatenate([a, a])),
+             pa.array(np.concatenate([b, b]))],
+            names=["k", "side", "shingles", "doc_a", "doc_b"])
 
     def _tag_sigs(t: pa.Table) -> pa.Table:
         n = t.num_rows
-        arrays = [
-            t.column("doc_id").cast(pa.int64()),
-            pa.array(np.ones(n, dtype=np.int8)),
-            t.column("shingles"),
-            pa.array(np.full(n, -1, dtype=np.int64)),
-            pa.array(np.full(n, -1, dtype=np.int64)),
-        ] + [pa.array([b""] * n, type=pa.binary()) for _ in carry_binary]
         return pa.Table.from_arrays(
-            arrays, names=["k", "side", "shingles", "doc_a", "doc_b"]
-            + carry_binary)
+            [t.column("doc_id").cast(pa.int64()),
+             pa.array(np.full(n, 2, dtype=np.int8)),
+             t.column("shingles"),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["k", "side", "shingles", "doc_a", "doc_b"])
 
     tagged = pairs_ds.map_batches(_tag_pairs, batch_format="pyarrow").union(
         signatures_ds.select_columns(["doc_id", "shingles"]).map_batches(
             _tag_sigs, batch_format="pyarrow")
     )
 
-    def _bf(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.loc[g["side"] == 1, ["k", "shingles"]].drop_duplicates("k")
-        p = g[g["side"] == 0].drop(columns=["shingles"])
-        # free dedup: every copy of a (doc_a, doc_b) pair is co-located here
-        p = p.drop_duplicates(["doc_a", "doc_b"])
-        out = p.merge(s, on="k", how="inner").drop(columns=["k", "side"])
-        return out.rename(columns={"shingles": out_col})
+    def _attach(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.loc[g["side"] == 2, ["k", "shingles"]].drop_duplicates("k")
+        p = g[g["side"] != 2].drop(columns=["shingles"])
+        # free dedup of multi-band pair copies (co-located by endpoint key)
+        p = p.drop_duplicates(["doc_a", "doc_b", "side"])
+        return p.merge(s, on="k", how="inner").drop(columns=["k"])
 
-    return bucket_map_keyed(tagged, ["k"], _bf, num_buckets=num_buckets)
+    halves = bucket_map_keyed(tagged, ["k"], _attach,
+                              num_buckets=num_buckets)
 
-
-def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
-                       num_buckets: int | None = None):
-    """Exact-Jaccard verification of candidate pairs via two hash-partitioned
-    shingle attachments (never broadcast: both sides shuffled on the key,
-    scale-safe)."""
-    a = _attach_shingles(pairs_ds, signatures_ds, key_col="doc_a",
-                         out_col="sh_a", carry_binary=[],
-                         num_buckets=num_buckets)
-    ab = _attach_shingles(a, signatures_ds, key_col="doc_b",
-                          out_col="sh_b", carry_binary=["sh_a"],
-                          num_buckets=num_buckets)
-
-    def _jaccard(batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
+    def _jaccard(g: pd.DataFrame) -> pd.DataFrame:
+        a = g.loc[g["side"] == 0, ["doc_a", "doc_b", "shingles"]]
+        b = g.loc[g["side"] == 1, ["doc_a", "doc_b", "shingles"]]
+        m = a.merge(b, on=["doc_a", "doc_b"], suffixes=("_a", "_b"))
+        n = len(m)
         if n == 0:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64"),
                                  "jaccard": pd.Series([], dtype="float64")})
-        # vectorized pairwise set intersection: explode both shingle-hash
-        # sets to (pair_idx, hash) rows, count (pair, hash) collisions with
-        # ONE sort over the concatenated arrays — no per-pair Python
-        la = np.fromiter((len(b) // 8 for b in batch["sh_a"]),
-                         dtype=np.int64, count=n)
-        lb = np.fromiter((len(b) // 8 for b in batch["sh_b"]),
-                         dtype=np.int64, count=n)
-        flat_a = np.frombuffer(b"".join(batch["sh_a"]), dtype=np.uint64)
-        flat_b = np.frombuffer(b"".join(batch["sh_b"]), dtype=np.uint64)
-        ids = np.concatenate([
-            np.repeat(np.arange(n, dtype=np.int64), la),
-            np.repeat(np.arange(n, dtype=np.int64), lb),
-        ])
-        hashes = np.concatenate([flat_a, flat_b])
-        order = np.lexsort((hashes, ids))
-        sid, sh = ids[order], hashes[order]
-        # within-set hashes are distinct, so a duplicate (id, hash) adjacent
-        # pair means the hash is in BOTH sets
-        dup = (sid[1:] == sid[:-1]) & (sh[1:] == sh[:-1])
-        inter = np.bincount(sid[1:][dup], minlength=n).astype(np.float64)
-        union = (la + lb).astype(np.float64) - inter
-        j = np.divide(inter, union, out=np.zeros(n), where=union > 0)
-        out = batch[["doc_a", "doc_b"]].copy()
+        j = _jaccard_arrays(m["shingles_a"].to_numpy(),
+                            m["shingles_b"].to_numpy())
+        out = m[["doc_a", "doc_b"]].copy()
         # threshold on the UNROUNDED jaccard (matching the oracle's WHERE
         # jaccard >= t before round()), round only for output
         out["jaccard"] = np.round(j, 6)
         return out[j >= threshold].reset_index(drop=True)
 
-    return ab.map_batches(_jaccard, batch_format="pandas")
+    return bucket_map_keyed(halves, ["doc_a", "doc_b"], _jaccard,
+                            num_buckets=num_buckets)
 
 
 def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
