@@ -629,23 +629,54 @@ def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
 # ----------------------------------------------------------------------
 # Connected-component dup clustering over the near-dup pair graph.
 # ----------------------------------------------------------------------
+def _components_single_task(und) -> "pa.Table":
+    """Union-find over a coalesced edge block: one task, numpy-vectorized
+    hash-to-min iterations over in-memory arrays (millions of edges/s)."""
+
+    def _cc(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        eu, ev = inv[: len(u)], inv[len(u):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            # pointer-jump then pull the min neighbor label across edges
+            label = label[label]
+            new = label.copy()
+            np.minimum.at(new, eu, label[ev])
+            np.minimum.at(new, ev, label[eu])
+            if np.array_equal(new, label):
+                break
+            label = new
+        return pa.Table.from_arrays(
+            [pa.array(nodes), pa.array(nodes[label])],
+            names=["doc_id", "component_id"])
+
+    return und.repartition(1).map_batches(
+        _cc, batch_format="pyarrow", batch_size=None)
+
+
 def dedup_components(pairs_ds, *, max_iters: int = 50,
-                     num_buckets: int | None = None):
+                     num_buckets: int | None = None,
+                     single_task_max_edges: int = 50_000_000):
     """(doc_a, doc_b) near-dup edges -> (doc_id, component_id).
 
     ``component_id`` is the minimum doc_id reachable in the undirected
     pair graph — the canonical representative each dup cluster keeps.
-    Distributed hash-to-min label propagation: every round is one
-    bucket-hash join of the current labels across the edge list plus one
-    min-reduce per node, converging in O(log diameter) rounds (dup
-    clusters are shallow in practice — pairs and small cliques).
 
-    Scale notes: the edge list and label table are bounded by the number
-    of docs that appear in ANY verified near-dup pair — a small fraction
-    of the corpus (the partitioning assumption). The per-round label
-    table is materialized (object-store-resident) so each iteration's
-    plan does not replay all previous rounds; the corpus itself never
-    enters this operator.
+    The edge list is bounded by the number of docs in ANY verified
+    near-dup pair — a small fraction of the corpus (the partitioning
+    assumption); the corpus itself never enters this operator. Up to
+    ``single_task_max_edges`` (~1.6 GB of int64 pairs at the 50M default)
+    the components run as ONE task of numpy union-find over the coalesced
+    edge block — each distributed label-propagation round costs two
+    all-to-all barriers, which at any realistic dup-graph size dwarfs the
+    in-memory solve (measured: 17 s of rounds vs <1 s single-task on a
+    500-edge graph). Beyond the threshold it falls back to distributed
+    hash-to-min label propagation: per round, one bucket-hash join of the
+    current labels across the edge list plus one min-reduce per node,
+    converging in O(log diameter) rounds, the per-round label table
+    materialized so iterations don't replay prior rounds.
     """
     from ..util import bucket_aggregate, bucket_join
 
@@ -659,6 +690,9 @@ def dedup_components(pairs_ds, *, max_iters: int = 50,
     und = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
         _undirect, batch_format="pyarrow"
     ).materialize()  # re-scanned every round; edges only, not the corpus
+
+    if und.count() <= single_task_max_edges:
+        return _components_single_task(und)
 
     # label(v) = min(v, min neighbor)
     labels = bucket_aggregate(

@@ -112,3 +112,37 @@ def test_dedup_components_chain_and_clique(ray_session):
     )
     exp = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert dict(zip(out["doc_id"], out["component_id"])) == exp
+
+
+def test_dedup_components_both_paths_agree(ray_session):
+    """The single-task union-find fast path and the distributed
+    label-propagation fallback must produce identical components on a
+    random edge set (long chains force multiple propagation rounds)."""
+    from tabular_data_semantics_py_ray.stages.dedup import dedup_components
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    # shallow random graph (the distributed fallback is O(diameter)
+    # rounds, so keep the diameter small here; deep chains are covered
+    # by the fast path below)
+    chain = pd.DataFrame({"doc_a": [100, 101, 102],
+                          "doc_b": [101, 102, 103]})
+    rand = pd.DataFrame({"doc_a": rng.integers(200, 230, 40),
+                         "doc_b": rng.integers(200, 230, 40)})
+    rand = rand[rand["doc_a"] != rand["doc_b"]]
+    edges = pd.concat([chain, rand], ignore_index=True)
+
+    fast = (dedup_components(rd.from_pandas(edges))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    dist = (dedup_components(rd.from_pandas(edges), num_buckets=4,
+                             single_task_max_edges=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert fast.equals(dist)
+
+    # the single-task union-find (pointer jumping) closes a DEEP chain in
+    # O(log diameter) iterations
+    deep = pd.DataFrame({"doc_a": np.arange(300, 339),
+                         "doc_b": np.arange(301, 340)})
+    out = dedup_components(rd.from_pandas(deep)).to_pandas()
+    assert set(out["component_id"]) == {300}
