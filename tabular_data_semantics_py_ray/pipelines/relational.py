@@ -268,7 +268,7 @@ def events_sessionize(sf_dir: str, *, gap_minutes: int = 30):
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return bucket_map_keyed(ev, ["user_id"], _sessions, num_buckets=32)
+    return bucket_map_keyed(ev, ["user_id"], _sessions)
 
 
 def events_tumbling_1h(sf_dir: str):
@@ -295,7 +295,6 @@ def events_tumbling_1h(sf_dir: str):
         keyed,
         ["event_type", "hour_bucket"],
         {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
-        num_buckets=32,
     )
     return agg.map_batches(
         lambda b: b.assign(sum_value=b["sum_value"].round(2)), batch_format="pandas"
