@@ -116,6 +116,12 @@ def q_top_parts_by_revenue(sf_dir: str):
     return top_parts_by_revenue(sf_dir)
 
 
+def q_events_sliding_1h15m(sf_dir: str):
+    from .pipelines.relational import events_sliding_1h15m
+
+    return events_sliding_1h15m(sf_dir)
+
+
 def q_events_by_type(sf_dir: str):
     from .pipelines.relational import events_by_type
 
@@ -402,5 +408,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_doc_most_specific": q_kg_doc_most_specific,
         "events_sessionize": q_events_sessionize,
         "events_tumbling_1h": q_events_tumbling_1h,
+        "events_sliding_1h15m": q_events_sliding_1h15m,
         "emb_label_stats": q_emb_label_stats,
     }

@@ -764,6 +764,18 @@ SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2"""
 
+    # sliding window: each event lands in window/slide = 4 consecutive
+    # 15-min-start windows (engine: relational.events_sliding_1h15m)
+    o["events_sliding_1h15m"] = """
+WITH x AS (
+  SELECT event_type, value,
+         (epoch_us(ts) // 900000000 - b.i) * 900000000 AS window_start
+  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) b
+)
+SELECT event_type, window_start, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM x GROUP BY 1, 2"""
+
     o["emb_label_stats"] = """
 SELECT cast(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm

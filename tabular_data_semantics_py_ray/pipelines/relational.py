@@ -330,3 +330,45 @@ def embedding_label_stats(sf_dir: str):
         return b[["label", "n", "avg_norm"]]
 
     return agg.map_batches(_final, batch_format="pandas")
+
+
+def events_sliding_1h15m(sf_dir: str, *, window_us: int = 3_600_000_000,
+                         slide_us: int = 900_000_000):
+    """Sliding-window aggregate per event_type (1 h window sliding every
+    15 min): (event_type, window_start, n_events, sum_value).
+
+    Each event belongs to ``window_us / slide_us`` consecutive windows, so
+    the expansion is a bounded vectorized flat-map (numpy repeat/tile, one
+    output row per (event, window)); the aggregate is the same two-phase
+    bucket shuffle as the tumbling operator — per-batch partials collapse
+    the k-fold expansion before anything moves.
+    """
+    import numpy as np
+
+    from ..util import bucket_aggregate
+
+    k = window_us // slide_us
+    ev = _read(sf_dir, "events", ["event_type", "ts", "value"],
+               blocks=fanout_blocks(0.5))
+
+    def _expand(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        slot = ts // slide_us
+        n = len(slot)
+        rep = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+        offs = np.tile(np.arange(k, dtype=np.int64), n)
+        start = (np.repeat(slot, k) - offs) * slide_us
+        return pa.Table.from_arrays(
+            [t.column("event_type").take(rep), pa.array(start),
+             t.column("value").take(rep)],
+            names=["event_type", "window_start", "value"])
+
+    keyed = ev.map_batches(_expand, batch_format="pyarrow")
+    agg = bucket_aggregate(
+        keyed,
+        ["event_type", "window_start"],
+        {"n_events": ("value", "count"), "sum_value": ("value", "sum")},
+    )
+    return agg.map_batches(
+        lambda b: b.assign(sum_value=b["sum_value"].round(2)), batch_format="pandas"
+    )
