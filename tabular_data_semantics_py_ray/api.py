@@ -122,6 +122,12 @@ def q_events_sliding_1h15m(sf_dir: str):
     return events_sliding_1h15m(sf_dir)
 
 
+def q_events_asof_order(sf_dir: str):
+    from .pipelines.relational import events_last_order_asof
+
+    return events_last_order_asof(sf_dir)
+
+
 def q_events_by_type(sf_dir: str):
     from .pipelines.relational import events_by_type
 
@@ -409,5 +415,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": q_events_sessionize,
         "events_tumbling_1h": q_events_tumbling_1h,
         "events_sliding_1h15m": q_events_sliding_1h15m,
+        "events_asof_order": q_events_asof_order,
         "emb_label_stats": q_emb_label_stats,
     }

@@ -776,6 +776,20 @@ SELECT event_type, window_start, count(*) AS n_events,
        round(sum(value), 2) AS sum_value
 FROM x GROUP BY 1, 2"""
 
+    # as-of join: latest order at-or-before each event (ties: max orderkey)
+    o["events_asof_order"] = """
+WITH j AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         o.o_orderkey, epoch_us(o.o_orderdate) AS order_date_us,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+           AS rn
+  FROM events e JOIN orders o
+    ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts_us, o_orderkey, order_date_us
+FROM j WHERE rn = 1"""
+
     o["emb_label_stats"] = """
 SELECT cast(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm

@@ -372,3 +372,82 @@ def events_sliding_1h15m(sf_dir: str, *, window_us: int = 3_600_000_000,
     return agg.map_batches(
         lambda b: b.assign(sum_value=b["sum_value"].round(2)), batch_format="pandas"
     )
+
+
+def events_last_order_asof(sf_dir: str):
+    """As-of join — a join shape Ray Data has no native operator for:
+    each event is joined to the SAME USER's latest order at or before the
+    event timestamp (ties on order date broken by max o_orderkey, made
+    deterministic on both engine and oracle side).
+
+    Ray shape: events and orders are tagged into one superset schema and
+    co-located by ``user_id`` with ONE bucket shuffle; each bucket runs a
+    vectorized ``pandas.merge_asof`` (backward direction). Partitioning
+    assumption: all rows of one user share a bucket (guaranteed — the
+    bucket key IS the user id), and a single user's history fits a worker;
+    timestamps are emitted as epoch microseconds (int64) so the oracle
+    compare is exact. Inner semantics: events before the user's first
+    order are dropped.
+    """
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"],
+               blocks=fanout_blocks(0.5))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+                   blocks=fanout_blocks(0.25))
+
+    def _tag_ev(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        import numpy as np
+        return pa.Table.from_arrays(
+            [t.column("user_id").cast(pa.int64()),
+             pa.array(np.zeros(n, dtype=np.int8)),
+             t.column("event_id").cast(pa.int64()),
+             t.column("ts").cast(pa.int64()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["user_id", "_side", "event_id", "ts_us",
+                   "o_orderkey", "order_date_us"])
+
+    def _tag_od(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        import numpy as np
+        return pa.Table.from_arrays(
+            [t.column("o_custkey").cast(pa.int64()),
+             pa.array(np.ones(n, dtype=np.int8)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             t.column("o_orderkey").cast(pa.int64()),
+             t.column("o_orderdate").cast(pa.int64())],
+            names=["user_id", "_side", "event_id", "ts_us",
+                   "o_orderkey", "order_date_us"])
+
+    tagged = ev.map_batches(_tag_ev, batch_format="pyarrow").union(
+        orders.map_batches(_tag_od, batch_format="pyarrow"))
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        e = (g.loc[g["_side"] == 0, ["event_id", "user_id", "ts_us"]]
+             .sort_values("ts_us", kind="mergesort"))
+        o = (g.loc[g["_side"] == 1,
+                   ["user_id", "order_date_us", "o_orderkey"]]
+             .sort_values(["order_date_us", "o_orderkey"], kind="mergesort"))
+        if len(e) == 0 or len(o) == 0:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "order_date_us": pd.Series([], dtype="int64"),
+            })
+        m = pd.merge_asof(e, o, left_on="ts_us", right_on="order_date_us",
+                          by="user_id", direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "ts_us": m["ts_us"].astype("int64"),
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "order_date_us": m["order_date_us"].astype("int64"),
+        })
+
+    return bucket_map_keyed(tagged, ["user_id"], _asof)
