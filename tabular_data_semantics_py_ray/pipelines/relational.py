@@ -19,7 +19,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..util import fanout_blocks
+from ..util import fanout_blocks, list_column_matrix
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
@@ -311,7 +311,7 @@ def embedding_label_stats(sf_dir: str):
     emb = _read(sf_dir, "embeddings", ["label", "embedding"], blocks=fanout_blocks(0.25))
 
     def _norms(t: pa.Table) -> pa.Table:
-        X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+        X = list_column_matrix(t.column("embedding"))
         return pa.Table.from_arrays(
             [t.column("label").cast(pa.int64()),
              pa.array(np.sqrt((X * X).sum(axis=1)))],

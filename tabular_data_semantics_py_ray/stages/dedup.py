@@ -20,6 +20,7 @@ from ..util import (
     bucket_aggregate,
     bucket_distinct,
     bucket_map_keyed,
+    list_column_matrix,
     rename_cols,
 )
 from ..functions.hashing import FastMinHasher, hamming64, simhash64
@@ -536,7 +537,7 @@ def near_dup_pairs_exact_embedding(embeddings_ds, *, threshold: float = 0.4,
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
 
     def _norm(batch: pa.Table) -> pa.Table:
-        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        X = list_column_matrix(batch.column("embedding"))
         Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
         return pa.Table.from_arrays(
             [batch.column("vec_id").cast(pa.int64()),
@@ -561,13 +562,13 @@ def near_dup_pairs_exact_embedding(embeddings_ds, *, threshold: float = 0.4,
                           batch.column("fb").to_pylist()):
             ta = pq.read_table(fa, columns=["vec_id", "nvec"])
             ids_a = ta.column("vec_id").to_numpy()
-            A = np.stack(ta.column("nvec").to_pylist())
+            A = list_column_matrix(ta.column("nvec"))
             if fa == fb:
                 ids_b, B = ids_a, A
             else:
                 tb = pq.read_table(fb, columns=["vec_id", "nvec"])
                 ids_b = tb.column("vec_id").to_numpy()
-                B = np.stack(tb.column("nvec").to_pylist())
+                B = list_column_matrix(tb.column("nvec"))
             S = A @ B.T
             if fa == fb:
                 ia, ib = np.triu_indices(len(ids_a), k=1)
@@ -611,7 +612,7 @@ def near_dup_pairs_embedding(embeddings_ds, *, threshold: float = 0.95,
     candidates, then exact cosine verification inside each bucket group.
     """
     def _bucket(batch: pa.Table) -> pa.Table:
-        X = np.stack(batch.column("embedding").to_pylist()).astype(np.float64)
+        X = list_column_matrix(batch.column("embedding"))
         dim = X.shape[1]
         # fixed-seed hyperplanes: identical in every task/process
         planes = np.random.RandomState(seed).standard_normal((bands, 8, dim))

@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray
 
+from ..util import list_column_matrix
+
 
 def _normalize(X: np.ndarray) -> np.ndarray:
     return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
@@ -32,7 +34,7 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        X = _normalize(list_column_matrix(batch.column("embedding")))
         S = self.Q @ X.T  # (q, n)
         out_q, out_n, out_s = [], [], []
         for qi in range(len(self.q_ids)):
@@ -193,7 +195,7 @@ class IVFTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        X = _normalize(np.stack(batch.column("embedding").to_pylist()).astype(np.float64))
+        X = _normalize(list_column_matrix(batch.column("embedding")))
         cells = (X @ self.C.T).argmax(axis=1)
         S = self.Q @ X.T
         out_q, out_n, out_s = [], [], []

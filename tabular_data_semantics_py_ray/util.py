@@ -124,6 +124,21 @@ def fanout_blocks(frac: float = 1.0, lo: int = 4, hi: int = 4096) -> int:
     return min(hi, max(lo, int(cpus * frac)))
 
 
+def list_column_matrix(col) -> np.ndarray:
+    """Fixed-length ``list<float>`` column -> (n, d) float64 matrix via the
+    flattened Arrow values buffer — no per-row Python lists (the
+    ``np.stack(col.to_pylist())`` idiom materializes every row as a Python
+    list of floats; this reads one contiguous buffer)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False)
+    return flat.reshape(n, -1)
+
+
 def _bucket_of(df: pd.DataFrame, keys: list[str], num_buckets: int) -> np.ndarray:
     h = pd.util.hash_pandas_object(df[keys], index=False).to_numpy()
     return (h % num_buckets).astype(np.int64)
