@@ -430,11 +430,52 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
 # ----------------------------------------------------------------------
 # SimHash near-dup: 4-segment pigeonhole blocking for hamming <= 3.
 # ----------------------------------------------------------------------
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+
+
 def _simhash_batch(batch: pa.Table) -> pa.Table:
-    texts = batch.column("text").to_pylist()
-    sh = np.fromiter(
-        (simhash64(t.split(" ")) for t in texts), dtype=np.uint64, count=len(texts)
-    )
+    """Vectorized batch SimHash, bit-identical to the scalar ``simhash64``
+    (asserted in tests): Arrow tokenizes, md5 runs once per DISTINCT token
+    in the batch (process-cached — the md5 bit derivation is what makes
+    the signature DuckDB-reproducible, see the dedup_simhash oracle), and
+    the per-doc per-bit majority sums are one ``reduceat`` over token
+    rows."""
+    from ..functions.hashing import md5_hash64
+
+    ndocs = batch.num_rows
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = off - off[0]
+    flat = toks.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.Table.from_arrays(
+            [batch.column("doc_id"),
+             pa.array(np.zeros(ndocs, dtype=np.uint64))],
+            names=["doc_id", "simhash"])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, t in enumerate(uniq):
+        h = _MD5_TOKEN_CACHE.get(t)
+        if h is None:
+            h = _MD5_TOKEN_CACHE[t] = md5_hash64(t)
+        hs[i] = h
+    # (U, 64) signed bit contributions, gathered per token, summed per doc
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int8)
+    contrib = (2 * bits - 1)[inv]  # (T, 64) int8
+    lens = off[1:] - off[:-1]
+    sums = np.zeros((ndocs, 64), dtype=np.int64)
+    nonempty = lens > 0
+    starts = off[:-1][nonempty]
+    sums[nonempty] = np.add.reduceat(
+        contrib.astype(np.int64), starts, axis=0)[
+        np.arange(int(nonempty.sum()))]
+    sh = ((sums > 0).astype(np.uint64)
+          << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1,
+                                                          dtype=np.uint64)
+    sh[~nonempty] = 0
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pa.array(sh)], names=["doc_id", "simhash"]
     )

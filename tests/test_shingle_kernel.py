@@ -93,3 +93,21 @@ def test_sliced_batch_offsets():
     )
     assert got.column("shingles").to_pylist() == ref.column("shingles").to_pylist()
     assert got.column("sig").to_pylist() == ref.column("sig").to_pylist()
+
+
+def test_simhash_batch_matches_scalar():
+    """The vectorized batch SimHash equals the scalar simhash64 per doc,
+    including repeated tokens, single-token docs and empty text (Python
+    .split(' ') and Arrow split_pattern both yield [''] for '')."""
+    import pyarrow as pa
+
+    from tabular_data_semantics_py_ray.functions.hashing import simhash64
+    from tabular_data_semantics_py_ray.stages.dedup import _simhash_batch
+
+    texts = ["alpha beta gamma", "alpha alpha beta", "zeta", "",
+             "beta gamma delta epsilon zeta eta theta"]
+    batch = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts})
+    got = _simhash_batch(batch).column("simhash").to_pylist()
+    want = [simhash64(t.split(" ")) for t in texts]
+    assert got == want
