@@ -34,9 +34,12 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        # optional passthrough (e.g. neighbor label for the k-NN vote —
+        # carrying it here deletes a whole join downstream)
+        carry = ("label",) if "label" in batch.column_names else ()
         X = _normalize(list_column_matrix(batch.column("embedding")))
         S = self.Q @ X.T  # (q, n)
-        out_q, out_n, out_s = [], [], []
+        out_q, out_n, out_s, out_sel = [], [], [], []
         for qi in range(len(self.q_ids)):
             sims = S[qi]
             mask = ids != self.q_ids[qi]  # exclude self-match
@@ -50,19 +53,23 @@ class BruteForceTopK:
             out_q.append(np.full(len(sel), self.q_ids[qi], dtype=np.int64))
             out_n.append(ids[sel].astype(np.int64))
             out_s.append(sims[sel])
+            out_sel.append(sel)
         if not out_q:
             return pa.Table.from_arrays(
                 [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
-                 pa.array([], type=pa.float64())],
-                names=["query_id", "neighbor_id", "sim"],
+                 pa.array([], type=pa.float64())]
+                + [batch.column(c).slice(0, 0) for c in carry],
+                names=["query_id", "neighbor_id", "sim", *carry],
             )
+        sel_all = pa.array(np.concatenate(out_sel))
         return pa.Table.from_arrays(
             [
                 pa.array(np.concatenate(out_q)),
                 pa.array(np.concatenate(out_n)),
                 pa.array(np.concatenate(out_s)),
-            ],
-            names=["query_id", "neighbor_id", "sim"],
+            ]
+            + [batch.column(c).take(sel_all) for c in carry],
+            names=["query_id", "neighbor_id", "sim", *carry],
         )
 
 
@@ -127,28 +134,43 @@ def _topk_reduce(partial, k: int):
 
 def ann_label_vote(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10):
     """k-NN classification: majority label among the top-k neighbors,
-    ties broken by smallest label. -> (query_id, pred_label)."""
-    topk = ann_topk(embeddings_ds, queries_df, k=k)
-    labels = embeddings_ds.select_columns(["vec_id", "label"])
-    joined = topk.join(
-        labels,
-        join_type="inner",
-        num_partitions=4,
-        on=("neighbor_id",),
-        right_on=("vec_id",),
+    ties broken by smallest label. -> (query_id, pred_label).
+
+    The neighbor label rides through the brute-force partials (the kernel's
+    passthrough), so the vote is computed straight off the global top-k in
+    the final coalesced block — no neighbor_id->label join, no vote
+    shuffle."""
+    queries_ref = ray.put(queries_df)
+    partial = embeddings_ds.select_columns(
+        ["vec_id", "embedding", "label"]
+    ).map_batches(
+        _bf_partial,
+        fn_kwargs={"queries_ref": queries_ref, "k": k},
+        batch_format="pyarrow",
     )
 
-    def _vote(group: pd.DataFrame) -> pd.DataFrame:
-        counts = (
-            group.groupby("label").size().reset_index(name="n")
-            .sort_values(["n", "label"], ascending=[False, True], kind="mergesort")
-        )
-        return pd.DataFrame(
-            {"query_id": [group["query_id"].iloc[0]],
-             "pred_label": [int(counts["label"].iloc[0])]}
-        )
+    def _thin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "sim", "neighbor_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("query_id", sort=False).head(k)
 
-    return joined.groupby("query_id").map_groups(_vote, batch_format="pandas")
+    def _vote_final(df: pd.DataFrame) -> pd.DataFrame:
+        top = _thin(df)  # exact global top-k per query, labels attached
+        counts = (top.groupby(["query_id", "label"]).size()
+                  .reset_index(name="n")
+                  .sort_values(["query_id", "n", "label"],
+                               ascending=[True, False, True],
+                               kind="mergesort"))
+        win = counts.drop_duplicates("query_id")
+        return pd.DataFrame({
+            "query_id": win["query_id"].to_numpy(),
+            "pred_label": win["label"].astype("int64").to_numpy(),
+        })
+
+    lvl1 = partial.repartition(8).map_batches(
+        _thin, batch_format="pandas", batch_size=None)
+    return lvl1.repartition(1).map_batches(
+        _vote_final, batch_format="pandas", batch_size=None)
 
 
 # ---------------------------------------------------------------------------
