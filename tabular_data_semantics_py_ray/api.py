@@ -286,6 +286,24 @@ def q_emb_label_stats(sf_dir: str):
     return embedding_label_stats(sf_dir)
 
 
+def q_orders_ship_window(sf_dir: str):
+    from .pipelines.relational import orders_ship_window
+
+    return orders_ship_window(sf_dir)
+
+
+def q_doc_tfidf_top5(sf_dir: str):
+    from .pipelines.relational import doc_tfidf_topk
+
+    return doc_tfidf_topk(sf_dir)
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    from .pipelines.relational import doc_len_quantiles
+
+    return doc_len_quantiles(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -416,5 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": q_events_tumbling_1h,
         "events_sliding_1h15m": q_events_sliding_1h15m,
         "events_asof_order": q_events_asof_order,
+        "orders_ship_window": q_orders_ship_window,
+        "doc_tfidf_top5": q_doc_tfidf_top5,
+        "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
     }

@@ -790,6 +790,40 @@ WITH j AS (
 SELECT event_id, user_id, ts_us, o_orderkey, order_date_us
 FROM j WHERE rn = 1"""
 
+    o["orders_ship_window"] = """
+SELECT o.o_orderkey, count(*) AS n_items,
+       round(sum(l.l_quantity), 2) AS sum_qty
+FROM orders o JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + 259200000000
+GROUP BY 1"""
+
+    o["doc_tfidf_top5"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents),
+s AS (
+  SELECT t.doc_id, t.token, t.tf, t.tf * ln(n.n / d.df) AS score
+  FROM tf t JOIN df d ON t.token = d.token CROSS JOIN n
+),
+w AS (
+  SELECT doc_id, token, tf, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rn
+  FROM s
+)
+SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
+
+    o["doc_len_quantiles"] = """
+SELECT lang, count(*) AS n_docs,
+       quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY lang"""
+
     o["emb_label_stats"] = """
 SELECT cast(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm

@@ -451,3 +451,244 @@ def events_last_order_asof(sf_dir: str):
         })
 
     return bucket_map_keyed(tagged, ["user_id"], _asof)
+
+
+def orders_ship_window(sf_dir: str, *, window_days: int = 3):
+    """Range (interval) join WITHOUT an equi-key — a join shape Ray Data has
+    no native operator for: count/sum the lineitems (of ANY order) whose
+    ship date falls in each order's window
+    ``[o_orderdate, o_orderdate + window_days)``.
+
+    Ray shape (the textbook distributed interval join): pick a coarse time
+    bucket (1 day); every ORDER is replicated to each day-bucket its window
+    overlaps (bounded fan-out of ``window_days + 1`` rows), every LINEITEM
+    goes to exactly ONE bucket (its ship day) — so each (item, order) pair
+    meets in exactly one bucket and is tested exactly once, no pair dedup
+    needed. Inside a bucket the join is O(n log n), not O(n*m): order starts
+    are sorted and each item's matching orders are the contiguous
+    searchsorted slice ``start in (ts - window, ts]``; per-order partial
+    sums come from a difference array over that slice (add at lo, subtract
+    at hi, cumsum) — no pair materialization at all. Partial
+    (o_orderkey, n, sum) rows then collapse in a tiny second-phase groupby.
+    Partitioning assumption: one day-bucket fits a worker (salt the day key
+    with an item-hash suffix and replicate orders per salt if a single day
+    is ever hot).
+    """
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    DAY_US = 86_400_000_000
+    win_us = window_days * DAY_US
+    items = _read(sf_dir, "lineitem", ["l_shipdate", "l_quantity"],
+                  blocks=fanout_blocks(0.5))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"],
+                   blocks=fanout_blocks(0.25))
+
+    def _tag_it(t: pa.Table) -> pa.Table:
+        ts = t.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(ts)
+        return pa.Table.from_arrays(
+            [pa.array(ts // DAY_US), pa.array(np.zeros(n, dtype=np.int8)),
+             pa.array(ts), t.column("l_quantity"),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             pa.array(np.full(n, -1, dtype=np.int64))],
+            names=["day", "_side", "ts_us", "value", "o_orderkey", "start_us"])
+
+    def _tag_od(t: pa.Table) -> pa.Table:
+        start = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        okey = t.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        first_day = start // DAY_US
+        last_day = (start + win_us - 1) // DAY_US
+        n_days = (last_day - first_day + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(start), dtype=np.int64), n_days)
+        # per-replica day offset: 0..n_days[i]-1
+        offs = np.arange(len(rep), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_days)[:-1])), n_days)
+        day = first_day[rep] + offs
+        m = len(rep)
+        return pa.Table.from_arrays(
+            [pa.array(day), pa.array(np.ones(m, dtype=np.int8)),
+             pa.array(np.full(m, -1, dtype=np.int64)),
+             pa.array(np.zeros(m, dtype=np.float64)),
+             pa.array(okey[rep]), pa.array(start[rep])],
+            names=["day", "_side", "ts_us", "value", "o_orderkey", "start_us"])
+
+    tagged = items.map_batches(_tag_it, batch_format="pyarrow").union(
+        orders.map_batches(_tag_od, batch_format="pyarrow"))
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["_side"] == 0]
+        # several day-buckets hash into one group; an order's replicas are
+        # identical except day, and the join predicate is exact, so dedup by
+        # key — each (item, order) pair still meets here exactly once (the
+        # item's day is among the order's replicated days by construction)
+        o = g[g["_side"] == 1].drop_duplicates(subset=["o_orderkey"])
+        empty = pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "n": pd.Series([], dtype="int64"),
+            "sum_value": pd.Series([], dtype="float64"),
+        })
+        if len(e) == 0 or len(o) == 0:
+            return empty
+        starts = o["start_us"].to_numpy()
+        order_idx = np.argsort(starts, kind="stable")
+        starts = starts[order_idx]
+        okeys = o["o_orderkey"].to_numpy()[order_idx]
+        ts = e["ts_us"].to_numpy()
+        vals = e["value"].to_numpy()
+        # start in (ts - win, ts]  <=>  o_orderdate <= ts < o_orderdate + win
+        lo = np.searchsorted(starts, ts - win_us, side="right")
+        hi = np.searchsorted(starts, ts, side="right")
+        m = len(starts)
+        cnt_d = np.zeros(m + 1, dtype=np.int64)
+        val_d = np.zeros(m + 1, dtype=np.float64)
+        np.add.at(cnt_d, lo, 1)
+        np.add.at(cnt_d, hi, -1)
+        np.add.at(val_d, lo, vals)
+        np.add.at(val_d, hi, -vals)
+        cnt = np.cumsum(cnt_d[:-1])
+        sums = np.cumsum(val_d[:-1])
+        keep = cnt > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame({
+            "o_orderkey": okeys[keep],
+            "n": cnt[keep],
+            "sum_value": sums[keep],
+        })
+
+    partials = bucket_map_keyed(tagged, ["day"], _bucket)
+    agg = bucket_aggregate(
+        partials, ["o_orderkey"],
+        {"n_items": ("n", "sum"), "sum_qty": ("sum_value", "sum")})
+    return agg.map_batches(
+        lambda b: b.assign(sum_qty=b["sum_qty"].round(2)),
+        batch_format="pandas")
+
+
+def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
+    """Per-document TF-IDF top-k terms — the broadcast-small-side corpus
+    scorer. Document frequencies reduce with a per-batch combiner + one tiny
+    token groupby; the (token -> df) map is put in the object store ONCE
+    (``ray.put``, zero-copy read per task) and the corpus is then scored in
+    a SINGLE shuffle-free pass: a document's tokens are batch-local by
+    construction, so tf, the tf*idf score and the per-doc top-k never leave
+    the batch.
+
+    At 100 TB the df map is vocabulary-sized: prune it (min_df / top-V)
+    before the broadcast, or swap the broadcast for ``util.bucket_join`` on
+    token (one corpus shuffle instead of a driver-held vocab). idf values
+    are computed once per distinct df with scalar ``math.log`` so the oracle
+    (libm ln) sees bit-identical doubles.
+    """
+    import math
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..util import bucket_aggregate
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _pairs(t: pa.Table):
+        """Per-batch (doc_idx, token_code, tf) via dictionary codes."""
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(toks)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        pair = doc_idx * len(vocab) + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        return upair // len(vocab), (upair % len(vocab)), tf, vocab
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        doc_of, code_of, _, vocab = _pairs(t)
+        dfp = np.bincount(code_of, minlength=len(vocab))
+        return pa.Table.from_arrays(
+            [vocab, pa.array(dfp.astype(np.int64))], names=["token", "df"])
+
+    df_tbl = bucket_aggregate(
+        docs.map_batches(_df_partial, batch_format="pyarrow"),
+        ["token"], {"df": ("df", "sum")},
+    ).to_pandas()
+    toks_sorted = np.sort(df_tbl["token"].to_numpy())
+    order = np.argsort(df_tbl["token"].to_numpy(), kind="stable")
+    dfs_sorted = df_tbl["df"].to_numpy()[order]
+    # idf per distinct df with scalar libm log (bit-parity with DuckDB ln)
+    idf_of_df = {int(d): math.log(n_docs / int(d))
+                 for d in np.unique(dfs_sorted)}
+    idf_sorted = np.array([idf_of_df[int(d)] for d in dfs_sorted])
+    df_ref = ray.put((toks_sorted, idf_sorted))
+
+    def _score(t: pa.Table) -> pa.Table:
+        toks_g, idf_g = ray.get(df_ref)
+        doc_of, code_of, tf, vocab = _pairs(t)
+        vtok = vocab.to_numpy(zero_copy_only=False)
+        gidx = np.searchsorted(toks_g, vtok)
+        score = tf * idf_g[gidx][code_of]
+        tok_strs = vtok[code_of]
+        order = np.lexsort((tok_strs, -score, doc_of))
+        d = doc_of[order]
+        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        sizes = np.diff(np.concatenate((starts, [len(d)])))
+        rank = np.arange(len(d)) - np.repeat(starts, sizes)
+        keep = order[rank < k]
+        doc_ids = t.column("doc_id").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [doc_ids.take(pa.array(doc_of[keep])),
+             pa.array(tok_strs[keep]),
+             pa.array(tf[keep].astype(np.int64)),
+             pa.array(np.round(score[keep], 6))],
+            names=["doc_id", "token", "tf", "score"])
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def doc_len_quantiles(sf_dir: str):
+    """Exact distributed order statistics WITHOUT a global sort: p50/p90/p99
+    of ``n_chars`` per language, DuckDB ``quantile_disc`` semantics (the
+    sorted element at 0-based index ``ceil(q*n) - 1``).
+
+    Ray shape: the counting-sort quantile — per-batch (lang, n_chars)
+    histogram partials collapse in one tiny bucket shuffle (output is
+    |langs| x |distinct lengths|, corpus-size-independent), then each lang's
+    order statistic is read off the cumulative counts. Scales to any corpus
+    whose VALUE DOMAIN is bounded (here: document lengths); for unbounded /
+    continuous domains swap the exact histogram for fixed-width bins + a
+    second targeted pass, same shuffle shape.
+    """
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+    hist = bucket_aggregate(docs, ["lang", "n_chars"],
+                            {"cnt": ("n_chars", "count")})
+
+    def _stats(g: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            vals = grp["n_chars"].to_numpy()
+            cnts = grp["cnt"].to_numpy()
+            cum = np.cumsum(cnts)
+            n = int(cum[-1])
+            row = {"lang": lang, "n_docs": n}
+            for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+                kth = max(0, math.ceil(q * n) - 1)  # 0-based order stat
+                row[name] = int(vals[np.searchsorted(cum, kth + 1)])
+            out.append(row)
+        return pd.DataFrame(out, columns=["lang", "n_docs", "p50", "p90", "p99"])
+
+    return bucket_map_keyed(hist, ["lang"], _stats)

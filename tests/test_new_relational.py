@@ -1,0 +1,157 @@
+"""Randomized differential tests for the round-2 late additions:
+
+- the interval-join difference-array bucket kernel (orders_ship_window)
+  vs a quadratic reference, including the order-replica dedup property
+  (several day buckets hash into one group);
+- the counting-sort order statistic (doc_len_quantiles) vs DuckDB
+  quantile_disc on the same values;
+- the per-batch TF-IDF top-k kernel (doc_tfidf_topk) vs a pandas
+  reference.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+DAY_US = 86_400_000_000
+
+
+def _diffarray_join(starts, okeys, ts, vals, win_us):
+    """The orders_ship_window per-bucket kernel, verbatim shape."""
+    order_idx = np.argsort(starts, kind="stable")
+    starts = starts[order_idx]
+    okeys = okeys[order_idx]
+    lo = np.searchsorted(starts, ts - win_us, side="right")
+    hi = np.searchsorted(starts, ts, side="right")
+    m = len(starts)
+    cnt_d = np.zeros(m + 1, dtype=np.int64)
+    val_d = np.zeros(m + 1, dtype=np.float64)
+    np.add.at(cnt_d, lo, 1)
+    np.add.at(cnt_d, hi, -1)
+    np.add.at(val_d, lo, vals)
+    np.add.at(val_d, hi, -vals)
+    cnt = np.cumsum(cnt_d[:-1])
+    sums = np.cumsum(val_d[:-1])
+    keep = cnt > 0
+    return pd.DataFrame({"o_orderkey": okeys[keep], "n": cnt[keep],
+                         "sum_value": sums[keep]})
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=25, deadline=None)
+def test_interval_join_kernel_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    n_it, n_od = 60, 20
+    win_us = 3 * DAY_US
+    ts = rng.integers(0, 10 * DAY_US, n_it).astype(np.int64)
+    vals = np.round(rng.uniform(0, 50, n_it), 2)
+    starts = rng.integers(0, 10 * DAY_US, n_od).astype(np.int64)
+    okeys = np.arange(n_od, dtype=np.int64)
+
+    got = (_diffarray_join(starts, okeys, ts, vals, win_us)
+           .sort_values("o_orderkey").reset_index(drop=True))
+
+    rows = []
+    for k, s in zip(okeys, starts):
+        hit = (ts >= s) & (ts < s + win_us)
+        if hit.any():
+            rows.append((k, int(hit.sum()), float(vals[hit].sum())))
+    want = (pd.DataFrame(rows, columns=["o_orderkey", "n", "sum_value"])
+            .sort_values("o_orderkey").reset_index(drop=True))
+    assert got["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-9)
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=25, deadline=None)
+def test_interval_join_replica_dedup_is_lossless(seed):
+    """Replicating each order to every day its window overlaps, hashing
+    days into ONE group, then deduping replicas by key gives the same
+    result as the unreplicated kernel — the exact property the hash-bucket
+    collision in orders_ship_window relies on."""
+    rng = np.random.default_rng(seed)
+    win_us = 3 * DAY_US
+    starts = rng.integers(0, 6 * DAY_US, 12).astype(np.int64)
+    okeys = np.arange(12, dtype=np.int64)
+    ts = rng.integers(0, 6 * DAY_US, 40).astype(np.int64)
+    vals = np.ones(40)
+
+    first = starts // DAY_US
+    last = (starts + win_us - 1) // DAY_US
+    n_days = (last - first + 1).astype(np.int64)
+    rep = np.repeat(np.arange(len(starts)), n_days)
+    od = pd.DataFrame({"o_orderkey": okeys[rep], "start": starts[rep]})
+    ded = od.drop_duplicates(subset=["o_orderkey"])
+
+    a = _diffarray_join(ded["start"].to_numpy(), ded["o_orderkey"].to_numpy(),
+                        ts, vals, win_us)
+    b = _diffarray_join(starts, okeys, ts, vals, win_us)
+    pd.testing.assert_frame_equal(
+        a.sort_values("o_orderkey").reset_index(drop=True),
+        b.sort_values("o_orderkey").reset_index(drop=True))
+
+
+@given(st.lists(st.integers(1, 500), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_histogram_order_statistic_matches_duckdb(values):
+    """ceil(q*n)-1 read off cumulative histogram counts == quantile_disc."""
+    import duckdb
+
+    vals, cnts = np.unique(np.array(values, dtype=np.int64),
+                           return_counts=True)
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    got = {}
+    for name, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+        kth = max(0, math.ceil(q * n) - 1)
+        got[name] = int(vals[np.searchsorted(cum, kth + 1)])
+    want = duckdb.sql(
+        "SELECT quantile_disc(x, 0.5), quantile_disc(x, 0.9),"
+        f" quantile_disc(x, 0.99) FROM (SELECT unnest({list(values)}) x)"
+    ).fetchone()
+    assert (got["p50"], got["p90"], got["p99"]) == want
+
+
+@given(st.integers(0, 2**31))
+@settings(max_examples=20, deadline=None)
+def test_tfidf_topk_kernel_matches_pandas(seed):
+    """The lexsort top-k grouping in doc_tfidf_topk equals a pandas
+    groupby-rank reference (score desc, token asc, k per doc)."""
+    rng = np.random.default_rng(seed)
+    k = 3
+    n_docs, vocab = 8, list("abcdefghij")
+    rows = []
+    for d in range(n_docs):
+        toks = rng.choice(vocab, size=rng.integers(1, 15))
+        for t in toks:
+            rows.append((d, t))
+    df = pd.DataFrame(rows, columns=["doc", "token"])
+    tf = df.groupby(["doc", "token"]).size().rename("tf").reset_index()
+    dfreq = df.drop_duplicates().groupby("token").size().rename("df")
+    tf["score"] = [
+        t * math.log(n_docs / dfreq[tok])
+        for t, tok in zip(tf["tf"], tf["token"])
+    ]
+
+    doc_of = tf["doc"].to_numpy()
+    score = tf["score"].to_numpy()
+    tok = tf["token"].to_numpy()
+    order = np.lexsort((tok, -score, doc_of))
+    d = doc_of[order]
+    starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+    sizes = np.diff(np.concatenate((starts, [len(d)])))
+    rank = np.arange(len(d)) - np.repeat(starts, sizes)
+    keep = order[rank < k]
+    got = tf.iloc[keep].sort_values(["doc", "token"]).reset_index(drop=True)
+
+    want = (tf.sort_values(["doc", "score", "token"],
+                           ascending=[True, False, True])
+            .groupby("doc").head(k)
+            .sort_values(["doc", "token"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
