@@ -298,6 +298,12 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_contamination_8gram(sf_dir: str):
+    from .pipelines.relational import contamination_ngram
+
+    return contamination_ngram(sf_dir)
+
+
 def q_doc_len_quantiles(sf_dir: str):
     from .pipelines.relational import doc_len_quantiles
 
@@ -436,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": q_events_asof_order,
         "orders_ship_window": q_orders_ship_window,
         "doc_tfidf_top5": q_doc_tfidf_top5,
+        "contamination_8gram": q_contamination_8gram,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
     }

@@ -817,6 +817,17 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["contamination_8gram"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+SELECT g2.doc_id, count(*) AS n_contaminated
+FROM grams g2 JOIN bench b ON g2.g = b.g
+WHERE g2.doc_id % 10 <> 0 GROUP BY 1"""
+
     o["doc_len_quantiles"] = """
 SELECT lang, count(*) AS n_docs,
        quantile_disc(n_chars, 0.5) AS p50,

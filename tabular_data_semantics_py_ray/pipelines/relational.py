@@ -692,3 +692,82 @@ def doc_len_quantiles(sf_dir: str):
         return pd.DataFrame(out, columns=["lang", "n_docs", "p50", "p90", "p99"])
 
     return bucket_map_keyed(hist, ["lang"], _stats)
+
+
+def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
+    """Benchmark-contamination check (the GPT-3-style decontamination op):
+    flag corpus documents that share any verbatim token n-gram with a
+    held-out benchmark set (here: ``doc_id % bench_mod == 0``), reporting
+    the number of contaminated window positions per document.
+
+    Ray shape: the benchmark side is corpus-scale-INDEPENDENT (a fixed
+    eval suite), so its distinct n-grams reduce through one tiny bucket
+    shuffle and are broadcast once (``ray.put``, zero-copy per task); the
+    corpus is then scanned in a SINGLE shuffle-free map_batches pass —
+    tokens flatten once per batch, sliding windows come from zero-copy
+    Arrow slices joined element-wise (``binary_join_element_wise``, no
+    Python loop), and membership tests only each batch's DISTINCT grams
+    (dictionary-encode first). At 100 TB, hash grams to u64 on both sides
+    before the membership test to shrink the broadcast ~10x.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import bucket_distinct
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _grams(t: pa.Table):
+        """(doc_idx, gram) for every n-token window fully inside a doc."""
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(toks)
+        L = len(flat)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        if L < n:
+            return np.empty(0, dtype=np.int64), pa.array([], type=pa.string())
+        w = L - n + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, w) for j in range(n)], " ")
+        valid = doc_idx[:w] == doc_idx[n - 1:]
+        return doc_idx[:w][valid], grams.filter(pa.array(valid))
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids % bench_mod == 0))
+        _, grams = _grams(t)
+        return pa.Table.from_arrays([grams.unique()], names=["g"])
+
+    bench = bucket_distinct(
+        docs.map_batches(_bench_grams, batch_format="pyarrow"), ["g"]
+    ).to_pandas()
+    bench_sorted = np.sort(bench["g"].to_numpy())
+    bench_ref = ray.put(bench_sorted)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        bg = ray.get(bench_ref)
+        ids = t.column("doc_id").cast(pa.int64())
+        keep = ids.to_numpy(zero_copy_only=False) % bench_mod != 0
+        t = t.filter(pa.array(keep))
+        doc_of, grams = _grams(t)
+        denc = grams.dictionary_encode()
+        vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        if len(bg) == 0 or len(vocab) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+                names=["doc_id", "n_contaminated"])
+        pos = np.searchsorted(bg, vocab).clip(max=len(bg) - 1)
+        vocab_hit = bg[pos] == vocab
+        hit = vocab_hit[codes]
+        cnt = np.bincount(doc_of[hit], minlength=t.num_rows)
+        nz = np.flatnonzero(cnt)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()).take(pa.array(nz)),
+             pa.array(cnt[nz].astype(np.int64))],
+            names=["doc_id", "n_contaminated"])
+
+    return docs.map_batches(_scan, batch_format="pyarrow")

@@ -155,3 +155,31 @@ def test_tfidf_topk_kernel_matches_pandas(seed):
             .groupby("doc").head(k)
             .sort_values(["doc", "token"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_contamination_gram_windows_stay_inside_docs():
+    """The sliding-window gram builder must never emit a window spanning
+    two documents; counts must match a per-doc python reference."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = 3
+    texts = ["a b c d", "c d a", "x", "a b c"]
+    toks = pc.split_pattern(pa.array(texts), " ")
+    flat = pc.list_flatten(toks)
+    L = len(flat)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    w = L - n + 1
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(j, w) for j in range(n)], " ")
+    valid = doc_idx[:w] == doc_idx[n - 1:]
+    got = list(zip(doc_idx[:w][valid].tolist(),
+                   grams.filter(pa.array(valid)).to_pylist()))
+
+    want = []
+    for d, text in enumerate(texts):
+        ts = text.split(" ")
+        for i in range(max(0, len(ts) - n + 1)):
+            want.append((d, " ".join(ts[i:i + n])))
+    assert got == want
