@@ -298,6 +298,18 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_inverted_index(sf_dir: str):
+    from .pipelines.relational import inverted_index
+
+    return inverted_index(sf_dir)
+
+
+def q_split_assign(sf_dir: str):
+    from .pipelines.relational import split_assign
+
+    return split_assign(sf_dir)
+
+
 def q_contamination_8gram(sf_dir: str):
     from .pipelines.relational import contamination_ngram
 
@@ -443,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ship_window": q_orders_ship_window,
         "doc_tfidf_top5": q_doc_tfidf_top5,
         "contamination_8gram": q_contamination_8gram,
+        "inverted_index": q_inverted_index,
+        "split_assign": q_split_assign,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
     }

@@ -817,6 +817,29 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["inverted_index"] = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+),
+ranked AS (
+  SELECT token, doc_id,
+         row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+  FROM pairs
+)
+SELECT token, count(*) AS df,
+       string_agg(CASE WHEN rn <= 8 THEN cast(doc_id AS VARCHAR) END, ','
+                  ORDER BY doc_id) AS postings
+FROM ranked GROUP BY token"""
+
+    o["split_assign"] = """
+SELECT doc_id,
+       CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents"""
+
     o["contamination_8gram"] = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

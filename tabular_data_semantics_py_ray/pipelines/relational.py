@@ -771,3 +771,80 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
             names=["doc_id", "n_contaminated"])
 
     return docs.map_batches(_scan, batch_format="pyarrow")
+
+
+def inverted_index(sf_dir: str, *, cap: int = 8):
+    """Build a capped inverted index (token -> document frequency + first
+    ``cap`` posting doc_ids) — the index-construction shape: per-batch
+    DISTINCT (doc, token) pairs via dictionary codes (a combiner, so the
+    shuffle carries pairs not occurrences), ONE token-keyed bucket shuffle,
+    then per-token sorted capped postings. Postings are emitted as a
+    comma-joined string so the oracle compare is exact; ``df`` keeps the
+    uncapped truth. At 100 TB the cap is what bounds per-token state —
+    without it a stopword's posting list is corpus-sized (the classic
+    hot-key skew); df still aggregates correctly because it is summed from
+    bucket partials, never materialized as a list.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import bucket_map_keyed
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(toks)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        upair = np.unique(doc_idx * len(vocab) + codes)
+        pair_doc = upair // len(vocab)
+        pair_code = upair % len(vocab)
+        doc_ids = t.column("doc_id").cast(pa.int64())
+        return pa.Table.from_arrays(
+            [vocab.take(pa.array(pair_code)), doc_ids.take(pa.array(pair_doc))],
+            names=["token", "doc_id"])
+
+    pairs = docs.map_batches(_pairs, batch_format="pyarrow")
+
+    def _postings(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", "doc_id"], kind="mergesort")
+        out = g.groupby("token", sort=False)["doc_id"].agg(
+            df="size",
+            postings=lambda s: ",".join(str(d) for d in s.iloc[:cap]))
+        out = out.reset_index()
+        out["df"] = out["df"].astype("int64")
+        return out
+
+    return bucket_map_keyed(pairs, ["token"], _postings)
+
+
+def split_assign(sf_dir: str):
+    """Deterministic train/val/test split assignment by content-independent
+    hash — the reproducible-split op every training pipeline needs: split =
+    first byte of md5(doc_id) against 90/5/5 thresholds, so assignment is
+    stable under any repartitioning, resumable across runs, and exactly
+    reproducible by the oracle (DuckDB md5 of the same string). Pure
+    shuffle-free map_batches; the md5 is per ROW (not per token), so the
+    scalar hash loop is cheap relative to I/O — swap in a vectorized
+    crc32c/xxhash for the 100 TB path if profiling ever shows it hot.
+    """
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=fanout_blocks(0.25))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b1 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
+                       for i in ids])
+        split = np.where(b1 < "e6", "train", np.where(b1 < "f3", "val", "test"))
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(split)], names=["doc_id", "split"])
+
+    return docs.map_batches(_assign, batch_format="pyarrow")
