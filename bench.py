@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_exact",
     "ann_topk",
+    "orders_ship_window",
+    "doc_tfidf_top5",
+    "contamination_8gram",
     "q1_pricing",
     "revenue_by_nation",
     "top_parts_by_revenue",
