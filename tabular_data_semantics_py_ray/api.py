@@ -298,6 +298,12 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_quality_filter_census(sf_dir: str):
+    from .pipelines.relational import quality_filter_census
+
+    return quality_filter_census(sf_dir)
+
+
 def q_inverted_index(sf_dir: str):
     from .pipelines.relational import inverted_index
 
@@ -456,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top5": q_doc_tfidf_top5,
         "contamination_8gram": q_contamination_8gram,
         "inverted_index": q_inverted_index,
+        "quality_filter_census": q_quality_filter_census,
         "split_assign": q_split_assign,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,

@@ -817,6 +817,18 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["quality_filter_census"] = """
+WITH thr AS (
+  SELECT lang, quantile_disc(n_chars, 0.1) AS p10 FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       cast(sum(CASE WHEN d.n_chars >= t.p10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       cast(sum(CASE WHEN d.n_chars < t.p10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM documents d JOIN thr t ON d.lang = t.lang
+GROUP BY d.lang"""
+
     o["inverted_index"] = """
 WITH pairs AS (
   SELECT DISTINCT doc_id, token FROM (

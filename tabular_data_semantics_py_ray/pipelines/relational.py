@@ -848,3 +848,49 @@ def split_assign(sf_dir: str):
             [pa.array(ids), pa.array(split)], names=["doc_id", "split"])
 
     return docs.map_batches(_assign, batch_format="pyarrow")
+
+
+def quality_filter_census(sf_dir: str, *, q: float = 0.1):
+    """Two-pass percentile quality filter — the composition every corpus
+    cleaner runs: pass 1 computes a per-language length threshold (the
+    exact q-quantile, same counting-sort order statistic as
+    ``doc_len_quantiles``: corpus-size-independent histogram + one tiny
+    shuffle), the |langs|-row threshold map ships in the scan closure, and
+    pass 2 is a SINGLE shuffle-free scan emitting per-batch kept/dropped
+    partials that collapse in a final tiny groupby. Nothing corpus-sized is
+    ever collected or broadcast; swapping the census for an actual filtered
+    write is the same pass with ``t.filter(mask)`` -> ``write_parquet``.
+    """
+    import math
+
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    docs = _read(sf_dir, "documents", ["lang", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+    hist = bucket_aggregate(docs, ["lang", "n_chars"],
+                            {"cnt": ("n_chars", "count")})
+
+    def _thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cum = grp["cnt"].cumsum().to_numpy()
+            kth = max(0, math.ceil(q * int(cum[-1])) - 1)
+            out.append((lang, int(grp["n_chars"].to_numpy()[
+                np.searchsorted(cum, kth + 1)])))
+        return pd.DataFrame(out, columns=["lang", "thr"])
+
+    thr = dict(bucket_map_keyed(hist, ["lang"], _thresholds)
+               .to_pandas().itertuples(index=False, name=None))
+
+    def _census(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["lang"].map(thr)
+        keep = b["n_chars"] >= t
+        g = pd.DataFrame({"lang": b["lang"], "k": keep.astype("int64"),
+                          "d": (~keep).astype("int64")})
+        return g.groupby("lang", sort=False).agg(
+            n_kept=("k", "sum"), n_dropped=("d", "sum")).reset_index()
+
+    return bucket_aggregate(
+        docs.map_batches(_census, batch_format="pandas"), ["lang"],
+        {"n_kept": ("n_kept", "sum"), "n_dropped": ("n_dropped", "sum")})
