@@ -586,12 +586,12 @@ def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
     import math
 
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..util import bucket_aggregate
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    n_docs = pq.ParquetFile(path).metadata.num_rows
+    # metadata-only count (works for single-file and directory tables)
+    n_docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).count()
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
                  blocks=fanout_blocks(0.5))
 
