@@ -298,6 +298,12 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_emb_label_centroids(sf_dir: str):
+    from .pipelines.relational import emb_label_centroids
+
+    return emb_label_centroids(sf_dir)
+
+
 def q_quality_filter_census(sf_dir: str):
     from .pipelines.relational import quality_filter_census
 
@@ -466,4 +472,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
+        "emb_label_centroids": q_emb_label_centroids,
     }

@@ -817,6 +817,13 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["emb_label_centroids"] = """
+SELECT cast(label AS BIGINT) AS label, dim - 1 AS dim, round(avg(v), 4) AS c
+FROM (SELECT label, unnest(embedding) AS v,
+             unnest(range(1, len(embedding) + 1)) AS dim
+      FROM embeddings)
+GROUP BY 1, 2"""
+
     o["quality_filter_census"] = """
 WITH thr AS (
   SELECT lang, quantile_disc(n_chars, 0.1) AS p10 FROM documents GROUP BY lang

@@ -894,3 +894,44 @@ def quality_filter_census(sf_dir: str, *, q: float = 0.1):
     return bucket_aggregate(
         docs.map_batches(_census, batch_format="pandas"), ["lang"],
         {"n_kept": ("n_kept", "sum"), "n_dropped": ("n_dropped", "sum")})
+
+
+def emb_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (the class-centroid / k-means-M-step
+    shape): each batch reduces its (n, d) embedding matrix to per-label
+    partial sums with ONE ``np.add.at`` over integer label codes — the
+    shuffle then carries |labels| x d partial rows per batch, never vectors
+    — and a tiny (label, dim)-keyed groupby finishes the mean. Output:
+    (label, dim, c) with c rounded to 4 (cross-engine float-sum-order
+    tolerance, same convention as emb_label_stats).
+    """
+    from ..util import bucket_aggregate, list_column_matrix
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"],
+                blocks=fanout_blocks(0.25))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t.column("embedding"))
+        labels = t.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ulab, codes = np.unique(labels, return_inverse=True)
+        k, d = len(ulab), m.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ulab, d)),
+             pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+             pa.array(sums.ravel()),
+             pa.array(np.repeat(cnts, d))],
+            names=["label", "dim", "s", "n"])
+
+    agg = bucket_aggregate(
+        emb.map_batches(_partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    def _final(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"label": b["label"], "dim": b["dim"],
+                             "c": (b["s"] / b["n"]).round(4)})
+
+    return agg.map_batches(_final, batch_format="pandas")
