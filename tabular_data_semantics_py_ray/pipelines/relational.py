@@ -40,6 +40,7 @@ def q1_pricing(sf_dir: str):
         sf_dir,
         "lineitem",
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+        blocks=fanout_blocks(),
     )
 
     def _partial(b: pd.DataFrame) -> pd.DataFrame:
