@@ -647,9 +647,11 @@ def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
         doc_ids = t.column("doc_id").cast(pa.int64())
         return pa.Table.from_arrays(
             [doc_ids.take(pa.array(doc_of[keep])),
-             pa.array(tok_strs[keep]),
+             # explicit type: an empty object array would infer null and
+             # produce a block-schema mismatch on empty batches
+             pa.array(tok_strs[keep], type=pa.string()),
              pa.array(tf[keep].astype(np.int64)),
-             pa.array(np.round(score[keep], 6))],
+             pa.array(np.round(score[keep], 6), type=pa.float64())],
             names=["doc_id", "token", "tf", "score"])
 
     return docs.map_batches(_score, batch_format="pyarrow")
