@@ -1,10 +1,12 @@
-"""Relational operator pipelines over the TPC-H-ish tables — exercises the
-SURVEY §2.4/§2.5/§2.6 join / aggregate / top-k operator families with
-oracle-checkable outputs.
+"""Relational + corpus-management operator pipelines over the TPC-H-ish
+tables — the SURVEY §2.4/§2.5/§2.6 join / aggregate / top-k families plus
+the training-data ops a 100 TB pipeline needs (windows, as-of and interval
+joins, TF-IDF, contamination, quantiles, inverted index, splits,
+centroids), all with oracle-checkable outputs.
 
 Scale notes per query are inline: small sides are broadcast (ray.put +
 in-actor merge, J6 semantics), large-large joins use the hash-partitioned
-``Dataset.join``, aggregates pre-combine per batch before the shuffle.
+bucket shuffle, aggregates pre-combine per batch before the shuffle.
 """
 
 from __future__ import annotations
