@@ -298,6 +298,12 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_repeated_ngram_census(sf_dir: str):
+    from .pipelines.relational import repeated_ngram_census
+
+    return repeated_ngram_census(sf_dir)
+
+
 def q_emb_label_centroids(sf_dir: str):
     from .pipelines.relational import emb_label_centroids
 
@@ -467,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_ship_window": q_orders_ship_window,
         "doc_tfidf_top5": q_doc_tfidf_top5,
         "contamination_8gram": q_contamination_8gram,
+        "repeated_ngram_census": q_repeated_ngram_census,
         "inverted_index": q_inverted_index,
         "quality_filter_census": q_quality_filter_census,
         "split_assign": q_split_assign,

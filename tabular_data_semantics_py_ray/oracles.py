@@ -817,6 +817,16 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["repeated_ngram_census"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+),
+d AS (SELECT DISTINCT doc_id, g FROM grams),
+c AS (SELECT g, count(*) AS df FROM d GROUP BY 1 HAVING count(*) > 1)
+SELECT g, df FROM c ORDER BY df DESC, g LIMIT 20"""
+
     o["emb_label_centroids"] = """
 SELECT cast(label AS BIGINT) AS label, dim - 1 AS dim, round(avg(v), 4) AS c
 FROM (SELECT label, unnest(embedding) AS v,

@@ -940,3 +940,61 @@ def emb_label_centroids(sf_dir: str):
                              "c": (b["s"] / b["n"]).round(4)})
 
     return agg.map_batches(_final, batch_format="pandas")
+
+
+def repeated_ngram_census(sf_dir: str, *, n: int = 8, k: int = 20):
+    """Cross-document repeated n-gram census — the measurement behind
+    substring-level dedup (which verbatim 8-grams appear in more than one
+    document, and how widely): per-batch DISTINCT (doc, gram) pairs via the
+    shared sliding-window kernel + dictionary codes (the combiner: a gram
+    repeated within one doc ships once), one gram-keyed two-phase count,
+    filter df > 1, global top-k. The shuffle carries per-batch-distinct
+    grams only; at 100 TB hash grams to u64 before the shuffle (16 bytes vs
+    ~50) and keep the string only for the final top-k rehydration pass.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _gram_df_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        flat = pc.list_flatten(toks)
+        L = len(flat)
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.string()), pa.array([], type=pa.int64())],
+            names=["g", "df"])
+        if L < n:
+            return empty
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        w = L - n + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, w) for j in range(n)], " ")
+        valid = doc_idx[:w] == doc_idx[n - 1:]
+        grams = grams.filter(pa.array(valid))
+        denc = grams.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = denc.dictionary
+        if len(vocab) == 0:
+            return empty
+        upair = np.unique(doc_idx[:w][valid] * len(vocab) + codes)
+        dfp = np.bincount(upair % len(vocab), minlength=len(vocab))
+        return pa.Table.from_arrays(
+            [vocab, pa.array(dfp.astype(np.int64))], names=["g", "df"])
+
+    agg = bucket_aggregate(
+        docs.map_batches(_gram_df_partial, batch_format="pyarrow"),
+        ["g"], {"df": ("df", "sum")})
+    def _df_gt1(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.greater(t.column("df"), 1))
+
+    rep = agg.map_batches(_df_gt1, batch_format="pyarrow")
+    return rep.sort(["df", "g"], descending=[True, False]).limit(k)
