@@ -298,6 +298,12 @@ def q_doc_tfidf_top5(sf_dir: str):
     return doc_tfidf_topk(sf_dir)
 
 
+def q_user_cohorts(sf_dir: str):
+    from .pipelines.relational import user_cohorts
+
+    return user_cohorts(sf_dir)
+
+
 def q_repeated_ngram_census(sf_dir: str):
     from .pipelines.relational import repeated_ngram_census
 
@@ -470,6 +476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_1h": q_events_tumbling_1h,
         "events_sliding_1h15m": q_events_sliding_1h15m,
         "events_asof_order": q_events_asof_order,
+        "user_cohorts": q_user_cohorts,
         "orders_ship_window": q_orders_ship_window,
         "doc_tfidf_top5": q_doc_tfidf_top5,
         "contamination_8gram": q_contamination_8gram,

@@ -817,6 +817,16 @@ w AS (
 )
 SELECT doc_id, token, tf, round(score, 6) AS score FROM w WHERE rn <= 5"""
 
+    o["user_cohorts"] = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY 1),
+a AS (SELECT DISTINCT w.user_id, c.cohort, w.wk
+      FROM w JOIN c ON w.user_id = c.user_id)
+SELECT cohort AS cohort_week, wk AS active_week, count(*) AS n_users
+FROM a GROUP BY 1, 2"""
+
     o["repeated_ngram_census"] = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -998,3 +998,38 @@ def repeated_ngram_census(sf_dir: str, *, n: int = 8, k: int = 20):
 
     rep = agg.map_batches(_df_gt1, batch_format="pyarrow")
     return rep.sort(["df", "g"], descending=[True, False]).limit(k)
+
+
+def user_cohorts(sf_dir: str, *, week_us: int = 7 * 86_400_000_000):
+    """Cohort retention matrix — (cohort_week, active_week, n_users) where a
+    user's cohort is their first active week: per-batch DISTINCT
+    (user, week) pairs (the combiner), ONE user-keyed bucket shuffle whose
+    per-user reduce computes min-week and emits one (cohort, week) row per
+    active week, then a tiny census groupby. The corpus moves once; the
+    second shuffle input is |users| x |weeks-active| pairs, already
+    distinct. Partitioning assumption: one user's history fits a worker
+    (same as the as-of join).
+    """
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=fanout_blocks(0.5))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // week_us
+        u = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.Table.from_arrays(
+            [pa.array(u[:, 0]), pa.array(u[:, 1])], names=["user_id", "wk"])
+
+    pairs = ev.map_batches(_pairs, batch_format="pyarrow")
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["user_id", "wk"])
+        cohort = g.groupby("user_id", sort=False)["wk"].transform("min")
+        return pd.DataFrame({"cohort_week": cohort.astype("int64"),
+                             "active_week": g["wk"].astype("int64")})
+
+    keyed = bucket_map_keyed(pairs, ["user_id"], _per_user)
+    return bucket_aggregate(keyed, ["cohort_week", "active_week"],
+                            {"n_users": ("active_week", "count")})
