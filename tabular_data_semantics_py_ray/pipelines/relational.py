@@ -1018,9 +1018,18 @@ def user_cohorts(sf_dir: str, *, week_us: int = 7 * 86_400_000_000):
         uid = t.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
         wk = t.column("ts").cast(pa.int64()).to_numpy(
             zero_copy_only=False) // week_us
-        u = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        if len(uid) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64())],
+                names=["user_id", "wk"])
+        # 1D-encoded unique (native int64 sort) instead of unique(axis=0)'s
+        # void-dtype comparator — same idiom as the distinct-pair combiners
+        lo = wk.min()
+        span = wk.max() - lo + 1
+        enc = np.unique(uid * span + (wk - lo))
         return pa.Table.from_arrays(
-            [pa.array(u[:, 0]), pa.array(u[:, 1])], names=["user_id", "wk"])
+            [pa.array(enc // span), pa.array(enc % span + lo)],
+            names=["user_id", "wk"])
 
     pairs = ev.map_batches(_pairs, batch_format="pyarrow")
 
