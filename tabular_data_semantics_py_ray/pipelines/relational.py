@@ -27,10 +27,23 @@ from ..util import fanout_blocks, list_column_matrix
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     """Column-pruned read; ``blocks`` fans a single-row-group file out so
     task-pool stages parallelize (the test parquet has one row group, which
-    Ray cannot split at read time — a shuffle-free repartition split)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    Ray cannot split at read time — a shuffle-free repartition split).
+
+    The repartition only runs when it INCREASES parallelism (file count
+    below the fan-out target). Repartitioning a many-file table DOWN to
+    the target is catastrophic: it coalesces into few giant multi-chunk
+    blocks — measured 87 s vs 7.7 s for one map_batches pass over a
+    5M-doc/50-file staged corpus (26x) — while adding nothing.
+    """
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    ds = rd.read_parquet(path, columns=columns)
     if blocks:
-        ds = ds.repartition(blocks)
+        if os.path.isdir(path):
+            nfiles = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+        else:
+            nfiles = 1
+        if nfiles < blocks:
+            ds = ds.repartition(blocks)
     return ds
 
 
@@ -621,7 +634,7 @@ def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
             [vocab, pa.array(dfp.astype(np.int64))], names=["token", "df"])
 
     df_tbl = bucket_aggregate(
-        docs.map_batches(_df_partial, batch_format="pyarrow"),
+        docs.map_batches(_df_partial, batch_format="pyarrow", batch_size=None),
         ["token"], {"df": ("df", "sum")},
     ).to_pandas()
     toks_sorted = np.sort(df_tbl["token"].to_numpy())
@@ -656,7 +669,7 @@ def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
              pa.array(np.round(score[keep], 6), type=pa.float64())],
             names=["doc_id", "token", "tf", "score"])
 
-    return docs.map_batches(_score, batch_format="pyarrow")
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 def doc_len_quantiles(sf_dir: str):
@@ -747,7 +760,7 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
         return pa.Table.from_arrays([grams.unique()], names=["g"])
 
     bench = bucket_distinct(
-        docs.map_batches(_bench_grams, batch_format="pyarrow"), ["g"]
+        docs.map_batches(_bench_grams, batch_format="pyarrow", batch_size=None), ["g"]
     ).to_pandas()
     bench_sorted = np.sort(bench["g"].to_numpy())
     bench_ref = ray.put(bench_sorted)
@@ -775,7 +788,7 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
              pa.array(cnt[nz].astype(np.int64))],
             names=["doc_id", "n_contaminated"])
 
-    return docs.map_batches(_scan, batch_format="pyarrow")
+    return docs.map_batches(_scan, batch_format="pyarrow", batch_size=None)
 
 
 def inverted_index(sf_dir: str, *, cap: int = 8):
@@ -846,7 +859,8 @@ def inverted_index(sf_dir: str, *, cap: int = 8):
              pa.array(posts, type=pa.string())],
             names=["token", "df", "post"])
 
-    partials = docs.map_batches(_partial, batch_format="pyarrow")
+    partials = docs.map_batches(_partial, batch_format="pyarrow",
+                                batch_size=None)
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         def _topk(posts: pd.Series) -> str:
@@ -884,7 +898,7 @@ def split_assign(sf_dir: str):
         return pa.Table.from_arrays(
             [pa.array(ids), pa.array(split)], names=["doc_id", "split"])
 
-    return docs.map_batches(_assign, batch_format="pyarrow")
+    return docs.map_batches(_assign, batch_format="pyarrow", batch_size=None)
 
 
 def quality_filter_census(sf_dir: str, *, q: float = 0.1):
@@ -1021,7 +1035,8 @@ def repeated_ngram_census(sf_dir: str, *, n: int = 8, k: int = 20):
             [vocab, pa.array(dfp.astype(np.int64))], names=["g", "df"])
 
     agg = bucket_aggregate(
-        docs.map_batches(_gram_df_partial, batch_format="pyarrow"),
+        docs.map_batches(_gram_df_partial, batch_format="pyarrow",
+                         batch_size=None),
         ["g"], {"df": ("df", "sum")})
     def _df_gt1(t: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
