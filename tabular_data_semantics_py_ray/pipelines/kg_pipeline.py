@@ -31,9 +31,13 @@ def read_documents(sf_dir: str, *, partition: tuple[int, int] | None = None, **k
     """Read the documents table; optionally keep only the shard with
     ``doc_id % n_partitions == partition_id`` (the resumable-materialize
     partitioning key — see pipelines/materialize.py)."""
-    ds = rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"], **kwargs
-    )
+    blocks = kwargs.pop("blocks", None)
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"], **kwargs)
+    if blocks:
+        from ..util import guarded_fanout
+
+        ds = guarded_fanout(ds, path, blocks)
     if partition is not None:
         pid, nparts = partition
 

@@ -58,7 +58,7 @@ def _link_surface_batch(b: pd.DataFrame) -> pd.DataFrame:
 def _linked_flat(sf_dir: str):
     # fan the single-row-group documents file out so the stateless task
     # stages parallelize (shuffle-free repartition split)
-    docs = read_documents(sf_dir).repartition(fanout_blocks(0.5))
+    docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
     mentions = docs.map_batches(detect_mentions_flat_batch, batch_format="pyarrow")
     return mentions.map_batches(_link_surface_batch, batch_format="pandas")
 
@@ -168,7 +168,7 @@ def media_features(sf_dir: str):
     from ..stages.interleave import interleave
     from ..stages.multimodal import FEATURE_DIM, featurize_media
 
-    docs = interleave(read_documents(sf_dir).repartition(fanout_blocks(0.25)))
+    docs = interleave(read_documents(sf_dir, blocks=fanout_blocks(0.25)))
     feats = featurize_media(docs)
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -524,7 +524,7 @@ def _link_items_batch(b: pd.DataFrame) -> pd.DataFrame:
 
 def cell_norm_link(sf_dir: str):
     """M1+M3/M4/M5 end-to-end: (doc_id, item, entity_uri, n_items)."""
-    docs = read_documents(sf_dir).repartition(fanout_blocks(0.5))
+    docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
     items = docs.map_batches(_cells_items_batch, batch_format="pandas")
     linked = items.map_batches(_link_items_batch, batch_format="pandas")
     return rename_cols(

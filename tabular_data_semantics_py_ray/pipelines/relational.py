@@ -35,16 +35,11 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     blocks — measured 87 s vs 7.7 s for one map_batches pass over a
     5M-doc/50-file staged corpus (26x) — while adding nothing.
     """
+    from ..util import guarded_fanout
+
     path = os.path.join(sf_dir, f"{table}.parquet")
     ds = rd.read_parquet(path, columns=columns)
-    if blocks:
-        if os.path.isdir(path):
-            nfiles = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
-        else:
-            nfiles = 1
-        if nfiles < blocks:
-            ds = ds.repartition(blocks)
-    return ds
+    return guarded_fanout(ds, path, blocks) if blocks else ds
 
 
 def q1_pricing(sf_dir: str):

@@ -107,6 +107,21 @@ def adaptive_buckets(multiplier: int = 2, lo: int = 8, hi: int = 65536) -> int:
     return min(hi, max(lo, multiplier * cpus))
 
 
+def guarded_fanout(ds, path: str, blocks: int):
+    """Repartition ``ds`` (read from ``path``) up to ``blocks`` ONLY when
+    that increases parallelism. A parquet directory already yields one
+    block per file; repartitioning it DOWN coalesces into few giant
+    multi-chunk blocks — measured 26x slower per map_batches pass at 5M
+    docs (see relational._read) — while reducing parallelism."""
+    import os as _os
+
+    if _os.path.isdir(path):
+        nfiles = sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+    else:
+        nfiles = 1
+    return ds.repartition(blocks) if nfiles < blocks else ds
+
+
 def fanout_blocks(frac: float = 1.0, lo: int = 4, hi: int = 4096) -> int:
     """Read fan-out width, ~``frac`` x cluster CPUs. Single-row-group test
     parquet arrives as ONE block, serializing every task stage, so reads
