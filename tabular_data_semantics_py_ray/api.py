@@ -18,11 +18,15 @@ from .util import fanout_blocks
 def _documents(sf_dir: str):
     # testdata parquet carries ONE row group, which Ray cannot split at
     # read time — every downstream task stage would run at parallelism 1.
-    # A shuffle-free repartition right after the read fans the corpus out
-    # (at cluster scale the input is many files and needs no fan-out).
-    return rd.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    ).repartition(fanout_blocks())
+    # A shuffle-free repartition right after the read fans the corpus out;
+    # guarded so a many-file corpus keeps its natural per-file blocks
+    # (repartitioning DOWN coalesces into giant multi-chunk blocks).
+    from .util import guarded_fanout
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    return guarded_fanout(
+        rd.read_parquet(path, columns=["doc_id", "text"]),
+        path, fanout_blocks())
 
 
 def _embeddings(sf_dir: str):
