@@ -308,6 +308,44 @@ def q_user_cohorts(sf_dir: str):
     return user_cohorts(sf_dir)
 
 
+def q_doc_unigram_logprob(sf_dir: str):
+    from .pipelines.relational import doc_unigram_logprob
+
+    return doc_unigram_logprob(sf_dir)
+
+
+def q_doc_top_bigram_frac(sf_dir: str):
+    from .pipelines.relational import doc_top_bigram_frac
+
+    return doc_top_bigram_frac(sf_dir)
+
+
+def q_emb_dedup_keep(sf_dir: str):
+    """Semantic dedup (SemDeDup shape): embedding-cosine near-dup pairs ->
+    connected components -> keep each cluster's min vec_id; output is the
+    deduped embedding-id set. Pairs come from the exact block-partitioned
+    join at this scale; at 100 TB swap in the hyperplane-LSH candidate path
+    (``near_dup_pairs_embedding``) — the downstream components / anti-join
+    machinery is identical."""
+    import pyarrow.compute as pc
+
+    from .stages.dedup import dedup_components, near_dup_pairs_exact_embedding
+    from .util import bucket_anti_join
+
+    pairs = near_dup_pairs_exact_embedding(_embeddings(sf_dir), threshold=0.4)
+    pairs = pairs.map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b", "cosine"]),
+        batch_format="pyarrow")
+    comp = dedup_components(pairs)
+    drop = comp.map_batches(
+        lambda t: t.filter(
+            pc.not_equal(t.column("doc_id"), t.column("component_id"))
+        ).select(["doc_id"]),
+        batch_format="pyarrow")
+    vecs = _embeddings(sf_dir).select_columns(["vec_id"])
+    return bucket_anti_join(vecs, drop, key="vec_id", right_key="doc_id")
+
+
 def q_repeated_ngram_census(sf_dir: str):
     from .pipelines.relational import repeated_ngram_census
 
@@ -491,4 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
         "emb_label_centroids": q_emb_label_centroids,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_top_bigram_frac": q_doc_top_bigram_frac,
+        "emb_dedup_keep": q_emb_dedup_keep,
     }

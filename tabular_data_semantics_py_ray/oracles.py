@@ -980,4 +980,53 @@ SELECT doc_id, chunk_idx, src_w, src_h, out_w, out_h,
            cast(out_h AS VARCHAR)) AS data_md5
 FROM r"""
 
+    o["doc_unigram_logprob"] = """
+WITH inst AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (SELECT tok, count(*) AS c FROM inst GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM inst)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(-ln(cast(c AS DOUBLE) / t)), 6) AS avg_neg_logprob
+FROM inst JOIN cnt USING (tok) CROSS JOIN tot
+GROUP BY doc_id"""
+
+    o["doc_top_bigram_frac"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+  FROM w, unnest(range(1, len(t))) AS r(i)
+),
+cnt AS (SELECT doc_id, bg, count(*) AS n FROM big GROUP BY 1, 2),
+lens AS (SELECT doc_id, cast(len(t) AS BIGINT) AS n_tokens FROM w),
+top AS (
+  SELECT doc_id, bg, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, bg) AS rn
+  FROM cnt
+)
+SELECT l.doc_id, l.n_tokens, bg AS top_bigram, n AS bigram_n,
+       round(2.0 * n / l.n_tokens, 6) AS top_bigram_frac
+FROM top JOIN lens l ON top.doc_id = l.doc_id
+WHERE rn = 1"""
+
+    # same pair predicate as emb_near_pairs, same closure as dedup_keep
+    o["emb_dedup_keep"] = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.4
+),
+und AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+reach(node, r) AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+),
+comp AS (SELECT node AS vec_id, min(r) AS component_id FROM reach GROUP BY node)
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component_id)"""
+
     return o

@@ -1084,3 +1084,151 @@ def user_cohorts(sf_dir: str, *, week_us: int = 7 * 86_400_000_000):
     keyed = bucket_map_keyed(pairs, ["user_id"], _per_user)
     return bucket_aggregate(keyed, ["cohort_week", "active_week"],
                             {"n_users": ("active_week", "count")})
+
+
+def doc_unigram_logprob(sf_dir: str):
+    """Per-document unigram-LM score: mean negative log-probability of the
+    doc's tokens under the corpus-wide unigram distribution — the classic
+    perplexity-style quality filter (CCNet/Gopher lineage: documents far
+    from the corpus distribution are boilerplate or noise; the reference's
+    closest analogue is its frequency-weighted lookup scoring).
+
+    Ray shape mirrors ``doc_tfidf_topk``: per-batch token-count partials
+    collapse in ONE tiny token groupby (vocabulary-sized, never
+    corpus-sized); the (token -> -ln p) map is put in the object store once
+    (``ray.put``) and the corpus is scored in a single shuffle-free pass —
+    a doc's tokens are batch-local by construction, so the per-doc mean
+    never leaves the batch. -ln values are computed once per DISTINCT count
+    with scalar ``math.log`` so the oracle's libm ``ln`` sees bit-identical
+    doubles; the mean is rounded to 6 decimals on both sides (summation
+    order differs from SQL ``avg`` only at ~1e-16 relative).
+
+    At 100 TB the broadcast is vocabulary-sized: prune to top-V / min-count
+    or swap for ``util.bucket_join`` on token, exactly as doc_tfidf_topk
+    documents.
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _tokens(t: pa.Table):
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        return pc.split_pattern(texts, " ")
+
+    def _cnt_partial(t: pa.Table) -> pa.Table:
+        denc = pc.list_flatten(_tokens(t)).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        n = np.bincount(codes, minlength=len(denc.dictionary))
+        return pa.Table.from_arrays(
+            [denc.dictionary, pa.array(n.astype(np.int64))],
+            names=["token", "c"])
+
+    cnt = bucket_aggregate(
+        docs.map_batches(_cnt_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["token"], {"c": ("c", "sum")}).to_pandas()
+    total = int(cnt["c"].sum())
+    toks_np = cnt["token"].to_numpy()
+    order = np.argsort(toks_np, kind="stable")
+    toks_sorted, c_sorted = toks_np[order], cnt["c"].to_numpy()[order]
+    neglp_of_c = {int(c): -math.log(c / total) for c in np.unique(c_sorted)}
+    neglp_sorted = np.array([neglp_of_c[int(c)] for c in c_sorted])
+    ref = ray.put((toks_sorted, neglp_sorted))
+
+    def _score(t: pa.Table) -> pa.Table:
+        toks_g, neglp_g = ray.get(ref)
+        toks = _tokens(t)
+        denc = pc.list_flatten(toks).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vtok = denc.dictionary.to_numpy(zero_copy_only=False)
+        inst = neglp_g[np.searchsorted(toks_g, vtok)][codes]
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # split of ANY string yields >= 1 token, so every reduceat segment
+        # is non-empty (a zero-length segment would misread its neighbour)
+        if len(inst):
+            sums = np.add.reduceat(
+                inst, np.concatenate(([0], np.cumsum(lens)[:-1])))
+        else:
+            sums = np.zeros(0)
+        avg = np.round(sums / np.maximum(lens, 1), 6)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), pa.array(lens),
+             pa.array(avg, type=pa.float64())],
+            names=["doc_id", "n_tokens", "avg_neg_logprob"])
+
+    return docs.map_batches(_score, batch_format="pyarrow", batch_size=None)
+
+
+def doc_top_bigram_frac(sf_dir: str):
+    """Per-document top-bigram repetition fraction — the Gopher-style
+    repetition rule (a doc dominated by one repeated 2-gram is boilerplate).
+    Output: (doc_id, n_tokens, top_bigram, bigram_n, top_bigram_frac =
+    2*bigram_n/n_tokens rounded to 6); ties break to the lexicographically
+    smallest bigram; docs with < 2 tokens have no bigram and are excluded
+    (the SQL oracle's join semantics).
+
+    Fully batch-local, zero shuffles: dictionary-encode tokens once per
+    batch, form bigram keys as code[i]*V + code[i+1] masked at doc
+    boundaries, count via 1D np.unique, pick each doc's winner with one
+    lexsort — the same argmax idiom as doc_tfidf_topk.
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _top(t: pa.Table) -> pa.Table:
+        empty = pa.Table.from_arrays(
+            [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.string()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.float64())],
+            names=["doc_id", "n_tokens", "top_bigram", "bigram_n",
+                   "top_bigram_frac"])
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        denc = pc.list_flatten(toks).dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(codes) < 2:
+            return empty
+        V = len(denc.dictionary)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        same = doc_idx[1:] == doc_idx[:-1]
+        if not same.any():
+            return empty
+        big = (codes[:-1] * V + codes[1:])[same]
+        doc_of = doc_idx[:-1][same]
+        # batch-local docs x V^2 keyspace: fits int64 for any real vocab
+        # (docs-per-batch ~1e5, V ~1e6 -> 1e17 < 2^63)
+        ukey, n = np.unique(doc_of * (V * V) + big, return_counts=True)
+        udoc, ubig = ukey // (V * V), ukey % (V * V)
+        vocab = denc.dictionary.to_numpy(zero_copy_only=False)
+        bg_str = np.char.add(np.char.add(
+            vocab[ubig // V].astype(str), " "), vocab[ubig % V].astype(str))
+        order = np.lexsort((bg_str, -n, udoc))
+        d = udoc[order]
+        starts = np.concatenate(([0], np.flatnonzero(d[1:] != d[:-1]) + 1))
+        win = order[starts]
+        doc_ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        frac = np.round(2.0 * n[win] / lens[udoc[win]], 6)
+        return pa.Table.from_arrays(
+            [pa.array(doc_ids[udoc[win]]), pa.array(lens[udoc[win]]),
+             pa.array(bg_str[win], type=pa.string()),
+             pa.array(n[win].astype(np.int64)),
+             pa.array(frac, type=pa.float64())],
+            names=["doc_id", "n_tokens", "top_bigram", "bigram_n",
+                   "top_bigram_frac"])
+
+    return docs.map_batches(_top, batch_format="pyarrow", batch_size=None)
