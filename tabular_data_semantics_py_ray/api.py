@@ -308,6 +308,12 @@ def q_user_cohorts(sf_dir: str):
     return user_cohorts(sf_dir)
 
 
+def q_kg_pagerank(sf_dir: str):
+    from .pipelines.queries_kg import pagerank
+
+    return pagerank(sf_dir)
+
+
 def q_doc_unigram_logprob(sf_dir: str):
     from .pipelines.relational import doc_unigram_logprob
 
@@ -532,4 +538,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_top_bigram_frac": q_doc_top_bigram_frac,
         "emb_dedup_keep": q_emb_dedup_keep,
+        "kg_pagerank": q_kg_pagerank,
     }

@@ -980,6 +980,32 @@ SELECT doc_id, chunk_idx, src_w, src_h, out_w, out_h,
            cast(out_h AS VARCHAR)) AS data_md5
 FROM r"""
 
+    # PageRank, 5 unrolled power iterations over the URI-object triple
+    # edges (simplified variant: dangling mass dropped). Float literals are
+    # cast to DOUBLE so DuckDB's DECIMAL arithmetic never enters — both
+    # sides evaluate identical IEEE expressions (see queries_kg.pagerank).
+    _pr_parts = [f"""e AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+cnt AS (SELECT count(*) AS N FROM nodes),
+outd AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+r0 AS (SELECT n, cast(1 AS DOUBLE) / (SELECT N FROM cnt) AS r FROM nodes)"""]
+    for _i in range(1, 6):
+        _pr_parts.append(f"""r{_i} AS (
+  SELECT nd.n,
+         (1 - cast(0.85 AS DOUBLE)) / (SELECT N FROM cnt)
+           + cast(0.85 AS DOUBLE)
+             * coalesce(sum(r{_i - 1}.r / outd.d), 0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.v = nd.n
+  LEFT JOIN r{_i - 1} ON r{_i - 1}.n = e.u
+  LEFT JOIN outd ON outd.u = e.u
+  GROUP BY nd.n)""")
+    o["kg_pagerank"] = ("WITH " + ",\n".join(_pr_parts)
+                        + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
+
     o["doc_unigram_logprob"] = """
 WITH inst AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

@@ -639,3 +639,156 @@ def media_resize(sf_dir: str):
         resized,
         ["doc_id", "chunk_idx", "src_w", "src_h", "out_w", "out_h",
          "data_md5"])
+
+
+def _pagerank_single_task(edges, *, iters: int, damping: float):
+    """Power iteration over a coalesced edge block: one numpy task (same
+    fast-path rationale as ``dedup.dedup_components`` — each distributed
+    round costs two all-to-all barriers that dwarf an in-memory solve for
+    any edge list that fits a worker)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _pr(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        eu, ev = inv[: len(u)], inv[len(u):]
+        n = len(nodes)
+        deg = np.bincount(eu, minlength=n)  # dangling rows never divide
+        base = (1 - damping) / n
+        r = np.full(n, 1.0 / n)
+        for _ in range(iters):
+            s = np.zeros(n)
+            np.add.at(s, ev, r[eu] / deg[eu])
+            r = base + damping * s
+        return pa.Table.from_arrays(
+            [pa.array(nodes, type=pa.string()), pa.array(np.round(r, 6))],
+            names=["node", "pagerank"])
+
+    return edges.repartition(1).map_batches(
+        _pr, batch_format="pyarrow", batch_size=None)
+
+
+def pagerank(sf_dir: str, *, iters: int = 5, damping: float = 0.85,
+             single_task_max_edges: int = 50_000_000):
+    """PageRank over the materialized KG triple graph — the graph-analytics
+    consumer of the flagship's output (the reference stops at emitting
+    triples; ranking the resulting entity graph is the canonical next step
+    a KG-construction user runs, and the classic iterative-dataflow stress
+    test for the engine).
+
+    Semantics (simplified PageRank, dangling mass dropped): nodes = distinct
+    subj ∪ obj of the URI-object triple edges; r0 = 1/N;
+    r_{i+1}(v) = (1-d)/N + d * Σ_{u->v} r_i(u)/outdeg(u), `iters` fixed
+    iterations, rank rounded to 6 at the end.
+
+    Ray shape: the distinct edge list is materialized once (edge-bounded,
+    never the corpus); up to ``single_task_max_edges`` the power iteration
+    runs as ONE numpy task (``_pagerank_single_task`` — same fast-path
+    rationale as dedup_components), beyond it the distributed loop pays
+    2 bucket shuffles per iteration — ONE hash-partitioned join
+    of the current ranks against the outdeg-annotated edge list (the
+    contribution emit and a per-bucket partial sum are fused into the join
+    via ``post``, so the second shuffle carries pre-combined (node, s)
+    partials), then one bucket aggregate that also folds in a zero row per
+    node (nodes without in-links keep the base term). Ranks are
+    node-bounded; each iteration materializes them to truncate lineage —
+    at 100 TB checkpoint ranks to parquet per iteration instead (the
+    components operator documents the same trade).
+
+    Float parity with the oracle: contributions are summed FIRST and
+    multiplied by d after the final aggregate (matching SQL's
+    ``d * sum(r/outdeg)``), and the base term uses ``1 - d`` exactly as the
+    SQL writes it, so both sides evaluate identical double expressions;
+    summation order differs only at ~1e-16 relative, hidden by the final
+    round(6).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_join
+    from .kg_pipeline import build_triples
+
+    def _edges_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("obj_is_literal")))
+        return pa.Table.from_arrays(
+            [t.column("subj"), t.column("obj")], names=["u", "v"])
+
+    edges = bucket_distinct(
+        build_triples(sf_dir).map_batches(_edges_batch,
+                                          batch_format="pyarrow"),
+        ["u", "v"]).materialize()  # edge-bounded, re-scanned per iteration
+    if edges.count() <= single_task_max_edges:
+        return _pagerank_single_task(edges, iters=iters, damping=damping)
+    return _pagerank_distributed(edges, iters=iters, damping=damping)
+
+
+def _pagerank_distributed(edges, *, iters: int, damping: float):
+    """Distributed power iteration over a (u, v) string-keyed edge Dataset
+    (see ``pagerank`` for the per-iteration shuffle shape)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_join
+
+    outdeg = bucket_aggregate(edges, ["u"], {"d": ("u", "count")})
+    eout = bucket_join(
+        edges, outdeg, key="u", left_cols={"v": pa.string()},
+        right_cols={"d": pa.int64()}, key_type=pa.string()).materialize()
+
+    def _nodes_batch(t: pa.Table) -> pa.Table:
+        u, v = (t.column(c).combine_chunks() for c in ("u", "v"))
+        both = pa.concat_arrays(
+            (u.chunks if isinstance(u, pa.ChunkedArray) else [u])
+            + (v.chunks if isinstance(v, pa.ChunkedArray) else [v]))
+        return pa.Table.from_arrays([both], names=["n"])
+
+    nodes = bucket_distinct(
+        edges.map_batches(_nodes_batch, batch_format="pyarrow"), ["n"]
+    ).materialize()
+    n_nodes = nodes.count()
+    base = (1 - damping) / n_nodes
+
+    def _init(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "r", pa.array(np.full(t.num_rows, 1.0 / n_nodes)))
+
+    def _zero(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("n"), pa.array(np.zeros(t.num_rows))],
+            names=["n", "s"])
+
+    def _contrib(j: pd.DataFrame) -> pd.DataFrame:
+        # fused into the join bucket: emit r/outdeg per edge, pre-combined
+        # by target node so the downstream shuffle moves partials only
+        s = (j["r"] / j["d"]).groupby(j["v"]).sum()
+        return pd.DataFrame({"n": s.index, "s": s.to_numpy()})
+
+    ranks = nodes.map_batches(_init, batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        contribs = bucket_join(
+            ranks, eout, key="n", right_key="u",
+            left_cols={"r": pa.float64()},
+            right_cols={"v": pa.string(), "d": pa.int64()},
+            key_type=pa.string(), post=_contrib)
+        summed = bucket_aggregate(
+            contribs.union(nodes.map_batches(_zero, batch_format="pyarrow")),
+            ["n"], {"s": ("s", "sum")})
+        ranks = summed.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("n"),
+                 pa.array(base + damping
+                          * t.column("s").to_numpy(zero_copy_only=False))],
+                names=["n", "r"]),
+            batch_format="pyarrow").materialize()
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("n"),
+             pa.array(np.round(
+                 t.column("r").to_numpy(zero_copy_only=False), 6))],
+            names=["node", "pagerank"])
+
+    return ranks.map_batches(_final, batch_format="pyarrow")

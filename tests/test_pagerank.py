@@ -1,0 +1,66 @@
+"""PageRank: the single-task and distributed paths must agree bit-for-bit
+(after round-6) on the same graph, and match a hand-rolled dense power
+iteration — the same two-path agreement contract dedup_components tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+    _pagerank_distributed,
+    _pagerank_single_task,
+)
+
+# 'e' is a dangling sink (rank leaks, the documented simplified variant);
+# 'd' has no in-links (keeps only the base term).
+GRAPH = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"),
+         ("b", "e")]
+
+
+def _edges_ds(pairs):
+    t = pa.Table.from_arrays(
+        [pa.array([a for a, _ in pairs], type=pa.string()),
+         pa.array([b for _, b in pairs], type=pa.string())],
+        names=["u", "v"])
+    return rd.from_arrow(t)
+
+
+def _dense_reference(pairs, iters, damping):
+    nodes = sorted({x for e in pairs for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in pairs:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        s = np.zeros(n)
+        for a, b in pairs:
+            s[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - damping) / n + damping * s
+    return {m: round(float(r[idx[m]]), 6) for m in nodes}
+
+
+def test_single_task_matches_dense_reference(ray_session):
+    out = _pagerank_single_task(
+        _edges_ds(GRAPH), iters=5, damping=0.85).to_pandas()
+    ref = _dense_reference(GRAPH, 5, 0.85)
+    got = out.set_index("node")["pagerank"]
+    assert set(got.index) == set(ref)
+    for m, expect in ref.items():
+        assert abs(got[m] - expect) < 1e-9
+    # dangling mass is dropped, so total rank stays <= 1
+    assert got.sum() <= 1.0 + 1e-9
+
+
+def test_paths_agree(ray_session):
+    single = _pagerank_single_task(
+        _edges_ds(GRAPH), iters=3, damping=0.85).to_pandas()
+    dist = _pagerank_distributed(
+        _edges_ds(GRAPH), iters=3, damping=0.85).to_pandas()
+    s = single.sort_values("node").reset_index(drop=True)
+    d = dist.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d)
