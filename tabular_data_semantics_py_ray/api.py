@@ -314,6 +314,12 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(sf_dir)
 
 
+def q_kg_triangles(sf_dir: str):
+    from .pipelines.queries_kg import triangle_census
+
+    return triangle_census(sf_dir)
+
+
 def q_doc_unigram_logprob(sf_dir: str):
     from .pipelines.relational import doc_unigram_logprob
 
@@ -539,4 +545,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_bigram_frac": q_doc_top_bigram_frac,
         "emb_dedup_keep": q_emb_dedup_keep,
         "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
     }

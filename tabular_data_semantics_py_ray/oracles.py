@@ -1006,6 +1006,29 @@ r0 AS (SELECT n, cast(1 AS DOUBLE) / (SELECT N FROM cnt) AS r FROM nodes)"""]
     o["kg_pagerank"] = ("WITH " + ",\n".join(_pr_parts)
                         + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
 
+    # per-node triangle counts over the undirected URI-object KG graph
+    # (x < y < z lexicographic, each triangle listed once, then 3 corners)
+    o["kg_triangles"] = f"""
+WITH e0 AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0 WHERE u <> v
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS n FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT n AS node, count(*) AS n_triangles FROM corners GROUP BY 1"""
+
     o["doc_unigram_logprob"] = """
 WITH inst AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents

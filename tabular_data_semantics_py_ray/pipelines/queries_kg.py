@@ -792,3 +792,130 @@ def _pagerank_distributed(edges, *, iters: int, damping: float):
             names=["node", "pagerank"])
 
     return ranks.map_batches(_final, batch_format="pyarrow")
+
+
+def triangle_census(sf_dir: str):
+    """Per-node triangle counts over the undirected KG graph — the second
+    graph-analytics consumer of the flagship's triples (a (doc, entity,
+    type) triangle is a consistency witness: the doc links the entity, the
+    entity carries the type, and the doc's CTA vote agrees).
+
+    Skew-aware shape (the standard degree-ordered orientation): each
+    undirected edge is oriented from its lower-(degree, node) endpoint to
+    the higher, so every triangle is generated from exactly ONE wedge and a
+    hub node's wedge fan-out is bounded by its ORIENTED out-degree
+    (O(sqrt(m)) for any graph) instead of its raw degree — the all-pairs
+    blowup a naive neighbor-join suffers on hot entities cannot happen.
+    Three bucket shuffles: orient (join degrees onto edges), wedge
+    generation per source (bucket_map_keyed, out-neighbor pairs ordered by
+    the same orientation), and the wedge->closing-arrow join; the final
+    per-corner count is a tiny aggregate.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import (bucket_aggregate, bucket_distinct, bucket_join,
+                        bucket_map_keyed)
+    from .kg_pipeline import build_triples
+
+    def _und_batch(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("obj_is_literal")))
+        u, v = t.column("subj"), t.column("obj")
+        a = pc.min_element_wise(u, v)
+        b = pc.max_element_wise(u, v)
+        keep = pc.not_equal(a, b)
+        return pa.Table.from_arrays([a.filter(keep), b.filter(keep)],
+                                    names=["a", "b"])
+
+    und = bucket_distinct(
+        build_triples(sf_dir).map_batches(_und_batch, batch_format="pyarrow"),
+        ["a", "b"]).materialize()  # edge-bounded, scanned 3x below
+
+    def _ends(t: pa.Table) -> pa.Table:
+        a, b = (t.column(c).combine_chunks() for c in ("a", "b"))
+        both = pa.concat_arrays(
+            (a.chunks if isinstance(a, pa.ChunkedArray) else [a])
+            + (b.chunks if isinstance(b, pa.ChunkedArray) else [b]))
+        return pa.Table.from_arrays([both], names=["n"])
+
+    deg = bucket_aggregate(
+        und.map_batches(_ends, batch_format="pyarrow"), ["n"],
+        {"deg": ("n", "count")})
+
+    # orient: join degree onto both endpoints (two key-hash shuffles of the
+    # edge list), then point each edge at its higher-(deg, node) endpoint
+    e_da = bucket_join(
+        und, deg, key="a", right_key="n", left_cols={"b": pa.string()},
+        right_cols={"deg": pa.int64()}, key_type=pa.string())
+    e_da = e_da.map_batches(
+        lambda t: t.rename_columns(["a", "b", "deg_a"]),
+        batch_format="pyarrow")
+    e_dab = bucket_join(
+        e_da, deg, key="b", right_key="n",
+        left_cols={"a": pa.string(), "deg_a": pa.int64()},
+        right_cols={"deg": pa.int64()}, key_type=pa.string())
+
+    def _orient(t: pa.Table) -> pa.Table:
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        s = np.where(a_first, a, b)
+        tt = np.where(a_first, b, a)
+        dt = np.where(a_first, db, da)
+        return pa.Table.from_arrays(
+            [pa.array(s, type=pa.string()), pa.array(tt, type=pa.string()),
+             pa.array(dt.astype(np.int64))],
+            names=["s", "t", "deg_t"])
+
+    arrows = e_dab.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for s, grp in g.groupby("s", sort=False):
+            nb = grp.sort_values(["deg_t", "t"])["t"].to_numpy()
+            if len(nb) < 2:
+                continue
+            i, j = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame({
+                "s": s, "t1": nb[i], "t2": nb[j]}))
+        if not outs:
+            return pd.DataFrame({"s": pd.Series(dtype=object),
+                                 "t1": pd.Series(dtype=object),
+                                 "t2": pd.Series(dtype=object)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = bucket_map_keyed(arrows, ["s"], _wedges)
+
+    # close each wedge against the oriented arrow (t1 -> t2): URIs contain
+    # no spaces, so 'lo hi' is an unambiguous composite key
+    def _wkey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column("t1"), t.column("t2"), " ")
+        return t.append_column("k", k)
+
+    def _akey(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(t.column("s"), t.column("t"), " ")
+        return pa.Table.from_arrays([k, pa.array(np.ones(t.num_rows,
+                                                         dtype=np.int8))],
+                                    names=["k", "hit"])
+
+    tri = bucket_join(
+        wedges.map_batches(_wkey, batch_format="pyarrow"),
+        arrows.map_batches(_akey, batch_format="pyarrow"),
+        key="k", left_cols={"s": pa.string(), "t1": pa.string(),
+                            "t2": pa.string()},
+        right_cols={"hit": pa.int8()}, key_type=pa.string())
+
+    def _corners(t: pa.Table) -> pa.Table:
+        cols = [t.column(c).combine_chunks() for c in ("s", "t1", "t2")]
+        allc = pa.concat_arrays(
+            [c for col in cols
+             for c in (col.chunks if isinstance(col, pa.ChunkedArray)
+                       else [col])])
+        return pa.Table.from_arrays([allc], names=["node"])
+
+    return bucket_aggregate(
+        tri.map_batches(_corners, batch_format="pyarrow"), ["node"],
+        {"n_triangles": ("node", "count")})
