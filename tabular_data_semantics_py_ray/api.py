@@ -78,6 +78,12 @@ def q_kg_cpa_cooccur(sf_dir: str):
     return cpa_cooccur(sf_dir)
 
 
+def q_kg_cpa_relation(sf_dir: str):
+    from .pipelines.queries_kg import cpa_relation
+
+    return cpa_relation(sf_dir)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg_pipeline import build_triples
 
@@ -488,6 +494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cta_doc_type": q_kg_cta_doc_type,
         "kg_cta_ancestors": q_kg_cta_ancestors,
         "kg_cpa_cooccur": q_kg_cpa_cooccur,
+        "kg_cpa_relation": q_kg_cpa_relation,
         "kg_triples": q_kg_triples,
         "kg_alias_canonical": q_kg_alias_canonical,
         "tab2rdf_nation": q_tab2rdf_nation,

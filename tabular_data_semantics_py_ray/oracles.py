@@ -164,6 +164,22 @@ SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
 FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2"""
 
+    o["kg_cpa_relation"] = f"""WITH {_kg_ctes()},
+ents AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
+pairs AS (
+  SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
+  FROM ents a JOIN ents b
+    ON a.doc_id = b.doc_id AND a.entity_uri <> b.entity_uri
+  GROUP BY 1, 2),
+stmts(subj, pred, obj) AS (VALUES
+    {statements_values_sql()}),
+rel AS (
+  SELECT s.subj, s.pred, s.obj, p.n_docs,
+         row_number() OVER (PARTITION BY s.subj, s.obj
+                            ORDER BY p.n_docs DESC, s.pred) AS rn
+  FROM pairs p JOIN stmts s ON s.subj = p.uri_a AND s.obj = p.uri_b)
+SELECT subj, pred, obj, n_docs FROM rel WHERE rn = 1"""
+
     o["kg_triples"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
 SELECT DISTINCT subj, pred, obj, obj_is_literal FROM (
   SELECT {_DOC_URI} AS subj, '{MENTIONS_PRED}' AS pred,

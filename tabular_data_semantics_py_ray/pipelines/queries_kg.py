@@ -112,6 +112,69 @@ def cpa_cooccur(sf_dir: str):
     return rename_cols(partial_count(pairs, ["uri_a", "uri_b"]), {"n": "n_docs"})
 
 
+def cpa_relation(sf_dir: str):
+    """CPA proper: winning KG predicate per co-occurring entity pair.
+
+    The reference's CPA task (test/mergeFiles.py:40 createTargetCPA) maps a
+    column pair to the property connecting its cells' entities, discovered
+    via per-entity predicate queries (kg/endpoints.py:135-141
+    getPredicatesForSubject/Object). Analogue here: directed entity pairs
+    co-occurring in >=1 doc, joined against the local statement table; the
+    winner per (subj, obj) is the predicate with the most supporting docs,
+    ties broken by predicate URI asc (deterministic, like the reference's
+    sorted-candidate convention).
+
+    Output: (subj, pred, obj, n_docs). Scale shape: pair counting shuffles
+    on doc_id then on the pair key (both two-phase); the statement table is
+    KG-bounded and tiny, so the predicate join is a closure-shipped
+    broadcast inside one shuffle-free pass — never an all-to-all.
+    """
+    from ..util import bucket_distinct, bucket_map_keyed
+
+    linked = _linked_flat(sf_dir)
+    ents = bucket_distinct(linked, ["doc_id", "entity_uri"])
+
+    def _dir_pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket[["doc_id", "entity_uri"]]
+        m = b.merge(b, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["entity_uri_a"] != m["entity_uri_b"]]
+        return pd.DataFrame({
+            "uri_a": m["entity_uri_a"].astype("string"),
+            "uri_b": m["entity_uri_b"].astype("string"),
+        }).reset_index(drop=True)
+
+    pairs = bucket_map_keyed(ents, ["doc_id"], _dir_pairs)
+    counts = rename_cols(
+        partial_count(pairs, ["uri_a", "uri_b"]), {"n": "n_docs"})
+
+    stmts = fixture_kg.statements_df()  # KG-bounded tiny table (broadcast)
+
+    def _winner(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(stmts, left_on=["uri_a", "uri_b"],
+                    right_on=["subj", "obj"])
+        if m.empty:
+            return pd.DataFrame({
+                "subj": pd.Series([], dtype="string"),
+                "pred": pd.Series([], dtype="string"),
+                "obj": pd.Series([], dtype="string"),
+                "n_docs": pd.Series([], dtype="int64"),
+            })
+        m = m.sort_values(["subj", "obj", "n_docs", "pred"],
+                          ascending=[True, True, False, True])
+        m = m.drop_duplicates(["subj", "obj"], keep="first")
+        return pd.DataFrame({
+            "subj": m["subj"].astype("string"),
+            "pred": m["pred"].astype("string"),
+            "obj": m["obj"].astype("string"),
+            "n_docs": m["n_docs"].astype("int64"),
+        }).reset_index(drop=True)
+
+    # counts is already distinct per (uri_a, uri_b): the winner selection is
+    # batch-local once pairs are co-located, which partial_count's keyed
+    # output already guarantees.
+    return counts.map_batches(_winner, batch_format="pandas")
+
+
 def alias_canonical_map(sf_dir: str):
     """Canonicalization map from raw alias edges (J3/D2): (uri, canonical).
 
