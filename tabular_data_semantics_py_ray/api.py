@@ -394,6 +394,12 @@ def q_split_assign(sf_dir: str):
     return split_assign(sf_dir)
 
 
+def q_stratified_sample(sf_dir: str):
+    from .pipelines.relational import stratified_sample
+
+    return stratified_sample(sf_dir)
+
+
 def q_contamination_8gram(sf_dir: str):
     from .pipelines.relational import contamination_ngram
 
@@ -545,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "quality_filter_census": q_quality_filter_census,
         "split_assign": q_split_assign,
+        "stratified_sample": q_stratified_sample,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
         "emb_label_centroids": q_emb_label_centroids,

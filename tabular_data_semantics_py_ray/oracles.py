@@ -895,6 +895,13 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents"""
 
+    # thresholds must mirror relational.STRATIFIED_RATES * 65536
+    o["stratified_sample"] = """
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::int
+      < CASE lang WHEN 'en' THEN 16384 WHEN 'fr' THEN 32768
+                  ELSE 65536 END"""
+
     o["contamination_8gram"] = """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 grams AS (

@@ -896,6 +896,47 @@ def split_assign(sf_dir: str):
     return docs.map_batches(_assign, batch_format="pyarrow", batch_size=None)
 
 
+# per-language keep rates for stratified_sample; 1.0 for langs not listed.
+# en is the dominant stratum (down-sampled hardest), fr exercises a second
+# distinct rate, everything else passes through — three code paths covered.
+STRATIFIED_RATES: dict[str, float] = {"en": 0.25, "fr": 0.5}
+
+
+def stratified_sample(sf_dir: str, rates: dict[str, float] | None = None):
+    """Deterministic stratified (per-language) downsampling — the corpus
+    rebalancing op every multilingual training mix needs (per-stratum keep
+    rates a la data-mixture rebalancing). Membership = first 16 bits of
+    md5(doc_id) compared against the stratum's rate threshold, so the
+    sample is content-independent, stable under repartitioning, resumable,
+    and exactly reproducible by the oracle (DuckDB md5 of the same string).
+
+    Scale shape: ZERO shuffles — the rate map is O(|langs|) and ships in
+    the scan closure; one streaming pass filters each batch locally.
+    Output: (doc_id, lang) of kept docs.
+    """
+    import hashlib
+
+    rates = STRATIFIED_RATES if rates is None else rates
+    thresholds = {k: int(v * 65536) for k, v in rates.items()}
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"],
+                 blocks=fanout_blocks(0.25))
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        h16 = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                        for i in ids], dtype=np.int64)
+        thr = np.array([thresholds.get(l, 65536) for l in langs],
+                       dtype=np.int64)
+        keep = h16 < thr
+        return pa.Table.from_arrays(
+            [pa.array(ids[keep]), pa.array(langs[keep], type=pa.string())],
+            names=["doc_id", "lang"])
+
+    return docs.map_batches(_sample, batch_format="pyarrow", batch_size=None)
+
+
 def quality_filter_census(sf_dir: str, *, q: float = 0.1):
     """Two-pass percentile quality filter — the composition every corpus
     cleaner runs: pass 1 computes a per-language length threshold (the
