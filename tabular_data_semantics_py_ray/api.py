@@ -400,6 +400,12 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(sf_dir)
 
 
+def q_profile_orders(sf_dir: str):
+    from .pipelines.relational import profile_table
+
+    return profile_table(sf_dir, "orders")
+
+
 def q_contamination_8gram(sf_dir: str):
     from .pipelines.relational import contamination_ngram
 
@@ -552,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_census": q_quality_filter_census,
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
+        "profile_orders": q_profile_orders,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
         "emb_label_centroids": q_emb_label_centroids,

@@ -895,6 +895,25 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents"""
 
+    def _profile_col(col: str, inferred: str) -> str:
+        if inferred == "string":
+            inferred_expr = f"""CASE WHEN count({col}) > 0
+           AND count(TRY_CAST({col} AS DOUBLE)) = count({col})
+      THEN 'numeric_text' ELSE 'text' END"""
+        else:
+            inferred_expr = f"'{inferred}'"
+        return f"""SELECT '{col}' AS col_name, count(*) AS n_rows,
+       count(*) - count({col}) AS n_null,
+       count(DISTINCT {col}) AS n_distinct,
+       {inferred_expr} AS inferred_type FROM orders"""
+
+    o["profile_orders"] = "\nUNION ALL\n".join(
+        _profile_col(c, k) for c, k in [
+            ("o_orderkey", "int"), ("o_custkey", "int"),
+            ("o_orderstatus", "string"), ("o_totalprice", "float"),
+            ("o_orderdate", "timestamp"), ("o_orderpriority", "string"),
+        ])
+
     # thresholds must mirror relational.STRATIFIED_RATES * 65536
     o["stratified_sample"] = """
 SELECT doc_id, lang FROM documents

@@ -896,6 +896,91 @@ def split_assign(sf_dir: str):
     return docs.map_batches(_assign, batch_format="pyarrow", batch_size=None)
 
 
+def profile_table(sf_dir: str, table: str = "orders"):
+    """Per-column table profile + primitive-type inference — the tabular-
+    semantics first step (which columns are entity mentions vs data values)
+    that the reference performs implicitly via its target-column selection
+    and property-kind voting (test/mergeFiles.py min-column convention,
+    oaei/dbpedia_fragment.py:469-499 majority vote); here it is an explicit
+    profiling operator over any table.
+
+    Output: (col_name, n_rows, n_null, n_distinct, inferred_type) where
+    inferred_type is schema-driven for native types (int/float/timestamp)
+    and data-driven for strings ('numeric_text' iff every non-null value
+    parses as a number, else 'text' — TRY_CAST semantics, vectorized).
+
+    Scale shape: counts are per-batch partials collapsing in a |cols|-row
+    groupby (zero data shuffles); exact distinct is batch-local dedup ->
+    one hash-partitioned distinct -> per-column count, the same two-phase
+    pattern as D1 (COUNT(DISTINCT) is irreducibly a shuffle; swap in an
+    HLL sketch when approximate counts suffice at 100 TB). Stringified
+    values are the distinct key: Python repr of float64/int64/timestamp is
+    round-trip-injective, so string distinct == native distinct.
+    """
+    from ..stages.canonicalize import partial_count
+    from ..util import bucket_aggregate, bucket_distinct, rename_cols
+
+    ds = _read(sf_dir, table, None, blocks=fanout_blocks(0.25))
+
+    def _kind(t: pa.DataType) -> str:
+        if pa.types.is_integer(t):
+            return "int"
+        if pa.types.is_floating(t):
+            return "float"
+        if pa.types.is_timestamp(t) or pa.types.is_date(t):
+            return "timestamp"
+        return "string"
+
+    def _stat_partials(t: pa.Table) -> pd.DataFrame:
+        rows = []
+        for name in t.column_names:
+            col = t.column(name)
+            n, n_null = len(col), col.null_count
+            n_num = 0
+            if _kind(col.type) == "string":
+                s = col.to_pandas()
+                n_num = int(pd.to_numeric(s, errors="coerce").notna().sum())
+            rows.append((name, n, n_null, n_num))
+        return pd.DataFrame(rows, columns=["col_name", "n", "n_null", "n_num"])
+
+    stats = bucket_aggregate(
+        ds.map_batches(_stat_partials, batch_format="pyarrow",
+                       batch_size=None),
+        ["col_name"],
+        {"n_rows": ("n", "sum"), "n_null": ("n_null", "sum"),
+         "n_num": ("n_num", "sum")},
+    ).to_pandas()  # |cols| rows — result-sized collect
+
+    def _val_pairs(t: pa.Table) -> pd.DataFrame:
+        frames = []
+        for name in t.column_names:
+            vals = t.column(name).drop_null().to_pandas().astype(str).unique()
+            frames.append(pd.DataFrame({"col_name": name, "val": vals}))
+        out = pd.concat(frames, ignore_index=True)
+        out["val"] = out["val"].astype("string")
+        return out
+
+    pairs = ds.map_batches(_val_pairs, batch_format="pyarrow",
+                           batch_size=None)
+    nd = rename_cols(
+        partial_count(bucket_distinct(pairs, ["col_name", "val"]),
+                      ["col_name"]),
+        {"n": "n_distinct"}).to_pandas()  # |cols| rows
+
+    kinds = {f.name: _kind(f.type)
+             for f in ds.schema().base_schema}  # metadata-only
+    out = stats.merge(nd, on="col_name")
+    is_str = out["col_name"].map(kinds) == "string"
+    non_null = out["n_rows"] - out["n_null"]
+    numeric_text = is_str & (non_null > 0) & (out["n_num"] == non_null)
+    out["inferred_type"] = out["col_name"].map(kinds)
+    out.loc[is_str, "inferred_type"] = np.where(
+        numeric_text[is_str], "numeric_text", "text")
+    out = out.drop(columns=["n_num"]).sort_values("col_name")
+    return out[["col_name", "n_rows", "n_null", "n_distinct",
+                "inferred_type"]].reset_index(drop=True)
+
+
 # per-language keep rates for stratified_sample; 1.0 for langs not listed.
 # en is the dominant stratum (down-sampled hardest), fr exercises a second
 # distinct rate, everything else passes through — three code paths covered.

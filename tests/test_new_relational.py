@@ -183,3 +183,32 @@ def test_contamination_gram_windows_stay_inside_docs():
         for i in range(max(0, len(ts) - n + 1)):
             want.append((d, " ".join(ts[i:i + n])))
     assert got == want
+
+
+def test_profile_table_numeric_text_inference(ray_session, tmp_path):
+    """profile_table over a synthetic table: a string column whose non-null
+    values all parse numerically is 'numeric_text'; mixed stays 'text';
+    nulls are excluded from both distinct counts and the parse fraction."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import profile_table
+
+    t = pa.table({
+        "idcol": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "numtext": pa.array(["1.5", "2e3", None, "-7"]),
+        "mixed": pa.array(["1", "x", "2", None]),
+        "score": pa.array([0.5, 0.5, 1.0, None], type=pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "synth.parquet")
+
+    out = profile_table(str(tmp_path), "synth")
+    got = out.set_index("col_name")
+    assert got.loc["numtext", "inferred_type"] == "numeric_text"
+    assert got.loc["mixed", "inferred_type"] == "text"
+    assert got.loc["idcol", "inferred_type"] == "int"
+    assert got.loc["score", "inferred_type"] == "float"
+    assert got.loc["numtext", "n_null"] == 1
+    assert got.loc["numtext", "n_distinct"] == 3
+    assert got.loc["score", "n_distinct"] == 2
+    assert (got["n_rows"] == 4).all()
