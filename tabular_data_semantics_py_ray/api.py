@@ -400,6 +400,12 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample(sf_dir)
 
 
+def q_events_lag_features(sf_dir: str):
+    from .pipelines.relational import events_lag_features
+
+    return events_lag_features(sf_dir)
+
+
 def q_profile_orders(sf_dir: str):
     from .pipelines.relational import profile_table
 
@@ -559,6 +565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": q_split_assign,
         "stratified_sample": q_stratified_sample,
         "profile_orders": q_profile_orders,
+        "events_lag_features": q_events_lag_features,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
         "emb_label_centroids": q_emb_label_centroids,

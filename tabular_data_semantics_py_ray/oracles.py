@@ -895,6 +895,13 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM documents"""
 
+    o["events_lag_features"] = """
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
     def _profile_col(col: str, inferred: str) -> str:
         if inferred == "string":
             inferred_expr = f"""CASE WHEN count({col}) > 0

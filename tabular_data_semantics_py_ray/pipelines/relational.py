@@ -896,6 +896,51 @@ def split_assign(sf_dir: str):
     return docs.map_batches(_assign, batch_format="pyarrow", batch_size=None)
 
 
+def events_lag_features(sf_dir: str):
+    """Per-user lag feature engineering — the sequence-feature op every
+    behavioral/training-feature pipeline needs: for each event, the
+    previous event's value and the gap in seconds since it, ordered by
+    (ts, event_id) within the user (deterministic tie-break). First event
+    per user gets nulls. -> (event_id, user_id, prev_value, gap_sec).
+
+    All outputs are exact (a shift and an integer timestamp difference —
+    no float accumulation), so oracle parity is bitwise. Scale shape: ONE
+    user-keyed bucket shuffle, per-bucket vectorized sort+shift; identical
+    partitioning key as the other event ops (sessionize, as-of), so a
+    multi-op pipeline reuses the same exchange.
+    """
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+               blocks=fanout_blocks(0.5))
+
+    def _lags(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts", "event_id"],
+                               kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        same_user = np.empty(len(b), dtype=bool)
+        same_user[0] = False
+        same_user[1:] = uid[1:] == uid[:-1]
+        # plain float64 + NaN (not nullable extension dtypes): DuckDB's
+        # pandas bridge returns nullable BIGINT/DOUBLE as float64+NaN, and
+        # the driver compares stringified values — '<NA>' would mismatch
+        prev_value = b["value"].shift(1).to_numpy(dtype="float64")
+        ts_us = b["ts"].astype("int64").to_numpy()
+        gap_sec = np.empty(len(b), dtype="float64")
+        gap_sec[0] = np.nan
+        gap_sec[1:] = (ts_us[1:] - ts_us[:-1]) // 1_000_000
+        prev_value[~same_user] = np.nan
+        gap_sec[~same_user] = np.nan
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64").to_numpy(),
+            "user_id": uid.astype("int64"),
+            "prev_value": prev_value,
+            "gap_sec": gap_sec,
+        }).reset_index(drop=True)
+
+    return bucket_map_keyed(ev, ["user_id"], _lags)
+
+
 def profile_table(sf_dir: str, table: str = "orders"):
     """Per-column table profile + primitive-type inference — the tabular-
     semantics first step (which columns are entity mentions vs data values)
