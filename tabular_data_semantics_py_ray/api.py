@@ -406,6 +406,12 @@ def q_events_lag_features(sf_dir: str):
     return events_lag_features(sf_dir)
 
 
+def q_events_funnel(sf_dir: str):
+    from .pipelines.relational import events_funnel
+
+    return events_funnel(sf_dir)
+
+
 def q_profile_orders(sf_dir: str):
     from .pipelines.relational import profile_table
 
@@ -566,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "profile_orders": q_profile_orders,
         "events_lag_features": q_events_lag_features,
+        "events_funnel": q_events_funnel,
         "doc_len_quantiles": q_doc_len_quantiles,
         "emb_label_stats": q_emb_label_stats,
         "emb_label_centroids": q_emb_label_centroids,

@@ -941,6 +941,45 @@ def events_lag_features(sf_dir: str):
     return bucket_map_keyed(ev, ["user_id"], _lags)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str, steps: tuple[str, ...] = FUNNEL_STEPS):
+    """Strict sequential funnel — the conversion census every behavioral
+    pipeline runs: a user reaches step k iff they have a step-k event
+    STRICTLY AFTER the timestamp at which they reached step k-1 (first
+    qualifying occurrence, not first overall). -> (step_idx, step,
+    n_users).
+
+    Scale shape: one user-keyed bucket shuffle; within a bucket each
+    step is a vectorized filter -> groupby-min -> merge chain (no per-user
+    Python loop); per-bucket partial counts collapse in a |steps|-row
+    final groupby.
+    """
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _funnel(bucket: pd.DataFrame) -> pd.DataFrame:
+        reached = None  # user_id -> ts at which the previous step was hit
+        rows = []
+        for i, step in enumerate(steps):
+            e = bucket[bucket["event_type"] == step]
+            if reached is not None:
+                e = e.merge(reached, on="user_id")
+                e = e[e["ts"] > e["reached_ts"]]
+            t = (e.groupby("user_id", sort=False)["ts"].min()
+                 .reset_index(name="reached_ts"))
+            rows.append((i + 1, step, len(t)))
+            reached = t
+        return pd.DataFrame(rows, columns=["step_idx", "step", "n"])
+
+    partials = bucket_map_keyed(ev, ["user_id"], _funnel)
+    return bucket_aggregate(partials, ["step_idx", "step"],
+                            {"n_users": ("n", "sum")})
+
+
 def profile_table(sf_dir: str, table: str = "orders"):
     """Per-column table profile + primitive-type inference — the tabular-
     semantics first step (which columns are entity mentions vs data values)

@@ -212,3 +212,36 @@ def test_profile_table_numeric_text_inference(ray_session, tmp_path):
     assert got.loc["numtext", "n_distinct"] == 3
     assert got.loc["score", "n_distinct"] == 2
     assert (got["n_rows"] == 4).all()
+
+
+def test_events_funnel_strict_ordering(ray_session, tmp_path):
+    """A purchase BEFORE the user's first qualifying click must not count;
+    drop-off at each step is reflected in the census."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import events_funnel
+
+    us = 1_000_000
+    rows = [
+        # user 1: view -> click -> purchase (fully converts)
+        (1, 1, "view"), (1, 2, "click"), (1, 3, "purchase"),
+        # user 2: purchase before click -> stops at click
+        (2, 1, "view"), (2, 2, "purchase"), (2, 3, "click"),
+        # user 3: click before view -> stops at view
+        (3, 2, "click"), (3, 3, "view"),
+        # user 4: never views -> not even step 1
+        (4, 1, "click"), (4, 2, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] * us for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array([""] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_funnel(str(tmp_path)).to_pandas().sort_values("step_idx")
+    assert out["n_users"].tolist() == [3, 2, 1]
