@@ -84,6 +84,12 @@ def q_kg_cpa_relation(sf_dir: str):
     return cpa_relation(sf_dir)
 
 
+def q_kg_fuzzy_match(sf_dir: str):
+    from .pipelines.queries_kg import fuzzy_entity_match
+
+    return fuzzy_entity_match(sf_dir)
+
+
 def q_kg_triples(sf_dir: str):
     from .pipelines.kg_pipeline import build_triples
 
@@ -519,6 +525,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cta_ancestors": q_kg_cta_ancestors,
         "kg_cpa_cooccur": q_kg_cpa_cooccur,
         "kg_cpa_relation": q_kg_cpa_relation,
+        "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,
         "kg_alias_canonical": q_kg_alias_canonical,
         "tab2rdf_nation": q_tab2rdf_nation,

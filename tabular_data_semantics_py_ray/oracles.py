@@ -180,6 +180,30 @@ rel AS (
   FROM pairs p JOIN stmts s ON s.subj = p.uri_a AND s.obj = p.uri_b)
 SELECT subj, pred, obj, n_docs FROM rel WHERE rn = 1"""
 
+    o["kg_fuzzy_match"] = f"""WITH
+lex(surface_form, entity_uri, rank) AS (VALUES
+    {lexicon_values_sql()}),
+names AS (SELECT DISTINCT entity_uri,
+                 lower(regexp_extract(entity_uri, '[^/]+$')) AS name
+          FROM lex),
+toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+         FROM documents),
+toks3 AS (SELECT tok FROM toks WHERE len(tok) >= 3),
+tg AS (SELECT DISTINCT tok, substr(tok, CAST(u.i AS INT), 3) AS g
+       FROM toks3, unnest(range(1, len(tok) - 1)) AS u(i)),
+tn AS (SELECT tok, count(*) AS n FROM tg GROUP BY 1),
+eg AS (SELECT DISTINCT entity_uri, substr(name, CAST(u.i AS INT), 3) AS g
+       FROM names, unnest(range(1, len(name) - 1)) AS u(i)),
+en AS (SELECT entity_uri, count(*) AS n FROM eg GROUP BY 1),
+shared AS (SELECT tg.tok, eg.entity_uri, count(*) AS s
+           FROM tg JOIN eg USING (g) GROUP BY 1, 2)
+SELECT sh.tok AS token, sh.entity_uri,
+       round(CAST(sh.s AS DOUBLE) / (tn.n + en.n - sh.s), 6) AS sim
+FROM shared sh
+JOIN tn ON sh.tok = tn.tok
+JOIN en ON sh.entity_uri = en.entity_uri
+WHERE CAST(sh.s AS DOUBLE) / (tn.n + en.n - sh.s) >= 0.2"""
+
     o["kg_triples"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
 SELECT DISTINCT subj, pred, obj, obj_is_literal FROM (
   SELECT {_DOC_URI} AS subj, '{MENTIONS_PRED}' AS pred,

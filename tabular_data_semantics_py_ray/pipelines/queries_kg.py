@@ -175,6 +175,87 @@ def cpa_relation(sf_dir: str):
     return counts.map_batches(_winner, batch_format="pandas")
 
 
+def fuzzy_entity_match(sf_dir: str, threshold: float = 0.2):
+    """Fuzzy string-similarity join: corpus vocabulary x entity names by
+    character-trigram Jaccard — the client-side analogue of the fuzzy
+    matching the reference delegates to the lookup service
+    (kg/lookup.py getKGEntities surface-form search; names minted per
+    util/utilities.py:44 getEntityName). -> (token, entity_uri, sim) for
+    all pairs with trigram-Jaccard >= threshold.
+
+    Scale shape: ONE shuffle (the corpus-vocabulary distinct); the entity
+    side is KG-bounded, so its trigram inverted index ships in the scan
+    closure and blocking+verification are batch-local vectorized pandas
+    merges (same block-then-verify shape as the near-dup family, cross-
+    table). Trigram expansion of the vocabulary is one Arrow slice kernel
+    per character offset — no per-token Python loop.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import bucket_distinct
+
+    docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
+
+    def _toks(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), " "))
+        u = pc.unique(flat)
+        u = u.filter(pc.greater_equal(pc.utf8_length(u), 3))
+        return pa.table({"token": u})
+
+    toks = bucket_distinct(
+        docs.map_batches(_toks, batch_format="pyarrow", batch_size=None),
+        ["token"])
+
+    lex = fixture_kg.lexicon_df()
+    uris = sorted(set(lex["entity_uri"]))
+
+    def _grams(s: str) -> set[str]:
+        return {s[i:i + 3] for i in range(len(s) - 2)}
+
+    ent = pd.DataFrame(
+        [(u, g) for u in uris for g in _grams(u.rsplit("/", 1)[-1].lower())],
+        columns=["entity_uri", "g"])
+    ent_n = ent.groupby("entity_uri").size()
+
+    def _match(b: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "token": pd.Series([], dtype="string"),
+            "entity_uri": pd.Series([], dtype="string"),
+            "sim": pd.Series([], dtype="float64")})
+        if not len(b):
+            return empty
+        tokens = b["token"].astype(str).to_numpy()
+        ta = pa.array(tokens)
+        parts = []
+        for j in range(int(max(len(t) for t in tokens)) - 2):
+            g = pc.utf8_slice_codeunits(ta, j, j + 3)
+            keep = pc.equal(pc.utf8_length(g), 3).to_numpy(
+                zero_copy_only=False)
+            parts.append(pd.DataFrame({
+                "token": tokens[keep],
+                "g": g.to_pandas().to_numpy()[keep]}))
+        tg = pd.concat(parts, ignore_index=True).drop_duplicates()
+        tn = tg.groupby("token").size().rename("tn")
+        sh = (tg.merge(ent, on="g")
+              .groupby(["token", "entity_uri"]).size().reset_index(name="s"))
+        if not len(sh):
+            return empty
+        sh = sh.join(tn, on="token")
+        sh["en"] = sh["entity_uri"].map(ent_n)
+        raw = sh["s"] / (sh["tn"] + sh["en"] - sh["s"])
+        # threshold on the UNROUNDED similarity, round only for output
+        sh = sh[raw >= threshold]
+        return pd.DataFrame({
+            "token": sh["token"].astype("string"),
+            "entity_uri": sh["entity_uri"].astype("string"),
+            "sim": np.round(raw[raw >= threshold], 6),
+        }).reset_index(drop=True)
+
+    return toks.map_batches(_match, batch_format="pandas")
+
+
 def alias_canonical_map(sf_dir: str):
     """Canonicalization map from raw alias edges (J3/D2): (uri, canonical).
 
