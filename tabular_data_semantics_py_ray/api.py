@@ -436,6 +436,36 @@ def q_doc_len_quantiles(sf_dir: str):
     return doc_len_quantiles(sf_dir)
 
 
+def q_doc_pack_assign(sf_dir: str):
+    from .pipelines.relational import pack_assign
+
+    return pack_assign(sf_dir)
+
+
+def q_emb_kmeans_assign(sf_dir: str):
+    from .pipelines.relational import emb_kmeans_assign
+
+    return emb_kmeans_assign(sf_dir)
+
+
+def q_orders_segment_semijoin(sf_dir: str):
+    from .pipelines.relational import orders_segment_semijoin
+
+    return orders_segment_semijoin(sf_dir)
+
+
+def q_bigram_pmi(sf_dir: str):
+    from .pipelines.relational import bigram_pmi
+
+    return bigram_pmi(sf_dir)
+
+
+def q_events_daily_active(sf_dir: str):
+    from .pipelines.relational import events_daily_active
+
+    return events_daily_active(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -588,4 +618,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dedup_keep": q_emb_dedup_keep,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
+        "doc_pack_assign": q_doc_pack_assign,
+        "emb_kmeans_assign": q_emb_kmeans_assign,
+        "orders_segment_semijoin": q_orders_segment_semijoin,
+        "bigram_pmi": q_bigram_pmi,
+        "events_daily_active": q_events_daily_active,
     }

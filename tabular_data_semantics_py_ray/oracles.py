@@ -1165,4 +1165,80 @@ comp AS (SELECT node AS vec_id, min(r) AS component_id FROM reach GROUP BY node)
 SELECT e.vec_id FROM embeddings e
 WHERE e.vec_id NOT IN (SELECT vec_id FROM comp WHERE vec_id <> component_id)"""
 
+    # seq_len must mirror relational.pack_assign's default
+    o["doc_pack_assign"] = """
+WITH d AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 2048 AS pack_id,
+       tok_offset % 2048 AS pack_pos
+FROM s"""
+
+    o["emb_kmeans_assign"] = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label AS clab, dim, avg(v) AS c FROM x GROUP BY 1, 2
+),
+d AS (
+  SELECT x.vec_id, x.label, c.clab,
+         sum((x.v - c.c) * (x.v - c.c)) AS dist
+  FROM x JOIN c ON x.dim = c.dim
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT vec_id, label, clab,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, clab) AS rn
+  FROM d
+)
+SELECT vec_id, cast(label AS BIGINT) AS label,
+       cast(clab AS BIGINT) AS assigned
+FROM r WHERE rn = 1"""
+
+    o["orders_segment_semijoin"] = """
+SELECT o_orderkey FROM orders
+WHERE o_custkey IN
+      (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')"""
+
+    o["bigram_pmi"] = """
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+uni AS (
+  SELECT w, cast(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1
+),
+big AS (
+  SELECT w1, w2, cast(count(*) AS BIGINT) AS n_pair FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS r(i)
+  ) GROUP BY 1, 2
+),
+tot AS (
+  SELECT (SELECT sum(n)::DOUBLE FROM uni) AS n_u,
+         (SELECT sum(n_pair)::DOUBLE FROM big) AS n_b
+)
+SELECT b.w1, b.w2, b.n_pair,
+       round(ln((b.n_pair / t.n_b) /
+                ((ua.n / t.n_u) * (ub.n / t.n_u))), 4) AS pmi
+FROM big b
+JOIN uni ua ON b.w1 = ua.w
+JOIN uni ub ON b.w2 = ub.w
+CROSS JOIN tot t"""
+
+    o["events_daily_active"] = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1"""
+
     return o

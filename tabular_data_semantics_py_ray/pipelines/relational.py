@@ -1442,3 +1442,311 @@ def doc_top_bigram_frac(sf_dir: str):
                    "top_bigram_frac"])
 
     return docs.map_batches(_top, batch_format="pyarrow", batch_size=None)
+
+
+def pack_assign(sf_dir: str, *, seq_len: int = 2048):
+    """Fixed-length sequence packing via a distributed prefix sum — the
+    token-offset assignment every LLM pretraining pipeline runs before
+    writing training shards: docs in doc_id order are laid end-to-end on
+    one global token axis; each doc gets its exclusive starting offset,
+    the training sequence it lands in (pack_id = offset // seq_len) and
+    its position within that sequence.
+
+    Ray Data has no ordered-scan primitive, so this composes the textbook
+    two-pass distributed prefix sum from existing shapes:
+
+      pass 1: map_batches computes n_tokens per doc (Arrow split kernel)
+        and reduces to per-RANGE partials (range = doc_id // width, width
+        sized from parquet row-count METADATA — no extra data pass — so
+        the totals table stays ~16 rows per cluster CPU at any corpus
+        size); the tiny (range, total) table is exclusive-scanned on the
+        driver and shipped in the pass-2 closure (KB-scale broadcast).
+      pass 2: bucket shuffle on range; within each range, sort by doc_id,
+        vectorized exclusive cumsum, plus the range's base offset.
+
+    Scale note: at 1e12 docs one level of ranges would make per-range
+    groups too large for a single bucket task; the fix is recursion —
+    scan the (range, total) table with this same operator — and each
+    level multiplies capacity by the fan-out (~3e4). One level is exact
+    and fast at every scale this sandbox can hold.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..util import adaptive_buckets, bucket_aggregate, bucket_map_keyed
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = max(1, pq.read_metadata(path).num_rows)
+    n_ranges = max(1, min(adaptive_buckets(16), n_rows))
+    width = -(-n_rows // n_ranges)  # ceil; doc_ids are dense 0..N-1
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        n = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")).cast(pa.int64())
+        rng = pc.divide(ids, width)
+        return pa.Table.from_arrays([ids, n, rng],
+                                    names=["doc_id", "n_tokens", "rng"])
+
+    ntok = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5)).map_batches(
+        _ntok, batch_format="pyarrow", batch_size=None)
+
+    # pass 1: per-range totals -> driver exclusive scan (tiny: <= n_ranges rows)
+    totals = bucket_aggregate(
+        ntok, ["rng"], {"total": ("n_tokens", "sum")}).to_pandas()
+    totals = totals.sort_values("rng")
+    max_rng = int(totals["rng"].max()) if len(totals) else 0
+    bases = np.zeros(max_rng + 1, dtype=np.int64)
+    np.put(bases, totals["rng"].to_numpy(),
+           np.cumsum(totals["total"].to_numpy()) - totals["total"].to_numpy())
+
+    # pass 2: co-locate each range, exclusive cumsum within it
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["rng", "doc_id"], kind="mergesort")
+        nt = b["n_tokens"].to_numpy()
+        rng = b["rng"].to_numpy()
+        cs = np.cumsum(nt) - nt  # exclusive over the sorted frame
+        new_rng = np.empty(len(b), dtype=bool)
+        new_rng[0] = True
+        new_rng[1:] = rng[1:] != rng[:-1]
+        # subtract the frame-cumsum at each range start (cs is nondecreasing)
+        base_cs = np.where(new_rng, cs, 0)
+        base_cs = np.maximum.accumulate(base_cs)
+        off = bases[rng] + (cs - base_cs)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(),
+            "n_tokens": nt,
+            "tok_offset": off,
+            "pack_id": off // seq_len,
+            "pack_pos": off % seq_len,
+        })
+
+    return bucket_map_keyed(ntok, ["rng"], _pack)
+
+
+def emb_kmeans_assign(sf_dir: str):
+    """Nearest-centroid assignment (the k-means E-step, pairing with
+    emb_label_centroids' M-step): centroids = per-label means computed by
+    the same |labels| x d partial-sum reduce, collected to the driver
+    (tiny: labels x dims doubles), then each batch does ONE (n, d) x
+    (d, k) matmul + argmin — the broadcast-small-side ANN shape, zero
+    shuffles over the vectors. Ties broken toward the smaller label, same
+    as the oracle's ORDER BY dist, label."""
+    from ..util import bucket_aggregate, list_column_matrix
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
+                blocks=fanout_blocks(0.25))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t.column("embedding"))
+        labels = t.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ulab, codes = np.unique(labels, return_inverse=True)
+        k, d = len(ulab), m.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ulab, d)),
+             pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+             pa.array(sums.ravel()),
+             pa.array(np.repeat(cnts, d))],
+            names=["label", "dim", "s", "n"])
+
+    cent = bucket_aggregate(
+        emb.map_batches(_partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    cent = cent.sort_values(["label", "dim"])
+    labs = np.sort(cent["label"].unique())
+    k, d = len(labs), cent["dim"].nunique()
+    C = (cent["s"].to_numpy() / cent["n"].to_numpy()).reshape(k, d)
+    C_ref = ray.put(C)
+    labs_ref = ray.put(labs)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(C_ref)
+        lab_ids = ray.get(labs_ref)
+        X = list_column_matrix(t.column("embedding"))
+        # full squared distance, summed along dims in index order (matches
+        # the oracle's per-dim sum to float64 ulp)
+        d2 = ((X[:, None, :] - Cm[None, :, :]) ** 2).sum(axis=2)
+        best = np.argmin(d2, axis=1)  # first minimum = smallest label
+        return pa.Table.from_arrays(
+            [t.column("vec_id").cast(pa.int64()),
+             t.column("label").cast(pa.int64()),
+             pa.array(lab_ids[best])],
+            names=["vec_id", "label", "assigned"])
+
+    return emb.map_batches(_assign, batch_format="pyarrow")
+
+
+def orders_segment_semijoin(sf_dir: str, *, segment: str = "AUTOMOBILE",
+                            bloom_bits: int = 1 << 20):
+    """Semi-join with a runtime bloom filter (the Spark/Trino
+    runtime-filter-pushdown pattern): orders placed by customers in a
+    market segment.
+
+    Stage 1 builds a bloom filter of qualifying c_custkey per batch (a
+    fixed-size uint8 bit array; batch partials are OR-reduced on the
+    driver — KB-scale regardless of row count) and broadcasts it once.
+    Stage 2 prefilters orders with two vectorized hash probes — at 100 TB
+    this is where ~all non-matching rows die WITHOUT being shuffled.
+    Stage 3 removes bloom false positives with an exact hash-partitioned
+    semi-join over the (already thinned) survivors. Output is exact; the
+    bloom only reduces shuffle volume."""
+    from ..util import bucket_join, select_cols
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 blocks=fanout_blocks(0.25)).filter(
+        expr=f"c_mktsegment == '{segment}'")
+
+    def _bloom_partial(t: pa.Table) -> pa.Table:
+        keys = t.column("c_custkey").cast(pa.uint64()).to_numpy(
+            zero_copy_only=False)
+        bits = np.zeros(bloom_bits // 8, dtype=np.uint8)
+        for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+            h = (keys * np.uint64(salt)) >> np.uint64(44)
+            h = h % np.uint64(bloom_bits)
+            np.bitwise_or.at(bits, (h // 8).astype(np.int64),
+                             (1 << (h % 8)).astype(np.uint8))
+        return pa.Table.from_arrays([pa.array([bits.tobytes()])],
+                                    names=["bloom"])
+
+    parts = cust.map_batches(_bloom_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    bloom = np.zeros(bloom_bits // 8, dtype=np.uint8)
+    for blob in parts["bloom"]:
+        bloom |= np.frombuffer(blob, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   blocks=fanout_blocks(0.5))
+
+    def _prefilter(t: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        keys = t.column("o_custkey").cast(pa.uint64()).to_numpy(
+            zero_copy_only=False)
+        keep = np.ones(len(keys), dtype=bool)
+        for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+            h = (keys * np.uint64(salt)) >> np.uint64(44)
+            h = h % np.uint64(bloom_bits)
+            keep &= (b[(h // 8).astype(np.int64)]
+                     & (1 << (h % 8)).astype(np.uint8)) != 0
+        return t.filter(pa.array(keep))
+
+    survivors = orders.map_batches(_prefilter, batch_format="pyarrow",
+                                   batch_size=None)
+    joined = bucket_join(
+        survivors, select_cols(cust, ["c_custkey"]),
+        key="o_custkey", right_key="c_custkey",
+        left_cols={"o_orderkey": pa.int64()}, right_cols={},
+        post=lambda df: df[["o_orderkey"]])
+    return joined
+
+
+def bigram_pmi(sf_dir: str):
+    """Pointwise mutual information of adjacent token pairs (collocation
+    mining — the phrase-detection pass of word2vec-style preprocessing).
+    Two combiner-shaped counts (bigram and unigram, each pre-reduced per
+    batch before a vocabulary-sized shuffle) plus driver-side unigram
+    totals (vocab-sized — tiny even for real corpora). Output: every
+    bigram with its count and pmi = ln((c_ab/N_b) / ((c_a/N_u)^2-ish)),
+    rounded to 4 (cross-engine double-log tolerance)."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=fanout_blocks(0.5))
+
+    def _bigram_partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = toks.flatten()
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_numpy(zero_copy_only=False)
+        V = len(vocab)
+        if V == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.string()),
+                 pa.array([], type=pa.string()),
+                 pa.array([], type=pa.int64())],
+                names=["w1", "w2", "n_pair"])
+        # mask the last token of each doc (no bigram starts there)
+        ends = np.cumsum(lens) - 1
+        valid = np.ones(len(codes), dtype=bool)
+        valid[ends[lens > 0]] = False
+        a = codes[:-1][valid[:-1]]
+        b = codes[1:][valid[:-1]]
+        pair, n = np.unique(a * V + b, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(vocab[pair // V], type=pa.string()),
+             pa.array(vocab[pair % V], type=pa.string()),
+             pa.array(n.astype(np.int64))],
+            names=["w1", "w2", "n_pair"])
+
+    def _unigram_partial(t: pa.Table) -> pa.Table:
+        flat = pc.split_pattern(t.column("text"), " ")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        flat = flat.flatten()
+        vc = pc.value_counts(flat)
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["w", "n"])
+
+    big = bucket_aggregate(
+        docs.map_batches(_bigram_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["w1", "w2"], {"n_pair": ("n_pair", "sum")})
+    uni = bucket_aggregate(
+        docs.map_batches(_unigram_partial, batch_format="pyarrow",
+                         batch_size=None),
+        ["w"], {"n": ("n", "sum")}).to_pandas()
+    n_u = float(uni["n"].sum())
+    freq = dict(zip(uni["w"], uni["n"].astype(float)))
+    freq_ref = ray.put(freq)
+
+    # every doc contributes len-1 bigrams and split('') is [''] (len 1), so
+    # total bigrams = total tokens - n_docs; n_docs from parquet metadata
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_b = n_u - float(n_docs)
+
+    def _pmi(b: pd.DataFrame) -> pd.DataFrame:
+        f = ray.get(freq_ref)
+        p_ab = b["n_pair"].to_numpy(dtype=np.float64) / n_b
+        p_a = b["w1"].map(f).to_numpy(dtype=np.float64) / n_u
+        p_b = b["w2"].map(f).to_numpy(dtype=np.float64) / n_u
+        b = b.copy()
+        b["pmi"] = np.round(np.log(p_ab / (p_a * p_b)), 4)
+        return b
+
+    return big.map_batches(_pmi, batch_format="pandas")
+
+
+def events_daily_active(sf_dir: str):
+    """Exact daily active users — the COUNT(DISTINCT user) shape: per-batch
+    distinct (day, user) partials thin the stream BEFORE the one shuffle, a
+    hash-partitioned distinct removes cross-batch dups, then a tiny per-day
+    count. Day is epoch-days int64 (timezone-free, hash-stable)."""
+    from ..util import bucket_aggregate, bucket_distinct
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"], blocks=fanout_blocks(0.5))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = pa.array((t.column("ts").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        // 86_400_000_000).astype(np.int64))
+        uid = t.column("user_id").cast(pa.int64())
+        out = pa.Table.from_arrays([day, uid], names=["day", "user_id"])
+        return out.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = bucket_distinct(
+        ev.map_batches(_partial, batch_format="pyarrow"), ["day", "user_id"])
+    return bucket_aggregate(pairs, ["day"], {"n_users": ("user_id", "count")})

@@ -1,0 +1,155 @@
+"""Tests for the distributed-scan / runtime-filter operator family:
+
+- pack_assign: the distributed prefix sum must equal a sequential cumsum
+  in doc_id order regardless of how rows land in blocks (the whole point
+  of the two-pass range decomposition);
+- orders_segment_semijoin: the bloom prefilter can never drop a true
+  match (no false negatives by construction), and the exact join must
+  remove every bloom false positive even with a deliberately tiny filter;
+- bigram partial kernel: per-batch pair counts must never cross document
+  boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts, shuffle_seed=7):
+    """Docs parquet with doc_ids deliberately OUT of storage order so block
+    order != doc_id order (the adversarial case for an ordered scan)."""
+    n = len(texts)
+    ids = np.arange(n)
+    rng = np.random.default_rng(shuffle_seed)
+    perm = rng.permutation(n)
+    df = pd.DataFrame({"doc_id": ids[perm], "text": [texts[i] for i in perm]})
+    df["lang"] = "en"
+    df["source"] = "t"
+    df["n_chars"] = df["text"].str.len()
+    path = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path,
+                   row_group_size=max(1, n // 7))
+    return str(tmp_path)
+
+
+def test_pack_assign_matches_sequential_cumsum(ray_session, tmp_path):
+    from tabular_data_semantics_py_ray.pipelines.relational import pack_assign
+
+    rng = np.random.default_rng(3)
+    texts = [" ".join(f"t{j}" for j in range(rng.integers(1, 40)))
+             for _ in range(300)]
+    sf = _write_docs(tmp_path, texts)
+
+    got = pack_assign(sf, seq_len=64).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+
+    nt = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+    off = np.cumsum(nt) - nt
+    assert got["doc_id"].tolist() == list(range(300))
+    assert got["n_tokens"].tolist() == nt.tolist()
+    assert got["tok_offset"].tolist() == off.tolist()
+    assert got["pack_id"].tolist() == (off // 64).tolist()
+    assert got["pack_pos"].tolist() == (off % 64).tolist()
+
+
+def test_pack_assign_empty_texts_count_one_token(ray_session, tmp_path):
+    # split('') == [''] on both engines; the scan must agree
+    from tabular_data_semantics_py_ray.pipelines.relational import pack_assign
+
+    sf = _write_docs(tmp_path, ["", "a b", "", "c"])
+    got = pack_assign(sf, seq_len=3).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == [1, 2, 1, 1]
+    assert got["tok_offset"].tolist() == [0, 1, 3, 4]
+
+
+@pytest.mark.parametrize("bloom_bits", [64, 1 << 20])
+def test_segment_semijoin_exact_even_with_tiny_bloom(ray_session, tmp_path,
+                                                     bloom_bits):
+    """bloom_bits=64 with ~hundreds of keys saturates the filter, so nearly
+    every order survives the prefilter as a false positive — the exact join
+    must still produce exactly the oracle set."""
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        orders_segment_semijoin,
+    )
+
+    rng = np.random.default_rng(11)
+    n_cust, n_ord = 200, 1000
+    seg = np.where(rng.random(n_cust) < 0.3, "AUTOMOBILE", "OTHER")
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust), "c_name": "x",
+        "c_nationkey": 0, "c_acctbal": 0.0, "c_mktsegment": seg})
+    ck = rng.integers(0, n_cust, n_ord)
+    orders = pd.DataFrame({"o_orderkey": np.arange(n_ord), "o_custkey": ck})
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   tmp_path / "customer.parquet")
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   tmp_path / "orders.parquet")
+
+    got = orders_segment_semijoin(str(tmp_path), bloom_bits=bloom_bits)
+    got = sorted(got.to_pandas()["o_orderkey"].tolist())
+    want = sorted(orders.loc[
+        np.isin(ck, np.flatnonzero(seg == "AUTOMOBILE")), "o_orderkey"
+    ].tolist())
+    assert got == want
+
+
+def test_bloom_prefilter_has_no_false_negatives():
+    """Property of the two-probe bloom kernel itself: every inserted key
+    passes membership, for any key set and filter width."""
+    bloom_bits = 1 << 12
+    rng = np.random.default_rng(5)
+    keys = rng.integers(0, 2**40, 500).astype(np.uint64)
+    bits = np.zeros(bloom_bits // 8, dtype=np.uint8)
+    for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+        h = (keys * np.uint64(salt)) >> np.uint64(44)
+        h = h % np.uint64(bloom_bits)
+        np.bitwise_or.at(bits, (h // 8).astype(np.int64),
+                         (1 << (h % 8)).astype(np.uint8))
+    keep = np.ones(len(keys), dtype=bool)
+    for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+        h = (keys * np.uint64(salt)) >> np.uint64(44)
+        h = h % np.uint64(bloom_bits)
+        keep &= (bits[(h // 8).astype(np.int64)]
+                 & (1 << (h % 8)).astype(np.uint8)) != 0
+    assert keep.all()
+
+
+def test_bigram_partial_does_not_cross_doc_boundaries(ray_session, tmp_path):
+    from tabular_data_semantics_py_ray.pipelines.relational import bigram_pmi
+
+    # "a b" + "b a": bigrams are exactly {a b, b a}; a cross-doc kernel
+    # would also emit (b, b) or (a, a)
+    sf = _write_docs(tmp_path, ["a b", "b a"] * 10)
+    got = bigram_pmi(sf).to_pandas()
+    pairs = set(zip(got["w1"], got["w2"]))
+    assert pairs == {("a", "b"), ("b", "a")}
+    assert got["n_pair"].tolist() == [10, 10]
+    # p(ab)=10/20 over bigrams, p(a)=p(b)=20/40 over tokens -> pmi=ln(2)
+    assert np.allclose(got["pmi"], np.round(np.log(2), 4))
+
+
+def test_kmeans_assign_prefers_true_label_on_separated_clusters(
+        ray_session, tmp_path):
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        emb_kmeans_assign,
+    )
+
+    rng = np.random.default_rng(2)
+    n, d, k = 120, 8, 3
+    labels = np.arange(n) % k
+    centers = rng.normal(size=(k, d)) * 10
+    X = centers[labels] + rng.normal(scale=0.1, size=(n, d))
+    tbl = pa.Table.from_pydict({
+        "vec_id": np.arange(n),
+        "embedding": [row.tolist() for row in X],
+        "label": labels,
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = emb_kmeans_assign(str(tmp_path)).to_pandas()
+    assert (got["assigned"] == got["label"]).all()
