@@ -1471,14 +1471,16 @@ def pack_assign(sf_dir: str, *, seq_len: int = 2048):
     and fast at every scale this sandbox can hold.
     """
     import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
-    from ..util import adaptive_buckets, bucket_aggregate, bucket_map_keyed
+    from ..util import (adaptive_buckets, bucket_aggregate, bucket_map_keyed,
+                        parquet_num_rows)
 
     path = os.path.join(sf_dir, "documents.parquet")
-    n_rows = max(1, pq.read_metadata(path).num_rows)
+    n_rows = max(1, parquet_num_rows(path))
     n_ranges = max(1, min(adaptive_buckets(16), n_rows))
-    width = -(-n_rows // n_ranges)  # ceil; doc_ids are dense 0..N-1
+    # ceil; width sized as if doc_ids were dense 0..N-1 — sparse ids only
+    # skew range SIZES (correctness is id-order, not density)
+    width = -(-n_rows // n_ranges)
 
     def _ntok(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").cast(pa.int64())
@@ -1492,14 +1494,16 @@ def pack_assign(sf_dir: str, *, seq_len: int = 2048):
                  blocks=fanout_blocks(0.5)).map_batches(
         _ntok, batch_format="pyarrow", batch_size=None)
 
-    # pass 1: per-range totals -> driver exclusive scan (tiny: <= n_ranges rows)
+    # pass 1: per-range totals -> driver exclusive scan. A MAPPING, not a
+    # dense array: sparse doc_ids (e.g. replicated corpora with strided id
+    # ranges) would make a max_rng-sized array driver-resident
     totals = bucket_aggregate(
         ntok, ["rng"], {"total": ("n_tokens", "sum")}).to_pandas()
     totals = totals.sort_values("rng")
-    max_rng = int(totals["rng"].max()) if len(totals) else 0
-    bases = np.zeros(max_rng + 1, dtype=np.int64)
-    np.put(bases, totals["rng"].to_numpy(),
-           np.cumsum(totals["total"].to_numpy()) - totals["total"].to_numpy())
+    tot = totals["total"].to_numpy()
+    base_map = pd.Series(np.cumsum(tot) - tot,
+                         index=totals["rng"].to_numpy(), dtype="int64")
+    base_ref = ray.put(base_map)
 
     # pass 2: co-locate each range, exclusive cumsum within it
     def _pack(g: pd.DataFrame) -> pd.DataFrame:
@@ -1513,7 +1517,8 @@ def pack_assign(sf_dir: str, *, seq_len: int = 2048):
         # subtract the frame-cumsum at each range start (cs is nondecreasing)
         base_cs = np.where(new_rng, cs, 0)
         base_cs = np.maximum.accumulate(base_cs)
-        off = bases[rng] + (cs - base_cs)
+        bases = ray.get(base_ref)
+        off = bases.loc[rng].to_numpy() + (cs - base_cs)
         return pd.DataFrame({
             "doc_id": b["doc_id"].to_numpy(),
             "n_tokens": nt,
@@ -1712,10 +1717,9 @@ def bigram_pmi(sf_dir: str):
 
     # every doc contributes len-1 bigrams and split('') is [''] (len 1), so
     # total bigrams = total tokens - n_docs; n_docs from parquet metadata
-    import pyarrow.parquet as pq
+    from ..util import parquet_num_rows
 
-    n_docs = pq.read_metadata(
-        os.path.join(sf_dir, "documents.parquet")).num_rows
+    n_docs = parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
     n_b = n_u - float(n_docs)
 
     def _pmi(b: pd.DataFrame) -> pd.DataFrame:

@@ -107,6 +107,21 @@ def adaptive_buckets(multiplier: int = 2, lo: int = 8, hi: int = 65536) -> int:
     return min(hi, max(lo, multiplier * cpus))
 
 
+def parquet_num_rows(path: str) -> int:
+    """Row count from parquet FOOTER metadata only (file or directory of
+    files) — no data pass; used to size range decompositions without an
+    extra scan."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    if _os.path.isdir(path):
+        return sum(
+            _pq.read_metadata(_os.path.join(path, f)).num_rows
+            for f in _os.listdir(path) if f.endswith(".parquet"))
+    return _pq.read_metadata(path).num_rows
+
+
 def guarded_fanout(ds, path: str, blocks: int):
     """Repartition ``ds`` (read from ``path``) up to ``blocks`` ONLY when
     that increases parallelism. A parquet directory already yields one
