@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "orders_ship_window",
     "doc_tfidf_top5",
     "contamination_8gram",
+    "doc_pack_assign",
+    "orders_segment_semijoin",
     "q1_pricing",
     "revenue_by_nation",
     "top_parts_by_revenue",
