@@ -466,6 +466,18 @@ def q_events_daily_active(sf_dir: str):
     return events_daily_active(sf_dir)
 
 
+def q_mixture_oversample(sf_dir: str):
+    from .pipelines.relational import mixture_oversample
+
+    return mixture_oversample(sf_dir)
+
+
+def q_events_decay(sf_dir: str):
+    from .pipelines.relational import events_decay
+
+    return events_decay(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -623,4 +635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_segment_semijoin": q_orders_segment_semijoin,
         "bigram_pmi": q_bigram_pmi,
         "events_daily_active": q_events_daily_active,
+        "mixture_oversample": q_mixture_oversample,
+        "events_decay": q_events_decay,
     }

@@ -1241,4 +1241,35 @@ SELECT epoch_us(ts) // 86400000000 AS day,
        cast(count(DISTINCT user_id) AS BIGINT) AS n_users
 FROM events GROUP BY 1"""
 
+    # weights must mirror relational.MIXTURE_WEIGHTS (exact binary fracs)
+    o["mixture_oversample"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 2.5 ELSE 1.0 END AS w,
+         ('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 4))::int AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         cast(floor(w) + CASE WHEN h < (w - floor(w)) * 65536.0
+                              THEN 1 ELSE 0 END AS BIGINT) AS n
+  FROM d
+)
+SELECT doc_id, unnest(range(0, n)) AS copy_idx FROM c"""
+
+    # tau must mirror relational.events_decay's default (1 day)
+    o["events_decay"] = """
+WITH e AS (
+  SELECT event_id, user_id, value, ts,
+         (epoch_us(ts)
+          - min(epoch_us(ts)) OVER (PARTITION BY user_id))
+           / 86400000000.0 AS dt
+  FROM events
+)
+SELECT event_id, user_id,
+       round(exp(-dt) * SUM(value * exp(dt)) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING), 4) AS decayed
+FROM e"""
+
     return o

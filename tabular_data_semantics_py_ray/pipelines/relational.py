@@ -1754,3 +1754,92 @@ def events_daily_active(sf_dir: str):
     pairs = bucket_distinct(
         ev.map_batches(_partial, batch_format="pyarrow"), ["day", "user_id"])
     return bucket_aggregate(pairs, ["day"], {"n_users": ("user_id", "count")})
+
+
+MIXTURE_WEIGHTS: dict[str, float] = {"en": 0.5, "fr": 2.5}
+
+
+def mixture_oversample(sf_dir: str, weights: dict[str, float] | None = None):
+    """Deterministic sampling WITH replacement to a per-language target
+    weight — the epoch-mixture op of multilingual pretraining (upsample
+    low-resource strata, downsample dominant ones): a doc with weight w
+    gets floor(w) copies plus one more iff its md5 16-bit hash falls under
+    frac(w), so expectation is exactly w and the realized multiset is
+    content-independent, repartition-stable, and oracle-reproducible.
+
+    Scale shape: ZERO shuffles — a data-EXPANSION map (np.repeat over
+    batch rows); output (doc_id, copy_idx) is the training-shard
+    replication manifest, not copied text (the downstream join fetches
+    text per shard). Weights use exact binary fractions so the
+    frac(w)*65536 threshold compares identically in both engines."""
+    import hashlib
+
+    weights = MIXTURE_WEIGHTS if weights is None else weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"],
+                 blocks=fanout_blocks(0.25))
+
+    def _expand(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        w = np.array([weights.get(l, 1.0) for l in langs], dtype=np.float64)
+        base = np.floor(w)
+        h16 = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+                        for i in ids], dtype=np.int64)
+        n = (base + (h16 < (w - base) * 65536.0)).astype(np.int64)
+        rep_ids = np.repeat(ids, n)
+        # copy_idx = 0..n_i-1 within each doc
+        ends = np.cumsum(n)
+        idx = np.arange(int(ends[-1]) if len(ends) else 0, dtype=np.int64)
+        idx -= np.repeat(ends - n, n)
+        return pa.Table.from_arrays([pa.array(rep_ids), pa.array(idx)],
+                                    names=["doc_id", "copy_idx"])
+
+    return docs.map_batches(_expand, batch_format="pyarrow", batch_size=None)
+
+
+def events_decay(sf_dir: str, *, tau_days: float = 1.0):
+    """Per-user exponentially time-decayed running value — the
+    recency-weighted engagement feature (decayed_i = sum_{j<=i} value_j *
+    exp(-(t_i - t_j)/tau)): one user-keyed bucket shuffle, then a
+    vectorized prefix trick per user (normalize t to the user's first
+    event so exp(t/tau) cannot overflow at any corpus timespan below
+    ~700*tau; decayed = exp(-dt_i) * cumsum(value_j * exp(dt_j))) — no
+    per-event Python, no recurrence loop."""
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"],
+               blocks=fanout_blocks(0.5))
+    tau_us = tau_days * 86_400_000_000.0
+
+    def _decay(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        t = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = b["value"].to_numpy(dtype=np.float64)
+        new_u = np.empty(len(b), dtype=bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        # broadcast each user's first timestamp by repeat (NOT the
+        # maximum.accumulate trick: ts restarts per user, so first-ts is
+        # not globally monotone across users)
+        starts = np.flatnonzero(new_u)
+        counts = np.diff(np.append(starts, len(b)))
+        # dt = days since the user's FIRST event (frame is user-sorted)
+        dt = (t - np.repeat(t[starts], counts)) / tau_us
+        a = v * np.exp(dt)
+        # per-user cumsum MUST restart, not subtract: exp(dt) spans ~13
+        # orders of magnitude, so a global cumsum minus the segment offset
+        # cancels catastrophically for small-total users that follow
+        # large-total ones. Loop is per USER (numpy inside), not per event.
+        decayed = np.empty(len(b), dtype=np.float64)
+        for s, c in zip(starts, counts):
+            sl = slice(s, s + c)
+            decayed[sl] = np.exp(-dt[sl]) * np.cumsum(a[sl])
+        return pd.DataFrame({
+            "event_id": b["event_id"].to_numpy(),
+            "user_id": uid,
+            "decayed": np.round(decayed, 4),
+        })
+
+    return bucket_map_keyed(ev, ["user_id"], _decay)

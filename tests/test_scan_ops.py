@@ -153,3 +153,77 @@ def test_kmeans_assign_prefers_true_label_on_separated_clusters(
 
     got = emb_kmeans_assign(str(tmp_path)).to_pandas()
     assert (got["assigned"] == got["label"]).all()
+
+
+def test_mixture_oversample_counts_and_copy_idx(ray_session, tmp_path):
+    """Every doc appears exactly floor(w) or ceil(w) times with dense
+    copy_idx 0..n-1, and the realized rate over many docs approaches w."""
+    import hashlib
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        mixture_oversample,
+    )
+
+    n = 400
+    texts = ["x"] * n
+    sf = _write_docs(tmp_path, texts)
+    # _write_docs sets lang='en' (w=0.5): each doc gets 0 or 1 copies
+    got = mixture_oversample(str(tmp_path)).to_pandas()
+    assert (got["copy_idx"] == 0).all()
+    expect = {i for i in range(n)
+              if int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16)
+              < 0.5 * 65536}
+    assert set(got["doc_id"]) == expect
+    # ~50% +- a loose band
+    assert 0.35 < len(got) / n < 0.65
+
+
+def test_mixture_oversample_upsamples_with_dense_copy_idx(ray_session,
+                                                          tmp_path):
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        mixture_oversample,
+    )
+
+    sf = _write_docs(tmp_path, ["x"] * 100)
+    got = mixture_oversample(sf, weights={"en": 2.25}).to_pandas()
+    per_doc = got.groupby("doc_id")["copy_idx"].agg(["count", "min", "max"])
+    assert set(per_doc["count"]).issubset({2, 3})
+    assert (per_doc["min"] == 0).all()
+    assert (per_doc["max"] == per_doc["count"] - 1).all()
+    assert 2.0 < per_doc["count"].mean() < 2.5
+
+
+def test_events_decay_matches_bruteforce(ray_session, tmp_path):
+    """Differential vs the O(n^2) definition, with negative values, users
+    whose totals differ by many orders of magnitude, and duplicate ts."""
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_decay,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 12, n),
+        "ts": pd.to_datetime(
+            rng.integers(0, 30 * 86_400_000_000, n), unit="us"),
+        "value": np.where(rng.random(n) < 0.2, -1.0, 1.0)
+                 * np.round(rng.uniform(0.1, 100, n), 2),
+        "event_type": "x",
+        "props": "{}",
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+
+    got = events_decay(str(tmp_path)).to_pandas().set_index("event_id")
+
+    tau = 86_400_000_000.0
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g["value"].to_numpy()
+        for i in range(len(g)):
+            want = float(np.sum(v[: i + 1] * np.exp(-(t[i] - t[: i + 1]) / tau)))
+            eid = g["event_id"].iloc[i]
+            assert abs(got.loc[eid, "decayed"] - round(want, 4)) <= 1e-3, (
+                uid, eid)
