@@ -330,13 +330,47 @@ def run_scaling():
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", str(4 * lo_n)))
 
+    def _steal_frac(window: float) -> float:
+        with open("/proc/stat") as f:
+            p0 = f.readline().split()
+        time.sleep(window)
+        with open("/proc/stat") as f:
+            p1 = f.readline().split()
+        d = sum(int(a) - int(b) for a, b in zip(p1[1:9], p0[1:9]))
+        return (int(p1[8]) - int(p0[8])) / max(1, d)
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-once"],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        """One leg, steal-gated (see BASELINE.md: this VM has hypervisor
+        episodes where identical runs measure 2-5x slower — wall time
+        tracks /proc/stat steal monotonically). Bounded: wait up to 120 s
+        for a <2% 10 s window, retry the leg ONCE if mid-run steal
+        exceeded 3%; always reports the realized steal so a contaminated
+        reading is at least labeled."""
+        for attempt in range(2):
+            waited = 0.0
+            try:
+                while waited < 120 and _steal_frac(10) >= 0.02:
+                    waited += 10
+                with open("/proc/stat") as f:
+                    pre = f.readline().split()
+            except OSError:
+                pre = None
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-once"],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if pre is not None:
+                with open("/proc/stat") as f:
+                    post = f.readline().split()
+                d = sum(int(a) - int(b) for a, b in zip(post[1:9], pre[1:9]))
+                r["steal_frac"] = round(
+                    (int(post[8]) - int(pre[8])) / max(1, d), 4)
+                if r["steal_frac"] > 0.03 and attempt == 0:
+                    continue  # contaminated window: one retry
+            return r
+        return r
 
     lo, hi = run(lo_n), run(hi_n)
     eff = (lo["sec"] / hi["sec"]) / (hi_n / lo_n)
