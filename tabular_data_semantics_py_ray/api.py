@@ -478,6 +478,12 @@ def q_events_decay(sf_dir: str):
     return events_decay(sf_dir)
 
 
+def q_events_hourly_zscore(sf_dir: str):
+    from .pipelines.relational import events_hourly_zscore
+
+    return events_hourly_zscore(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -637,4 +643,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_active": q_events_daily_active,
         "mixture_oversample": q_mixture_oversample,
         "events_decay": q_events_decay,
+        "events_hourly_zscore": q_events_hourly_zscore,
     }

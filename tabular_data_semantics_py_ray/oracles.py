@@ -1272,4 +1272,17 @@ SELECT event_id, user_id,
               ROWS UNBOUNDED PRECEDING), 4) AS decayed
 FROM e"""
 
+    o["events_hourly_zscore"] = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         cast(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n,
+       CASE WHEN stddev_samp(n) OVER w > 0
+            THEN round((n - avg(n) OVER w) / stddev_samp(n) OVER w, 4)
+            ELSE 0.0 END AS z
+FROM c
+WINDOW w AS (PARTITION BY event_type)"""
+
     return o

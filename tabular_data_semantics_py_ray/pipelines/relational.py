@@ -1843,3 +1843,44 @@ def events_decay(sf_dir: str, *, tau_days: float = 1.0):
         })
 
     return bucket_map_keyed(ev, ["user_id"], _decay)
+
+
+def events_hourly_zscore(sf_dir: str):
+    """Per-type hourly volume anomaly scores — the monitoring op over an
+    event stream: count events per (event_type, hour), then z-score each
+    hour against ITS type's mean/std across hours. One combiner-shaped
+    shuffle produces the counts table (types x hours — tiny at any corpus
+    size: its cardinality is bounded by the time axis, not the row count),
+    so the per-type stats + z pass runs as a final small map. Sample
+    stddev (ddof=1) to match SQL stddev_samp; z rounded to 4."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"],
+               blocks=fanout_blocks(0.5))
+
+    def _hour(t: pa.Table) -> pa.Table:
+        hour = pa.array((t.column("ts").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False)
+                         // 3_600_000_000).astype(np.int64))
+        return pa.Table.from_arrays([t.column("event_type"), hour],
+                                    names=["event_type", "hour"])
+
+    counts = bucket_aggregate(
+        ev.map_batches(_hour, batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "count")})
+
+    def _z(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            n = grp["n"].to_numpy(dtype=np.float64)
+            mu = n.mean()
+            sd = n.std(ddof=1) if len(n) > 1 else 0.0
+            z = np.round((n - mu) / sd, 4) if sd > 0 else np.zeros(len(n))
+            out.append(pd.DataFrame({
+                "event_type": et, "hour": grp["hour"].to_numpy(),
+                "n": grp["n"].to_numpy(), "z": z}))
+        return pd.concat(out, ignore_index=True)
+
+    # co-locate each type's full hour series (the counts table is tiny;
+    # this shuffle moves types x hours rows, not events)
+    return bucket_map_keyed(counts, ["event_type"], _z)
