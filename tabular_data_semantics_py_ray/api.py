@@ -484,6 +484,12 @@ def q_events_hourly_zscore(sf_dir: str):
     return events_hourly_zscore(sf_dir)
 
 
+def q_media_captions(sf_dir: str):
+    from .pipelines.relational import media_captions
+
+    return media_captions(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -644,4 +650,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_oversample": q_mixture_oversample,
         "events_decay": q_events_decay,
         "events_hourly_zscore": q_events_hourly_zscore,
+        "media_captions": q_media_captions,
     }

@@ -1285,4 +1285,15 @@ SELECT event_type, hour, n,
 FROM c
 WINDOW w AS (PARTITION BY event_type)"""
 
+    # caption = the text chunk the media span follows (chunk c covers
+    # 1-based token positions c*12+1 .. c*12+12; list slices are inclusive)
+    o["media_captions"] = f"""WITH {_MEDIA_CTES},
+toks AS (SELECT doc_id AS td, string_split(text, ' ') AS t FROM documents)
+SELECT m.doc_id, m.media_ref, m.media_kind,
+       array_to_string(t[m.chunk_idx * 12 + 1 : m.chunk_idx * 12 + 12], ' ')
+         AS caption,
+       cast(len(t[m.chunk_idx * 12 + 1 : m.chunk_idx * 12 + 12]) AS BIGINT)
+         AS n_caption_tokens
+FROM manifest m JOIN toks ON m.doc_id = toks.td"""
+
     return o

@@ -1884,3 +1884,57 @@ def events_hourly_zscore(sf_dir: str):
     # co-locate each type's full hour series (the counts table is tiny;
     # this shuffle moves types x hours rows, not events)
     return bucket_map_keyed(counts, ["event_type"], _z)
+
+
+def media_captions(sf_dir: str):
+    """Caption mining for image/text pairing — for every media span in the
+    interleaved corpus, emit the text span that precedes it (its context
+    caption) — the alt-text-from-context op of multimodal training-data
+    prep. Consumes the ACTUAL interleaved spans table (not a text-side
+    shortcut), so it exercises the span-sequence invariant: flatten the
+    list<struct> span column, vectorized take() of the element before each
+    media span (by construction a media span never starts a document and
+    two media spans are never adjacent). Zero shuffles."""
+    import pyarrow.compute as pc
+
+    from ..stages.interleave import interleave_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+    inter = docs.map_batches(interleave_batch, batch_format="pyarrow",
+                             batch_size=None)
+
+    empty = pa.Table.from_arrays(
+        [pa.array([], type=pa.int64()), pa.array([], type=pa.string()),
+         pa.array([], type=pa.string()), pa.array([], type=pa.string()),
+         pa.array([], type=pa.int64())],
+        names=["doc_id", "media_ref", "media_kind", "caption",
+               "n_caption_tokens"])
+
+    def _cap(t: pa.Table) -> pa.Table:
+        spans = t.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = spans.flatten()
+        if len(flat) == 0:
+            return empty
+        kind = flat.field("kind")
+        text = flat.field("text")
+        ref = flat.field("media_ref")
+        pos = np.flatnonzero(
+            pc.not_equal(kind, "text").to_numpy(zero_copy_only=False))
+        if len(pos) == 0:
+            return empty
+        cap = text.take(pa.array(pos - 1))
+        refs = ref.take(pa.array(pos))
+        kinds = kind.take(pa.array(pos))
+        # media_ref = 'media://{doc}/{chunk}' -> doc number
+        parts = pc.split_pattern(pc.utf8_slice_codeunits(refs, 8), "/")
+        dnum = pc.list_element(parts, 0).cast(pa.int64())
+        ntok = pc.list_value_length(pc.split_pattern(cap, " ")).cast(pa.int64())
+        return pa.Table.from_arrays(
+            [dnum, refs, kinds, cap, ntok],
+            names=["doc_id", "media_ref", "media_kind", "caption",
+                   "n_caption_tokens"])
+
+    return inter.map_batches(_cap, batch_format="pyarrow", batch_size=None)

@@ -227,3 +227,23 @@ def test_events_decay_matches_bruteforce(ray_session, tmp_path):
             eid = g["event_id"].iloc[i]
             assert abs(got.loc[eid, "decayed"] - round(want, 4)) <= 1e-3, (
                 uid, eid)
+
+
+def test_media_captions_pair_each_media_with_preceding_chunk(ray_session,
+                                                             tmp_path):
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        media_captions,
+    )
+
+    # doc 0: chunks 0,1,2 (26 tokens); media after chunk i iff (0+i)%4==0
+    # -> exactly one media (image) after chunk 0, caption = tokens 0..11
+    toks = [f"w{i}" for i in range(26)]
+    sf = _write_docs(tmp_path, [" ".join(toks), ""])  # plus an empty doc
+    got = media_captions(sf).to_pandas()
+    got = got[got["doc_id"] == 0]
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["media_kind"] == "image"
+    assert row["media_ref"] == "media://0/0"
+    assert row["caption"] == " ".join(toks[:12])
+    assert row["n_caption_tokens"] == 12
