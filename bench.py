@@ -153,16 +153,32 @@ def run_default():
     _consume(qs["events_by_type"](SF_DIR))
     _consume(qs["kg_cea_link"](SF_DIR))
 
-    times: dict[str, float] = {}
-    triples_rows = 0
-    total0 = time.time()
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        n = _consume(qs[name](SF_DIR))
-        times[name] = round(time.time() - t0, 3)
-        if name == "kg_triples":
-            triples_rows = n
-    total = round(time.time() - total0, 3)
+    def _timed_pass():
+        times: dict[str, float] = {}
+        triples_rows = 0
+        total0 = time.time()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            n = _consume(qs[name](SF_DIR))
+            times[name] = round(time.time() - t0, 3)
+            if name == "kg_triples":
+                triples_rows = n
+        return times, round(time.time() - total0, 3), triples_rows
+
+    # one bounded retry if hypervisor steal contaminated the timed pass
+    # (>5% of box jiffies: identical code has measured 2-2.5x slower in
+    # such windows — see BASELINE.md); the retried pass is reported either
+    # way, labeled by its own steal telemetry below
+    retried = False
+    for _attempt in range(2):
+        pass_steal0 = _steal_jiffies()
+        pass_t0 = time.time()
+        times, total, triples_rows = _timed_pass()
+        pass_frac = (_steal_jiffies() - pass_steal0) / max(
+            1.0, (time.time() - pass_t0) * 100 * (os.cpu_count() or 32))
+        if pass_frac <= 0.05:
+            break
+        retried = True
 
     # flagship STREAM sink (the scale path measured by --scaling): timed
     # read -> link -> vote -> emit -> durable sorted parquet at this sf
@@ -202,6 +218,8 @@ def run_default():
         # far above ~0.25 s marks the reading as hypervisor-noise-affected
         "cpu_probe_sec": probe,
         "steal_jiffies_delta": _steal_jiffies() - steal0,
+        "steal_frac_timed_pass": round(pass_frac, 4),
+        "steal_retried": retried,
     }
     ray.shutdown()
     print(json.dumps(out))
