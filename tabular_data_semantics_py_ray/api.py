@@ -490,6 +490,12 @@ def q_media_captions(sf_dir: str):
     return media_captions(sf_dir)
 
 
+def q_lang_confusion(sf_dir: str):
+    from .pipelines.relational import lang_confusion
+
+    return lang_confusion(sf_dir)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -651,4 +657,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decay": q_events_decay,
         "events_hourly_zscore": q_events_hourly_zscore,
         "media_captions": q_media_captions,
+        "lang_confusion": q_lang_confusion,
     }

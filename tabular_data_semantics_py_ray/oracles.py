@@ -1296,4 +1296,17 @@ SELECT m.doc_id, m.media_ref, m.media_kind,
          AS n_caption_tokens
 FROM manifest m JOIN toks ON m.doc_id = toks.td"""
 
+    # same decision rule as lang_id, crossed with the labeled lang
+    o["lang_confusion"] = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         cast(len(list_filter({_TOKS}, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+           / len({_TOKS}) AS stop_ratio
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+       cast(count(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2"""
+
     return o

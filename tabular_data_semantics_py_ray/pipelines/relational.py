@@ -1938,3 +1938,31 @@ def media_captions(sf_dir: str):
                    "n_caption_tokens"])
 
     return inter.map_batches(_cap, batch_format="pyarrow", batch_size=None)
+
+
+def lang_confusion(sf_dir: str):
+    """Language-ID confusion matrix — the model-eval op run after any
+    classifier stage: heuristic lang predictions (the lang_id kernel)
+    joined batch-locally against the labeled lang column, pre-counted per
+    batch, one tiny (true, pred)-keyed shuffle. Output (lang, lang_pred,
+    n) — |langs|^2 rows at any corpus size."""
+    from ..functions.textstats import lang_id_batch
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"],
+                 blocks=fanout_blocks(0.5))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pred = lang_id_batch(t).column("lang_pred")
+        pairs = pa.Table.from_arrays([t.column("lang"), pred],
+                                     names=["lang", "lang_pred"])
+        g = pairs.group_by(["lang", "lang_pred"]).aggregate(
+            [("lang_pred", "count")])
+        return pa.Table.from_arrays(
+            [g.column("lang"), g.column("lang_pred"),
+             g.column("lang_pred_count").cast(pa.int64())],
+            names=["lang", "lang_pred", "n"])
+
+    return bucket_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "lang_pred"], {"n": ("n", "sum")})
