@@ -496,6 +496,16 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_dedup_exact_indexed(sf_dir: str):
+    from .pipelines.relational import _read
+    from .stages.shared_index import exact_dedup_groups_indexed
+    from .util import fanout_blocks
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+    return exact_dedup_groups_indexed(docs)
+
+
 def q_kg_typed_repair(sf_dir: str):
     from .pipelines.queries_kg import _linked_flat
     from .stages.type_repair import typed_repair
@@ -658,4 +668,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_zscore": q_events_hourly_zscore,
         "media_captions": q_media_captions,
         "lang_confusion": q_lang_confusion,
+        "dedup_exact_indexed": q_dedup_exact_indexed,
     }

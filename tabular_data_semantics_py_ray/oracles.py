@@ -1309,4 +1309,8 @@ SELECT lang,
        cast(count(*) AS BIGINT) AS n
 FROM s GROUP BY 1, 2"""
 
+    # same result as dedup_exact, computed through the sharded mutable
+    # index (stages/shared_index.py) instead of a shuffle
+    o["dedup_exact_indexed"] = o["dedup_exact"]
+
     return o

@@ -247,3 +247,32 @@ def test_media_captions_pair_each_media_with_preceding_chunk(ray_session,
     assert row["media_ref"] == "media://0/0"
     assert row["caption"] == " ".join(toks[:12])
     assert row["n_caption_tokens"] == 12
+
+
+def test_shared_index_dedup_equals_shuffle_dedup(ray_session, tmp_path):
+    """The sharded mutable-index registry must produce exactly the
+    shuffle-based exact-dedup table, for any arrival order and shard
+    count (min/+ are commutative)."""
+    import ray.data as rd
+
+    from tabular_data_semantics_py_ray.stages.dedup import exact_dedup_groups
+    from tabular_data_semantics_py_ray.stages.shared_index import (
+        exact_dedup_groups_indexed,
+    )
+
+    rng = np.random.default_rng(23)
+    base = [f"text number {i}" for i in range(40)]
+    texts = [base[rng.integers(0, 40)] for _ in range(300)]
+    sf = _write_docs(tmp_path, texts)
+    docs = rd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"]).repartition(8)
+
+    via_shuffle = exact_dedup_groups(docs).to_pandas().sort_values(
+        "text_hash").reset_index(drop=True)
+    for shards in (2, 5):
+        via_index = exact_dedup_groups_indexed(
+            docs, num_shards=shards).to_pandas().sort_values(
+            "text_hash").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            via_index[sorted(via_index.columns)],
+            via_shuffle[sorted(via_shuffle.columns)])
