@@ -989,9 +989,14 @@ SELECT cast(label AS BIGINT) AS label, count(*) AS n,
        round(avg(sqrt(list_dot_product(embedding, embedding))), 4) AS avg_norm
 FROM embeddings GROUP BY 1"""
 
+    # empty docs are EXCLUDED: interleave_batch emits zero spans for them
+    # (stages/interleave.py contract), so they produce no media rows —
+    # without the filter, string_split('') = [''] would give nt=1 and the
+    # oracle would invent a media span the engine never emits
     _MEDIA_CTES = """
 d AS (
-  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents WHERE text <> ''
 ),
 c AS (
   SELECT doc_id, chunk_idx FROM (

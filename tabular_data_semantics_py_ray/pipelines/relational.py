@@ -1534,10 +1534,15 @@ def emb_kmeans_assign(sf_dir: str):
     """Nearest-centroid assignment (the k-means E-step, pairing with
     emb_label_centroids' M-step): centroids = per-label means computed by
     the same |labels| x d partial-sum reduce, collected to the driver
-    (tiny: labels x dims doubles), then each batch does ONE (n, d) x
-    (d, k) matmul + argmin — the broadcast-small-side ANN shape, zero
-    shuffles over the vectors. Ties broken toward the smaller label, same
-    as the oracle's ORDER BY dist, label."""
+    (tiny: labels x dims doubles), then each batch computes distances +
+    argmin locally — the broadcast-small-side ANN shape, zero shuffles
+    over the vectors. The distance kernel deliberately materializes the
+    (n, k, d) broadcast difference instead of the |x|^2-2xC+|C|^2 matmul
+    identity: per-dim squared-difference summation matches the oracle's
+    float64 arithmetic to the ulp, where the matmul identity would not —
+    so size batches to n*k*d*8 bytes (e.g. k=10, d=32 here: ~2.6 KB/row).
+    Ties broken toward the smaller label, same as the oracle's ORDER BY
+    dist, label."""
     from ..util import bucket_aggregate, list_column_matrix
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"],
@@ -1586,6 +1591,20 @@ def emb_kmeans_assign(sf_dir: str):
     return emb.map_batches(_assign, batch_format="pyarrow")
 
 
+def bloom_positions(keys: np.ndarray, bloom_bits: int):
+    """(byte_idx, bit_mask) for each of the two probe positions of every
+    key — the ONE definition shared by bloom BUILD and PROBE (and the
+    tests): the semijoin's exactness proof requires the two stages to
+    hash bit-identically, and any drift means silent false negatives."""
+    out = []
+    for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
+        h = (keys * np.uint64(salt)) >> np.uint64(44)
+        h = h % np.uint64(bloom_bits)
+        out.append(((h // 8).astype(np.int64),
+                    (1 << (h % 8)).astype(np.uint8)))
+    return out
+
+
 def orders_segment_semijoin(sf_dir: str, *, segment: str = "AUTOMOBILE",
                             bloom_bits: int = 1 << 20):
     """Semi-join with a runtime bloom filter (the Spark/Trino
@@ -1610,11 +1629,8 @@ def orders_segment_semijoin(sf_dir: str, *, segment: str = "AUTOMOBILE",
         keys = t.column("c_custkey").cast(pa.uint64()).to_numpy(
             zero_copy_only=False)
         bits = np.zeros(bloom_bits // 8, dtype=np.uint8)
-        for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
-            h = (keys * np.uint64(salt)) >> np.uint64(44)
-            h = h % np.uint64(bloom_bits)
-            np.bitwise_or.at(bits, (h // 8).astype(np.int64),
-                             (1 << (h % 8)).astype(np.uint8))
+        for byte_idx, bit_mask in bloom_positions(keys, bloom_bits):
+            np.bitwise_or.at(bits, byte_idx, bit_mask)
         return pa.Table.from_arrays([pa.array([bits.tobytes()])],
                                     names=["bloom"])
 
@@ -1633,11 +1649,8 @@ def orders_segment_semijoin(sf_dir: str, *, segment: str = "AUTOMOBILE",
         keys = t.column("o_custkey").cast(pa.uint64()).to_numpy(
             zero_copy_only=False)
         keep = np.ones(len(keys), dtype=bool)
-        for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
-            h = (keys * np.uint64(salt)) >> np.uint64(44)
-            h = h % np.uint64(bloom_bits)
-            keep &= (b[(h // 8).astype(np.int64)]
-                     & (1 << (h % 8)).astype(np.uint8)) != 0
+        for byte_idx, bit_mask in bloom_positions(keys, bloom_bits):
+            keep &= (b[byte_idx] & bit_mask) != 0
         return t.filter(pa.array(keep))
 
     survivors = orders.map_batches(_prefilter, batch_format="pyarrow",
@@ -1654,9 +1667,13 @@ def bigram_pmi(sf_dir: str):
     """Pointwise mutual information of adjacent token pairs (collocation
     mining — the phrase-detection pass of word2vec-style preprocessing).
     Two combiner-shaped counts (bigram and unigram, each pre-reduced per
-    batch before a vocabulary-sized shuffle) plus driver-side unigram
-    totals (vocab-sized — tiny even for real corpora). Output: every
-    bigram with its count and pmi = ln((c_ab/N_b) / ((c_a/N_u)^2-ish)),
+    batch before a vocabulary-sized shuffle) plus a broadcast unigram
+    frequency map for the final scoring pass. The broadcast is the right
+    call up to ~1e6-entry vocabularies (same trade as doc_tfidf_topk /
+    doc_unigram_logprob); for a 1e8-distinct-token corpus swap the final
+    map for two bucket_joins of the bigram table against the unigram
+    table on w1 then w2 — both sides are already aggregate-sized. Output:
+    every bigram with its count and pmi = ln((c_ab/N_b)/(p_a*p_b)),
     rounded to 4 (cross-engine double-log tolerance)."""
     import pyarrow.compute as pc
 

@@ -38,14 +38,23 @@ from ..util import adaptive_buckets
 class HashShard:
     """One shard of the registry. ``offer`` merges combiner-sized partials
     (order-independent: min and + are commutative, so arrival order never
-    changes the drained result); ``drain`` returns the shard's table."""
+    changes the drained result) and is EXACTLY-ONCE under Ray task retry /
+    lineage reconstruction: each offer carries a deterministic batch token
+    (content hash of the batch's doc_id set — doc_ids are unique corpus-
+    wide, so tokens are too) and replays of a seen token are dropped —
+    min() would survive a replay but count would not. ``drain`` returns
+    the shard's table."""
 
     def __init__(self):
         self._min: dict[str, int] = {}
         self._cnt: dict[str, int] = {}
+        self._seen: set[str] = set()  # one 32-char token per batch offered
 
-    def offer(self, hashes: list[str], mins: list[int],
+    def offer(self, token: str, hashes: list[str], mins: list[int],
               counts: list[int]) -> int:
+        if token in self._seen:
+            return len(self._min)
+        self._seen.add(token)
         m, c = self._min, self._cnt
         for h, mn, ct in zip(hashes, mins, counts):
             prev = m.get(h)
@@ -74,12 +83,18 @@ def exact_dedup_groups_indexed(documents_ds, *, num_shards: int | None = None):
     shards = [HashShard.remote() for _ in range(num_shards)]
 
     def _offer(t: pa.Table) -> pa.Table:
+        import hashlib
+
         fp = fingerprint_batch(t)
+        ids = fp.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         df = pd.DataFrame({
             "h": fp.column("fp_norm").to_numpy(zero_copy_only=False),
-            "d": fp.column("doc_id").cast(pa.int64()).to_numpy(
-                zero_copy_only=False),
+            "d": ids,
         })
+        # replay token: batches partition the corpus and doc_ids are
+        # unique, so the sorted-id digest identifies THIS batch exactly
+        token = hashlib.md5(np.sort(ids).tobytes()).hexdigest()
         g = df.groupby("h")["d"].agg(["min", "count"]).reset_index()
         # fp_norm is md5 hex: the first 8 hex chars are a uniform shard key
         shard_ids = np.array([int(h[:8], 16) % num_shards for h in g["h"]])
@@ -87,7 +102,7 @@ def exact_dedup_groups_indexed(documents_ds, *, num_shards: int | None = None):
         for s in np.unique(shard_ids):
             part = g[shard_ids == s]
             refs.append(shards[int(s)].offer.remote(
-                part["h"].tolist(), part["min"].tolist(),
+                token, part["h"].tolist(), part["min"].tolist(),
                 part["count"].astype(int).tolist()))
         ray.get(refs)
         return pa.Table.from_arrays(

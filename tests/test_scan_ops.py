@@ -99,23 +99,22 @@ def test_segment_semijoin_exact_even_with_tiny_bloom(ray_session, tmp_path,
 
 
 def test_bloom_prefilter_has_no_false_negatives():
-    """Property of the two-probe bloom kernel itself: every inserted key
-    passes membership, for any key set and filter width."""
+    """Property of the two-probe bloom kernel itself (via the SHARED
+    bloom_positions helper — the same code path build and probe use):
+    every inserted key passes membership, for any key set and width."""
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        bloom_positions,
+    )
+
     bloom_bits = 1 << 12
     rng = np.random.default_rng(5)
     keys = rng.integers(0, 2**40, 500).astype(np.uint64)
     bits = np.zeros(bloom_bits // 8, dtype=np.uint8)
-    for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
-        h = (keys * np.uint64(salt)) >> np.uint64(44)
-        h = h % np.uint64(bloom_bits)
-        np.bitwise_or.at(bits, (h // 8).astype(np.int64),
-                         (1 << (h % 8)).astype(np.uint8))
+    for byte_idx, bit_mask in bloom_positions(keys, bloom_bits):
+        np.bitwise_or.at(bits, byte_idx, bit_mask)
     keep = np.ones(len(keys), dtype=bool)
-    for salt in (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F):
-        h = (keys * np.uint64(salt)) >> np.uint64(44)
-        h = h % np.uint64(bloom_bits)
-        keep &= (bits[(h // 8).astype(np.int64)]
-                 & (1 << (h % 8)).astype(np.uint8)) != 0
+    for byte_idx, bit_mask in bloom_positions(keys, bloom_bits):
+        keep &= (bits[byte_idx] & bit_mask) != 0
     assert keep.all()
 
 
@@ -276,3 +275,37 @@ def test_shared_index_dedup_equals_shuffle_dedup(ray_session, tmp_path):
         pd.testing.assert_frame_equal(
             via_index[sorted(via_index.columns)],
             via_shuffle[sorted(via_shuffle.columns)])
+
+
+def test_media_oracles_skip_empty_docs_like_the_engine(ray_session,
+                                                       tmp_path):
+    """Regression for the empty-text divergence: interleave emits zero
+    spans for text='' (even when doc_id % 4 == 0 would interleave media),
+    and the media oracle CTE must agree — without its WHERE text <> ''
+    filter the oracle invents a media row the engine never emits."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        media_captions,
+    )
+
+    # doc 4 is empty AND (4 + 0) % 4 == 0 — the exact divergence case
+    texts = ["w " * 13, "x", "y", "z", "", "a b c"]
+    sf = _write_docs(tmp_path, texts)
+
+    got = media_captions(sf).to_pandas()
+    assert 4 not in set(got["doc_id"])
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    for name in ("media_manifest", "media_captions"):
+        odf = con.execute(entrymod.oracle_sql()[name]).fetchdf()
+        assert 4 not in set(odf["doc_id"]), name
+    # and the two sides agree exactly on this corpus
+    odf = con.execute(entrymod.oracle_sql()["media_captions"]).fetchdf()
+    cols = sorted(got.columns)
+    a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
