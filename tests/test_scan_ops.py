@@ -309,3 +309,35 @@ def test_media_oracles_skip_empty_docs_like_the_engine(ray_session,
     a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
     b = odf[cols].astype(str).sort_values(cols).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_pack_and_pmi_read_directory_corpora(ray_session, tmp_path):
+    """documents.parquet as a DIRECTORY of files (the staged-corpus /
+    100 TB layout): footer-metadata row counts and the ordered scan must
+    both work across files, with ids scattered across them."""
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        bigram_pmi, pack_assign,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 120
+    texts = [" ".join(rng.choice(["a", "b", "c"], size=rng.integers(1, 9)))
+             for _ in range(n)]
+    ids = rng.permutation(n)
+    d = tmp_path / "documents.parquet"
+    d.mkdir()
+    for part in range(3):
+        sel = ids[part::3]
+        df = pd.DataFrame({"doc_id": sel, "text": [texts[i] for i in sel]})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       d / f"part-{part}.parquet")
+
+    got = pack_assign(str(tmp_path), seq_len=16).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    nt = np.array([len(t.split(" ")) for t in texts], dtype=np.int64)
+    off = np.cumsum(nt) - nt
+    assert got["tok_offset"].tolist() == off.tolist()
+
+    pmi = bigram_pmi(str(tmp_path)).to_pandas()
+    # n_b from directory metadata must equal the true bigram count
+    assert pmi["n_pair"].sum() == int(nt.sum()) - n
