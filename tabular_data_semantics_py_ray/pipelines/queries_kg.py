@@ -352,24 +352,60 @@ def media_features(sf_dir: str):
 
 def pred_census(sf_dir: str):
     """G5 predicate census over the flagship triples:
-    (pred, n_triples, n_subj, n_obj) with exact distinct counts."""
-    from ..util import bucket_aggregate, bucket_distinct
+    (pred, n_triples, n_subj, n_obj) with exact distinct counts.
+
+    ONE pass over the triples and ONE shuffle (the earlier version
+    materialized the full triple set in the object store and scanned it
+    three times — corpus-sized pinning, the round-1 anti-pattern): each
+    batch emits a tagged partial stream — per-pred triple-count rows plus
+    batch-distinct (pred, role, val) rows — which co-locates by
+    (pred, role, val) so per-bucket reduction yields (pred, role, c)
+    partials; the driver merges |buckets| x |preds| x 3 rows."""
+    from ..util import bucket_map_keyed
 
     from .kg_pipeline import build_triples
 
-    triples = build_triples(sf_dir).materialize()
-    counts = bucket_aggregate(
-        triples, ["pred"], {"n_triples": ("subj", "count")}, num_buckets=8
-    ).to_pandas()
-    nsubj = bucket_aggregate(
-        bucket_distinct(triples, ["pred", "subj"]),
-        ["pred"], {"n_subj": ("subj", "count")}, num_buckets=8,
-    ).to_pandas()
-    nobj = bucket_aggregate(
-        bucket_distinct(triples, ["pred", "obj"]),
-        ["pred"], {"n_obj": ("obj", "count")}, num_buckets=8,
-    ).to_pandas()
-    return counts.merge(nsubj, on="pred").merge(nobj, on="pred")
+    triples = build_triples(sf_dir)
+    cols = ["pred", "role", "val", "n"]
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        cnt = b.groupby("pred", sort=False).size().reset_index(name="n")
+        cnt["role"] = "triple"
+        cnt["val"] = ""
+        s = b[["pred", "subj"]].drop_duplicates().rename(
+            columns={"subj": "val"})
+        s["role"] = "subj"
+        s["n"] = 1
+        o = b[["pred", "obj"]].drop_duplicates().rename(
+            columns={"obj": "val"})
+        o["role"] = "obj"
+        o["n"] = 1
+        out = pd.concat([cnt[cols], s[cols], o[cols]], ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def _bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t = g[g["role"] == "triple"].groupby("pred", sort=False)["n"].sum(
+        ).reset_index(name="c")
+        t["role"] = "triple"
+        d = g[g["role"] != "triple"].drop_duplicates(
+            ["pred", "role", "val"]).groupby(
+            ["pred", "role"], sort=False).size().reset_index(name="c")
+        out = pd.concat([t[["pred", "role", "c"]],
+                         d[["pred", "role", "c"]]], ignore_index=True)
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    parts = bucket_map_keyed(
+        triples.map_batches(_partial, batch_format="pandas"),
+        ["pred", "role", "val"], _bucket).to_pandas()
+    wide = parts.groupby(["pred", "role"])["c"].sum().unstack("role")
+    return pd.DataFrame({
+        "pred": wide.index,
+        "n_triples": wide["triple"].astype("int64").to_numpy(),
+        "n_subj": wide["subj"].astype("int64").to_numpy(),
+        "n_obj": wide["obj"].astype("int64").to_numpy(),
+    }).reset_index(drop=True)
 
 
 def neighborhood_topk(sf_dir: str, k: int = 5):
