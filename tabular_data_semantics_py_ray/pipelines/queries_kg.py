@@ -559,9 +559,15 @@ def class_confirm(sf_dir: str, k: int = 3):
     from ..stages.type_repair import typed_repair
     from ..util import bucket_map_keyed, select_cols
 
-    # ONE linking scan feeds both the sampler and the repair cascade
-    # (mention-level, far smaller than the corpus — pinning it is fine)
-    linked = select_cols(_linked_flat(sf_dir), ["entity_uri"]).materialize()
+    # ONE linking scan feeds both the sampler and the repair cascade; the
+    # pinned intermediate is the DISTINCT entity set (KG-bounded — the
+    # lexicon's size, not the corpus's mention count; the raw linked
+    # stream grows with the corpus and must not be materialized)
+    from ..util import bucket_distinct
+
+    linked = bucket_distinct(
+        select_cols(_linked_flat(sf_dir), ["entity_uri"]),
+        ["entity_uri"], num_buckets=8).materialize()
     sample = _class_sample_from(linked, k=k)
     repaired = typed_repair(linked)
 
