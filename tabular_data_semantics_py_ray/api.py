@@ -496,6 +496,12 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_events_hll_users(sf_dir: str):
+    from .pipelines.relational import events_hll_users
+
+    return events_hll_users(sf_dir)
+
+
 def q_dedup_exact_indexed(sf_dir: str):
     from .pipelines.relational import _read
     from .stages.shared_index import exact_dedup_groups_indexed
@@ -669,4 +675,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_captions": q_media_captions,
         "lang_confusion": q_lang_confusion,
         "dedup_exact_indexed": q_dedup_exact_indexed,
+        "events_hll_users": q_events_hll_users,
     }

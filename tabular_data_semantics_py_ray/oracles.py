@@ -1318,4 +1318,37 @@ FROM s GROUP BY 1, 2"""
     # index (stages/shared_index.py) instead of a shuffle
     o["dedup_exact_indexed"] = o["dedup_exact"]
 
+    # HyperLogLog with m=1024 registers over a 60-bit md5-derived hash;
+    # rho via exact integer bit-length (length(bin(x))), the same
+    # bias-corrected + linear-counting estimate as the engine
+    o["events_hll_users"] = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(cast(user_id AS VARCHAR)), 1, 15))::BIGINT AS x
+  FROM events
+),
+r AS (
+  SELECT event_type, x >> 50 AS bucket,
+         CASE WHEN (x & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+              ELSE 51 - length(bin(x & ((1::BIGINT << 50) - 1))) END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+agg AS (
+  SELECT event_type, sum(pow(2.0, -mx)) AS s,
+         cast(count(*) AS BIGINT) AS present
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type, present,
+         (0.7213 / (1 + 1.079 / 1024)) * 1024 * 1024
+           / (s + (1024 - present)) AS e_raw
+  FROM agg
+)
+SELECT event_type,
+       round(CASE WHEN e_raw <= 2.5 * 1024 AND present < 1024
+                  THEN 1024 * ln(1024.0 / (1024 - present))
+                  ELSE e_raw END, 4) AS est_users
+FROM est"""
+
     return o

@@ -1983,3 +1983,70 @@ def lang_confusion(sf_dir: str):
     return bucket_aggregate(
         docs.map_batches(_partial, batch_format="pyarrow", batch_size=None),
         ["lang", "lang_pred"], {"n": ("n", "sum")})
+
+
+def events_hll_users(sf_dir: str, *, m_log2: int = 10):
+    """Approximate distinct users per event_type via HyperLogLog — the
+    mergeable-sketch family every 100 TB census uses where exact distinct
+    would shuffle the full key stream: per-batch register partials (<= m
+    rows each) merge with MAX, so the one shuffle carries m x batches
+    tiny rows and re-merging partials is associative/idempotent (safe
+    under retries and tree reduction).
+
+    Fully deterministic and oracle-reproducible: 60-bit md5-derived
+    hashes, bucket = top m_log2 bits, rho = leading-zero rank of the
+    remainder (exact integer bit-length — no float log2, whose rounding
+    at >2^53 would diverge from the oracle's length(bin(x))), standard
+    bias-corrected estimate with the linear-counting small-range branch,
+    rounded to 4. The per-row md5 is the same scalar-loop trade as
+    split_assign (swap in a vectorized 64-bit hash at 100 TB; the oracle
+    exists to pin SEMANTICS at test scale)."""
+    import hashlib
+
+    from ..util import bucket_aggregate
+
+    m = 1 << m_log2
+    suffix_bits = 60 - m_log2
+    mask = (1 << suffix_bits) - 1
+    ev = _read(sf_dir, "events", ["event_type", "user_id"],
+               blocks=fanout_blocks(0.5))
+
+    def _bit_length_i64(v: np.ndarray) -> np.ndarray:
+        bl = np.zeros(v.shape, dtype=np.int64)
+        x = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = x >= (np.int64(1) << np.int64(shift))
+            bl[big] += shift
+            x[big] >>= np.int64(shift)
+        return bl + (x == 1)
+
+    def _regs(t: pa.Table) -> pa.Table:
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        x = np.array([int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+                      for u in uid], dtype=np.int64)
+        bucket = x >> np.int64(suffix_bits)
+        rho = suffix_bits + 1 - _bit_length_i64(x & np.int64(mask))
+        df = pd.DataFrame({"event_type": et, "bucket": bucket, "rho": rho})
+        g = df.groupby(["event_type", "bucket"], sort=False)["rho"].max(
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    regs = bucket_aggregate(
+        ev.map_batches(_regs, batch_format="pyarrow"),
+        ["event_type", "bucket"], {"rho": ("rho", "max")}).to_pandas()
+
+    # estimate per type from the <= |types| x m register table (tiny)
+    out = []
+    alpha = 0.7213 / (1 + 1.079 / m)
+    for et, g in regs.groupby("event_type", sort=False):
+        s = float(np.power(2.0, -g["rho"].to_numpy(dtype=np.float64)).sum())
+        present = len(g)
+        e_raw = alpha * m * m / (s + (m - present))
+        if e_raw <= 2.5 * m and present < m:
+            e = m * np.log(m / float(m - present))
+        else:
+            e = e_raw
+        out.append((et, round(e, 4)))
+    return pd.DataFrame(out, columns=["event_type", "est_users"])
