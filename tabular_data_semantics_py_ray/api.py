@@ -496,6 +496,12 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_orders_rollup(sf_dir: str):
+    from .pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
 def q_events_hll_users(sf_dir: str):
     from .pipelines.relational import events_hll_users
 
@@ -676,4 +682,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion": q_lang_confusion,
         "dedup_exact_indexed": q_dedup_exact_indexed,
         "events_hll_users": q_events_hll_users,
+        "orders_rollup": q_orders_rollup,
     }

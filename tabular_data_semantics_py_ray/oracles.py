@@ -1351,4 +1351,14 @@ SELECT event_type,
                   ELSE e_raw END, 4) AS est_users
 FROM est"""
 
+    # ROLLUP with 'ALL' sentinels (type-stable vs SQL NULL for the
+    # engine comparison); year cast to VARCHAR to share a column with it
+    o["orders_rollup"] = """
+SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       coalesce(cast(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       round(sum(o_totalprice), 2) AS sum_price,
+       cast(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))"""
+
     return o

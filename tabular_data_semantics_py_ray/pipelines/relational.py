@@ -2050,3 +2050,49 @@ def events_hll_users(sf_dir: str, *, m_log2: int = 10):
             e = e_raw
         out.append((et, round(e, 4)))
     return pd.DataFrame(out, columns=["event_type", "est_users"])
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (priority, year) in one shuffle — the OLAP
+    multi-level aggregate: the finest level is a combiner-shaped two-phase
+    sum; the (priority) and () levels are DERIVED from the finest
+    aggregate (exactly summable, so no second corpus pass and no
+    grouping-sets shuffle). Rollup rows use the sentinel 'ALL' instead of
+    SQL NULL so the oracle comparison is type-stable."""
+    from ..util import bucket_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderpriority", "o_orderdate", "o_totalprice"],
+                   blocks=fanout_blocks(0.5))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        yr = pc.year(t.column("o_orderdate")).cast(pa.int64())
+        tt = pa.Table.from_arrays(
+            [t.column("o_orderpriority"), yr, t.column("o_totalprice")],
+            names=["priority", "yr", "price"])
+        g = tt.group_by(["priority", "yr"]).aggregate(
+            [("price", "sum"), ("price", "count")])
+        return pa.Table.from_arrays(
+            [g.column("priority"), g.column("yr"),
+             g.column("price_sum"), g.column("price_count").cast(pa.int64())],
+            names=["priority", "yr", "s", "n"])
+
+    fine = bucket_aggregate(
+        orders.map_batches(_partial, batch_format="pyarrow"),
+        ["priority", "yr"], {"s": ("s", "sum"), "n": ("n", "sum")}
+    ).to_pandas()  # |priorities| x |years| rows — result-sized collect
+
+    lvl1 = fine.groupby("priority", as_index=False)[["s", "n"]].sum()
+    lvl1["yr"] = "ALL"
+    lvl0 = pd.DataFrame({"priority": ["ALL"], "yr": ["ALL"],
+                         "s": [fine["s"].sum()], "n": [fine["n"].sum()]})
+    fine = fine.copy()
+    fine["yr"] = fine["yr"].astype("int64").astype(str)
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    return pd.DataFrame({
+        "priority": out["priority"], "yr": out["yr"],
+        "sum_price": out["s"].astype(float).round(2),
+        "n_orders": out["n"].astype("int64"),
+    })
