@@ -496,6 +496,12 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_token_cms_counts(sf_dir: str):
+    from .pipelines.relational import token_cms_counts
+
+    return token_cms_counts(sf_dir)
+
+
 def q_orders_rollup(sf_dir: str):
     from .pipelines.relational import orders_rollup
 
@@ -683,4 +689,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_indexed": q_dedup_exact_indexed,
         "events_hll_users": q_events_hll_users,
         "orders_rollup": q_orders_rollup,
+        "token_cms_counts": q_token_cms_counts,
     }

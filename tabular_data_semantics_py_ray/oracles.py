@@ -1361,4 +1361,25 @@ SELECT coalesce(o_orderpriority, 'ALL') AS priority,
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, year(o_orderdate))"""
 
+    # count-min sketch replicated in SQL: 4 rows x 8192 counters, position
+    # = md5('r:token') mod width; estimate = min over rows
+    o["token_cms_counts"] = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+pos AS (
+  SELECT tok, r,
+         ('0x' || substr(md5(cast(r AS VARCHAR) || ':' || tok), 1, 8))
+           ::BIGINT % 8192 AS p
+  FROM toks, unnest([0, 1, 2, 3]) AS t(r)
+),
+counters AS (SELECT r, p, count(*) AS c FROM pos GROUP BY 1, 2),
+est AS (
+  SELECT d.tok, min(c.c) AS est_count
+  FROM (SELECT DISTINCT tok, r, p FROM pos) d
+  JOIN counters c ON d.r = c.r AND d.p = c.p
+  GROUP BY 1
+)
+SELECT tok AS token, cast(est_count AS BIGINT) AS est_count FROM est"""
+
     return o

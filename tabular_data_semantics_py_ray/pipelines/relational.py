@@ -2096,3 +2096,68 @@ def orders_rollup(sf_dir: str):
         "sum_price": out["s"].astype(float).round(2),
         "n_orders": out["n"].astype("int64"),
     })
+
+
+def token_cms_counts(sf_dir: str, *, rows: int = 4, width: int = 8192):
+    """Count-min sketch of token frequencies — the second canonical
+    mergeable sketch (counters merge with +, so per-batch partials tree-
+    reduce and replays of idempotent stages stay safe): each batch builds
+    a local rows x width counter array from its token counts (np.add.at
+    over md5-derived positions of the batch's DISTINCT tokens — the md5
+    cost is per distinct token per batch, not per occurrence); partials
+    OR^H sum-reduce driver-side (256 KB each — the bloom-filter collect
+    pattern; tree-reduce them on a real cluster). Output: every distinct
+    token with its CM estimate (min over rows) — deterministic, so the
+    oracle replicates the sketch bit-for-bit in SQL."""
+    import hashlib
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=fanout_blocks(0.5))
+
+    def _positions(token: str) -> list[int]:
+        return [int(hashlib.md5(f"{r}:{token}".encode()).hexdigest()[:8], 16)
+                % width for r in range(rows)]
+
+    def _sketch_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.split_pattern(t.column("text"), " ")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = pc.value_counts(flat.flatten())
+        sk = np.zeros((rows, width), dtype=np.int64)
+        toks = vc.field("values").to_numpy(zero_copy_only=False)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        for tok, c in zip(toks, cnts):
+            for r, p in enumerate(_positions(str(tok))):
+                sk[r, p] += int(c)
+        return pa.Table.from_arrays([pa.array([sk.tobytes()])],
+                                    names=["sk"])
+
+    parts = docs.map_batches(_sketch_partial, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    sk = np.zeros((rows, width), dtype=np.int64)
+    for blob in parts["sk"]:
+        sk += np.frombuffer(blob, dtype=np.int64).reshape(rows, width)
+
+    # distinct tokens (vocab-sized) via the unigram combiner
+    def _uni(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flat = pc.split_pattern(t.column("text"), " ")
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = pc.value_counts(flat.flatten())
+        return pa.Table.from_arrays(
+            [vc.field("values"), vc.field("counts").cast(pa.int64())],
+            names=["token", "n"])
+
+    vocab = bucket_aggregate(
+        docs.map_batches(_uni, batch_format="pyarrow", batch_size=None),
+        ["token"], {"n": ("n", "sum")}).to_pandas()
+
+    est = [int(min(sk[r, p] for r, p in enumerate(_positions(str(tok)))))
+           for tok in vocab["token"]]
+    return pd.DataFrame({"token": vocab["token"],
+                         "est_count": pd.array(est, dtype="int64")})
