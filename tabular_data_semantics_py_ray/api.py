@@ -496,6 +496,18 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_orders_upsert(sf_dir: str):
+    from .pipelines.relational import orders_upsert
+
+    return orders_upsert(sf_dir)
+
+
+def q_doc_len_percentile(sf_dir: str):
+    from .pipelines.relational import doc_len_percentile
+
+    return doc_len_percentile(sf_dir)
+
+
 def q_token_cms_counts(sf_dir: str):
     from .pipelines.relational import token_cms_counts
 
@@ -690,4 +702,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_users": q_events_hll_users,
         "orders_rollup": q_orders_rollup,
         "token_cms_counts": q_token_cms_counts,
+        "orders_upsert": q_orders_upsert,
+        "doc_len_percentile": q_doc_len_percentile,
     }

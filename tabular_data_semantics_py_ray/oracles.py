@@ -1382,4 +1382,22 @@ est AS (
 )
 SELECT tok AS token, cast(est_count AS BIGINT) AS est_count FROM est"""
 
+    # delta derivation must mirror relational.orders_upsert._mk_delta
+    o["orders_upsert"] = """
+WITH delta AS (
+  SELECT o_orderkey, round(o_totalprice + 1000.0, 2) AS o_totalprice,
+         '1-URGENT' AS o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT * FROM delta"""
+
+    o["doc_len_percentile"] = """
+SELECT doc_id, lang,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS pct_rank
+FROM documents"""
+
     return o

@@ -2161,3 +2161,110 @@ def token_cms_counts(sf_dir: str, *, rows: int = 4, width: int = 8192):
            for tok in vocab["token"]]
     return pd.DataFrame({"token": vocab["token"],
                          "est_count": pd.array(est, dtype="int64")})
+
+
+def orders_upsert(sf_dir: str):
+    """UPSERT / merge-on-key (the lakehouse CDC apply: delta rows replace
+    base rows with the same key, new keys insert): one hash-partitioned
+    anti-join (base minus delta keys) unioned with the delta — both sides
+    shuffled by key, nothing broadcast, nothing materialized. The delta
+    here is derived deterministically from the base (every 7th order gets
+    a flat +1000.00 price adjustment — exact in double, deliberately not
+    a x1.1 multiply whose half-cent rounding differs between pyarrow's
+    half-even and DuckDB's half-away — and 1-URGENT priority) so the
+    oracle can rebuild the
+    identical delta in SQL. Output: the merged (o_orderkey, o_totalprice,
+    o_orderpriority) table."""
+    from ..util import bucket_anti_join
+
+    base = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderpriority"],
+                 blocks=fanout_blocks(0.5))
+
+    def _mk_delta(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        t = t.filter(pa.array(k % 7 == 0))
+        # np.round, not pc.round: clears the add's binary dust AND lands
+        # on the same nearest-double as DuckDB's round (pc.round's
+        # scale-multiply trick measured 1 ulp off on some values)
+        price = pa.array(np.round(
+            t.column("o_totalprice").cast(pa.float64()).to_numpy(
+                zero_copy_only=False) + 1000.0, 2))
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey").cast(pa.int64()), price,
+             pa.array(["1-URGENT"] * n, type=pa.string())],
+            names=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    delta = base.map_batches(_mk_delta, batch_format="pyarrow",
+                             batch_size=None)
+    survivors = bucket_anti_join(
+        base, delta, key="o_orderkey",
+        left_cols={"o_totalprice": pa.float64(),
+                   "o_orderpriority": pa.string()})
+
+    def _project(t: pa.Table) -> pa.Table:
+        # NO re-rounding: base prices are already canonical 2-decimal
+        # doubles (DuckDB's round() is identity on them; pc.round is
+        # measurably 1 ulp off on some values — see _mk_delta)
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey").cast(pa.int64()),
+             t.column("o_totalprice").cast(pa.float64()),
+             t.column("o_orderpriority")],
+            names=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+    return survivors.map_batches(
+        _project, batch_format="pyarrow").union(delta)
+
+
+def doc_len_percentile(sf_dir: str):
+    """Global percent-rank of every doc's length within its language —
+    WITHOUT a sort: a two-phase (lang, n_chars) histogram (distinct
+    lengths are bounded by the value domain, not the row count) is
+    exclusive-cumsummed on the driver into a rank CDF, broadcast, and a
+    second shuffle-free pass assigns percent_rank = (rank-1)/(n-1) — the
+    histogram-order-statistic trick doc_len_quantiles uses, extended to
+    per-row ranks. Rounded to 6."""
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+                 blocks=fanout_blocks(0.5))
+
+    hist = bucket_aggregate(
+        docs.map_batches(
+            lambda t: pa.Table.from_pandas(
+                pd.DataFrame({
+                    "lang": t.column("lang").to_numpy(zero_copy_only=False),
+                    "n_chars": t.column("n_chars").cast(pa.int64())
+                    .to_numpy(zero_copy_only=False),
+                }).groupby(["lang", "n_chars"], sort=False).size()
+                .reset_index(name="c"), preserve_index=False),
+            batch_format="pyarrow"),
+        ["lang", "n_chars"], {"c": ("c", "sum")}).to_pandas()
+
+    hist = hist.sort_values(["lang", "n_chars"])
+    hist["below"] = hist.groupby("lang")["c"].cumsum() - hist["c"]
+    n_per_lang = hist.groupby("lang")["c"].sum().to_dict()
+    rank_map = {(l, v): b for l, v, b in
+                zip(hist["lang"], hist["n_chars"], hist["below"])}
+    rank_ref = ray.put((rank_map, n_per_lang))
+
+    def _rank(t: pa.Table) -> pa.Table:
+        rm, npl = ray.get(rank_ref)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        nc = t.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        below = np.array([rm[(l, v)] for l, v in zip(lang, nc)],
+                         dtype=np.float64)
+        denom = np.array([max(npl[l] - 1, 1) for l in lang],
+                         dtype=np.float64)
+        pr = np.round(below / denom, 6)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()),
+             pa.array(lang, type=pa.string()), pa.array(pr)],
+            names=["doc_id", "lang", "pct_rank"])
+
+    return docs.map_batches(_rank, batch_format="pyarrow", batch_size=None)
