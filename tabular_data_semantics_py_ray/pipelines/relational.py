@@ -1985,6 +1985,20 @@ def lang_confusion(sf_dir: str):
         ["lang", "lang_pred"], {"n": ("n", "sum")})
 
 
+def bit_length_i64(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized int bit-length (== int.bit_length per element) via
+    a branchless binary search over shifts — float log2 would misround
+    above 2^53, exactly where HLL's rho lives. Module-level so tests
+    exercise THIS kernel, not a copy."""
+    bl = np.zeros(v.shape, dtype=np.int64)
+    x = v.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.int64(1) << np.int64(shift))
+        bl[big] += shift
+        x[big] >>= np.int64(shift)
+    return bl + (x == 1)
+
+
 def events_hll_users(sf_dir: str, *, m_log2: int = 10):
     """Approximate distinct users per event_type via HyperLogLog — the
     mergeable-sketch family every 100 TB census uses where exact distinct
@@ -2011,15 +2025,6 @@ def events_hll_users(sf_dir: str, *, m_log2: int = 10):
     ev = _read(sf_dir, "events", ["event_type", "user_id"],
                blocks=fanout_blocks(0.5))
 
-    def _bit_length_i64(v: np.ndarray) -> np.ndarray:
-        bl = np.zeros(v.shape, dtype=np.int64)
-        x = v.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            big = x >= (np.int64(1) << np.int64(shift))
-            bl[big] += shift
-            x[big] >>= np.int64(shift)
-        return bl + (x == 1)
-
     def _regs(t: pa.Table) -> pa.Table:
         et = t.column("event_type").to_numpy(zero_copy_only=False)
         uid = t.column("user_id").cast(pa.int64()).to_numpy(
@@ -2027,7 +2032,7 @@ def events_hll_users(sf_dir: str, *, m_log2: int = 10):
         x = np.array([int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
                       for u in uid], dtype=np.int64)
         bucket = x >> np.int64(suffix_bits)
-        rho = suffix_bits + 1 - _bit_length_i64(x & np.int64(mask))
+        rho = suffix_bits + 1 - bit_length_i64(x & np.int64(mask))
         df = pd.DataFrame({"event_type": et, "bucket": bucket, "rho": rho})
         g = df.groupby(["event_type", "bucket"], sort=False)["rho"].max(
         ).reset_index()
@@ -2111,8 +2116,6 @@ def token_cms_counts(sf_dir: str, *, rows: int = 4, width: int = 8192):
     oracle replicates the sketch bit-for-bit in SQL."""
     import hashlib
 
-    from ..util import bucket_aggregate
-
     docs = _read(sf_dir, "documents", ["text"], blocks=fanout_blocks(0.5))
 
     def _positions(token: str) -> list[int]:
@@ -2141,21 +2144,22 @@ def token_cms_counts(sf_dir: str, *, rows: int = 4, width: int = 8192):
     for blob in parts["sk"]:
         sk += np.frombuffer(blob, dtype=np.int64).reshape(rows, width)
 
-    # distinct tokens (vocab-sized) via the unigram combiner
+    # distinct tokens (vocab-sized) — batch-distinct partials + one
+    # distinct shuffle; no count column rides along (it was never read)
+    from ..util import bucket_distinct
+
     def _uni(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         flat = pc.split_pattern(t.column("text"), " ")
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
-        vc = pc.value_counts(flat.flatten())
-        return pa.Table.from_arrays(
-            [vc.field("values"), vc.field("counts").cast(pa.int64())],
-            names=["token", "n"])
+        return pa.Table.from_arrays([flat.flatten().unique()],
+                                    names=["token"])
 
-    vocab = bucket_aggregate(
+    vocab = bucket_distinct(
         docs.map_batches(_uni, batch_format="pyarrow", batch_size=None),
-        ["token"], {"n": ("n", "sum")}).to_pandas()
+        ["token"]).to_pandas()
 
     est = [int(min(sk[r, p] for r, p in enumerate(_positions(str(tok)))))
            for tok in vocab["token"]]
@@ -2247,24 +2251,38 @@ def doc_len_percentile(sf_dir: str):
 
     hist = hist.sort_values(["lang", "n_chars"])
     hist["below"] = hist.groupby("lang")["c"].cumsum() - hist["c"]
-    n_per_lang = hist.groupby("lang")["c"].sum().to_dict()
-    rank_map = {(l, v): b for l, v, b in
-                zip(hist["lang"], hist["n_chars"], hist["below"])}
-    rank_ref = ray.put((rank_map, n_per_lang))
+    n_per_lang = hist.groupby("lang")["c"].sum()
+
+    # percent_rank per DISTINCT (lang, n_chars) — computed ONCE on the
+    # driver. Rounding uses exact Decimal half-away (DuckDB's round mode)
+    # applied to the float64 quotient, because np.round's half-even
+    # diverges on dyadic ties like 1/128 = 0.0078125 -> .007812 vs the
+    # oracle's .007813
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q6 = Decimal("0.000001")
+    denom = (n_per_lang - 1).clip(lower=1).astype(float)
+    quot = hist["below"].to_numpy(dtype=np.float64) / \
+        denom.reindex(hist["lang"]).to_numpy()
+    hist["pct_rank"] = [float(Decimal(float(v)).quantize(q6, ROUND_HALF_UP))
+                        for v in quot]
+    pct_map = hist[["lang", "n_chars", "pct_rank"]]
+    pct_ref = ray.put(pct_map)
 
     def _rank(t: pa.Table) -> pa.Table:
-        rm, npl = ray.get(rank_ref)
-        lang = t.column("lang").to_numpy(zero_copy_only=False)
-        nc = t.column("n_chars").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        below = np.array([rm[(l, v)] for l, v in zip(lang, nc)],
-                         dtype=np.float64)
-        denom = np.array([max(npl[l] - 1, 1) for l in lang],
-                         dtype=np.float64)
-        pr = np.round(below / denom, 6)
+        pm = ray.get(pct_ref)
+        b = pd.DataFrame({
+            "doc_id": t.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+            "lang": t.column("lang").to_numpy(zero_copy_only=False),
+            "n_chars": t.column("n_chars").cast(pa.int64()).to_numpy(
+                zero_copy_only=False),
+        })
+        out = b.merge(pm, on=["lang", "n_chars"], how="left")
         return pa.Table.from_arrays(
-            [t.column("doc_id").cast(pa.int64()),
-             pa.array(lang, type=pa.string()), pa.array(pr)],
+            [pa.array(out["doc_id"].to_numpy()),
+             pa.array(out["lang"].to_numpy(), type=pa.string()),
+             pa.array(out["pct_rank"].to_numpy(dtype=np.float64))],
             names=["doc_id", "lang", "pct_rank"])
 
     return docs.map_batches(_rank, batch_format="pyarrow", batch_size=None)

@@ -344,31 +344,23 @@ def test_pack_and_pmi_read_directory_corpora(ray_session, tmp_path):
 
 
 def test_hll_bit_length_kernel_is_exact():
-    """The vectorized bit-length must equal int.bit_length for arbitrary
-    60-bit values — float log2 would misround near powers of two, which
-    is exactly where HLL's rho lives."""
+    """The PRODUCTION bit-length kernel must equal int.bit_length for
+    arbitrary 60-bit values — float log2 would misround near powers of
+    two, which is exactly where HLL's rho lives."""
     from tabular_data_semantics_py_ray.pipelines.relational import (
-        events_hll_users,  # noqa: F401  (module import for the helper)
+        bit_length_i64,
     )
-    import tabular_data_semantics_py_ray.pipelines.relational as rel
 
-    # reach the inner helper through a tiny reimplementation check instead:
-    # exercise the op end-to-end on values that straddle powers of two
     rng = np.random.default_rng(31)
     vals = np.concatenate([
+        np.array([0], dtype=np.int64),
         (np.int64(1) << np.arange(50, dtype=np.int64)),       # exact powers
         (np.int64(1) << np.arange(1, 50, dtype=np.int64)) - 1,  # all-ones
         rng.integers(0, 1 << 50, 200).astype(np.int64),
     ])
-    bl = np.zeros(vals.shape, dtype=np.int64)
-    x = vals.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        big = x >= (np.int64(1) << np.int64(shift))
-        bl[big] += shift
-        x[big] >>= np.int64(shift)
-    bl += (x == 1)
+    got = bit_length_i64(vals)
     want = np.array([int(v).bit_length() for v in vals])
-    assert (bl == want).all()
+    assert (got == want).all()
 
 
 def test_shared_index_offer_is_idempotent_under_replay(ray_session):
