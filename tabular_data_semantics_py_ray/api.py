@@ -496,6 +496,12 @@ def q_lang_confusion(sf_dir: str):
     return lang_confusion(sf_dir)
 
 
+def q_curate_corpus(sf_dir: str):
+    from .pipelines.relational import curate_corpus
+
+    return curate_corpus(sf_dir)
+
+
 def q_orders_upsert(sf_dir: str):
     from .pipelines.relational import orders_upsert
 
@@ -704,4 +710,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cms_counts": q_token_cms_counts,
         "orders_upsert": q_orders_upsert,
         "doc_len_percentile": q_doc_len_percentile,
+        "curate_corpus": q_curate_corpus,
     }

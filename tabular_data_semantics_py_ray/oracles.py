@@ -1400,4 +1400,76 @@ SELECT doc_id, lang,
          AS pct_rank
 FROM documents"""
 
+    # the capstone curation chain: quality p10 -> exact keep-one ->
+    # near-dup keep-one (same shingle/jaccard/closure SQL as
+    # dedup_components, over the survivors) -> md5 split -> pack offsets
+    o["curate_corpus"] = """
+WITH RECURSIVE
+thr AS (SELECT lang, quantile_disc(n_chars, 0.1) AS p10
+        FROM documents GROUP BY lang),
+qd AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d
+  JOIN thr t ON d.lang = t.lang WHERE d.n_chars >= t.p10
+),
+ek AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id, md5(regexp_replace(text, '( dup)+$', '')) AS fp FROM qd
+  ) GROUP BY fp
+),
+s AS (SELECT qd.* FROM qd JOIN ek ON qd.doc_id = ek.doc_id),
+w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM s),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cast(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+),
+und AS (
+  SELECT doc_a AS u, doc_b AS v FROM p
+  UNION ALL
+  SELECT doc_b, doc_a FROM p
+),
+reach(node, r) AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+),
+comp AS (SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node),
+kept AS (
+  SELECT s.doc_id, s.text, s.lang FROM s
+  WHERE s.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+),
+sp AS (
+  SELECT doc_id, lang,
+         cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CASE WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'e6'
+              THEN 'train'
+              WHEN substr(md5(cast(doc_id AS VARCHAR)), 1, 2) < 'f3'
+              THEN 'val' ELSE 'test' END AS split
+  FROM kept
+),
+off AS (
+  SELECT *,
+         cast(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM sp
+)
+SELECT doc_id, lang, split, n_tokens, tok_offset,
+       tok_offset // 2048 AS pack_id
+FROM off"""
+
     return o

@@ -2286,3 +2286,139 @@ def doc_len_percentile(sf_dir: str):
             names=["doc_id", "lang", "pct_rank"])
 
     return docs.map_batches(_rank, batch_format="pyarrow", batch_size=None)
+
+
+def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
+    """The CAPSTONE composition — the full corpus-curation pipeline a
+    100 TB pretraining run executes, as ONE dataflow:
+
+      1. quality filter: drop docs below their language's exact p10
+         length (two-pass histogram threshold, quality_filter_census);
+      2. exact dedup: keep the min-doc_id copy per normalized text hash
+         (hash-partitioned, dedup_exact);
+      3. near-dup dedup: MinHash-LSH candidates + exact-Jaccard verify +
+         connected components, keep each cluster's min doc_id
+         (dedup_near_pairs + dedup_components semantics);
+      4. deterministic train/val/test split (split_assign);
+      5. sequence packing: global token offsets + pack ids over the
+         surviving docs in doc_id order (pack_assign's two-pass scan).
+
+    Output: (doc_id, lang, split, n_tokens, tok_offset, pack_id) — the
+    training-shard manifest. Every stage is the already-oracle-verified
+    operator, composed dataset-to-dataset (no intermediate hits storage);
+    the one materialize pins the CURATED corpus — the pipeline's product,
+    where a real run would write_parquet — so the packing passes don't
+    re-execute the dedup chain. The composed DuckDB oracle chains the
+    same five stages in SQL."""
+    import hashlib
+    import math
+
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import fingerprint_batch
+    from ..stages.dedup import dedup_components, near_dup_pairs_minhash
+    from ..util import (adaptive_buckets, bucket_aggregate, bucket_anti_join,
+                        bucket_join, bucket_map_keyed, select_cols)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"],
+                 blocks=fanout_blocks(0.5))
+
+    # -- 1. per-lang p10 thresholds (exact counting-sort quantile) --------
+    hist = bucket_aggregate(select_cols(docs, ["lang", "n_chars"]),
+                            ["lang", "n_chars"],
+                            {"cnt": ("n_chars", "count")})
+
+    def _thresholds(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, grp in g.groupby("lang", sort=False):
+            grp = grp.sort_values("n_chars", kind="mergesort")
+            cum = grp["cnt"].cumsum().to_numpy()
+            kth = max(0, math.ceil(q * int(cum[-1])) - 1)
+            out.append((lang, int(grp["n_chars"].to_numpy()[
+                np.searchsorted(cum, kth + 1)])))
+        return pd.DataFrame(out, columns=["lang", "thr"])
+
+    thr = dict(bucket_map_keyed(hist, ["lang"], _thresholds)
+               .to_pandas().itertuples(index=False, name=None))
+
+    def _quality(b: pd.DataFrame) -> pd.DataFrame:
+        keep = b["n_chars"] >= b["lang"].map(thr)
+        return b.loc[keep, ["doc_id", "text", "lang"]]
+
+    quality = docs.map_batches(_quality, batch_format="pandas")
+
+    # -- 2. exact dedup: semi-join on the per-hash min doc_id -------------
+    keepers = bucket_aggregate(
+        quality.map_batches(fingerprint_batch, batch_format="pyarrow"),
+        ["fp_norm"], {"keep_doc_id": ("doc_id", "min")})
+    survivors = bucket_join(
+        quality, select_cols(keepers, ["keep_doc_id"]),
+        key="doc_id", right_key="keep_doc_id",
+        left_cols={"text": pa.string(), "lang": pa.string()}, right_cols={})
+
+    # -- 3. near-dup keep-one over the survivors --------------------------
+    pairs = near_dup_pairs_minhash(survivors)
+    comp = dedup_components(pairs)
+
+    def _nonkeep(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        c = t.column("component_id").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays([pa.array(d[d != c])], names=["doc_id"])
+
+    nonkeep = comp.map_batches(_nonkeep, batch_format="pyarrow")
+    kept = bucket_anti_join(
+        survivors, nonkeep, key="doc_id",
+        left_cols={"text": pa.string(), "lang": pa.string()})
+
+    # the curated corpus IS the product; a real run writes it to parquet
+    # here — materializing it keeps the two packing passes from
+    # re-executing the dedup chain
+    kept = kept.materialize()
+    n_rows = max(1, kept.count())
+    n_ranges = max(1, min(adaptive_buckets(16), n_rows))
+    # kept ids are sparse after filtering; the mapping-based bases make
+    # that a size skew, not a correctness issue (same as pack_assign)
+    width = -(-n_rows // n_ranges)
+
+    # -- 4+5. split + pack over the kept docs -----------------------------
+    def _ntok(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64())
+        idv = ids.to_numpy(zero_copy_only=False)
+        n = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")).cast(pa.int64())
+        b1 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
+                       for i in idv])
+        split = np.where(b1 < "e6", "train",
+                         np.where(b1 < "f3", "val", "test"))
+        rng = pa.array(idv // width)
+        return pa.Table.from_arrays(
+            [ids, t.column("lang"), pa.array(split, type=pa.string()),
+             n, rng],
+            names=["doc_id", "lang", "split", "n_tokens", "rng"])
+
+    ntok = kept.map_batches(_ntok, batch_format="pyarrow")
+    totals = bucket_aggregate(
+        ntok, ["rng"], {"total": ("n_tokens", "sum")}).to_pandas()
+    totals = totals.sort_values("rng")
+    tot = totals["total"].to_numpy()
+    base_map = pd.Series(np.cumsum(tot) - tot,
+                         index=totals["rng"].to_numpy(), dtype="int64")
+    base_ref = ray.put(base_map)
+
+    def _pack(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["rng", "doc_id"], kind="mergesort")
+        nt = b["n_tokens"].to_numpy()
+        rng = b["rng"].to_numpy()
+        cs = np.cumsum(nt) - nt
+        new_rng = np.empty(len(b), dtype=bool)
+        new_rng[0] = True
+        new_rng[1:] = rng[1:] != rng[:-1]
+        base_cs = np.maximum.accumulate(np.where(new_rng, cs, 0))
+        off = ray.get(base_ref).loc[rng].to_numpy() + (cs - base_cs)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(), "lang": b["lang"].to_numpy(),
+            "split": b["split"].to_numpy(), "n_tokens": nt,
+            "tok_offset": off, "pack_id": off // seq_len,
+        })
+
+    return bucket_map_keyed(ntok, ["rng"], _pack)
