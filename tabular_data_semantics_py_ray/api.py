@@ -502,6 +502,18 @@ def q_curate_corpus(sf_dir: str):
     return curate_corpus(sf_dir)
 
 
+def q_doc_chunk(sf_dir: str):
+    from .pipelines.relational import doc_chunk
+
+    return doc_chunk(sf_dir)
+
+
+def q_pivot_lang_source(sf_dir: str):
+    from .pipelines.relational import pivot_lang_source
+
+    return pivot_lang_source(sf_dir)
+
+
 def q_orders_upsert(sf_dir: str):
     from .pipelines.relational import orders_upsert
 
@@ -711,4 +723,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_upsert": q_orders_upsert,
         "doc_len_percentile": q_doc_len_percentile,
         "curate_corpus": q_curate_corpus,
+        "doc_chunk": q_doc_chunk,
+        "pivot_lang_source": q_pivot_lang_source,
     }

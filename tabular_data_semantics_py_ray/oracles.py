@@ -1394,6 +1394,31 @@ FROM orders WHERE o_orderkey % 7 <> 0
 UNION ALL
 SELECT * FROM delta"""
 
+    # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
+    # are 1-based inclusive and clamp at len, matching the kernel exactly
+    o["doc_chunk"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (
+  SELECT doc_id, t, len(t) AS n,
+         unnest(range(0, (len(t) - 1) // 24 + 1)) AS k
+  FROM toks
+)
+SELECT doc_id, k AS chunk_idx, k * 24 AS start_tok,
+       least(32, n - k * 24) AS n_tokens,
+       array_to_string(t[k * 24 + 1 : k * 24 + 32], ' ') AS chunk_text
+FROM idx"""
+
+    # column order must mirror relational.PIVOT_LANGS
+    o["pivot_lang_source"] = """
+SELECT source,
+       cast(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+       cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+       cast(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+       cast(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+       cast(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS n_zh,
+       count(*) AS n_total
+FROM documents GROUP BY source"""
+
     o["doc_len_percentile"] = """
 SELECT doc_id, lang,
        round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)

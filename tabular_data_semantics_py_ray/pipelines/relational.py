@@ -2288,6 +2288,104 @@ def doc_len_percentile(sf_dir: str):
     return docs.map_batches(_rank, batch_format="pyarrow", batch_size=None)
 
 
+def doc_chunk(sf_dir: str, *, window: int = 32, stride: int = 24):
+    """Token-window document chunking — the stage that turns raw docs into
+    fixed-size overlapping training chunks (context windows with overlap,
+    the split every pretraining/RAG ingestion pipeline runs before
+    tokenizer packing). Chunk k of a doc covers whitespace tokens
+    [k*stride, min(k*stride+window, n)); starts exist while k*stride < n,
+    so every doc emits >= 1 chunk and the tail may be short.
+
+    Scale shape: ZERO shuffles — one streaming flat-map pass, fully
+    Arrow/numpy vectorized (no per-doc Python): split_pattern gives the
+    flat token array + offsets; chunk starts, gather indices and output
+    list offsets are all computed with the repeat/arange trick; chunk text
+    is rebuilt with one ``binary_join`` over the gathered-token ListArray
+    (overlapping chunks duplicate token REFERENCES via take, never doc
+    strings). Output: (doc_id, chunk_idx, start_tok, n_tokens,
+    chunk_text); output volume is ~(1 + overlap/stride) x corpus, which
+    streams straight to the sink.
+    """
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        toks = pc.split_pattern(
+            t.column("text").combine_chunks(), pattern=" ")
+        off = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        ntok = np.diff(off)  # >= 1: splitting '' yields ['']
+        nchunks = (ntok - 1) // stride + 1
+        doc_rep = np.repeat(np.arange(len(ids)), nchunks)
+        ccum = np.concatenate([[0], np.cumsum(nchunks)])
+        k = np.arange(int(ccum[-1]), dtype=np.int64) - \
+            np.repeat(ccum[:-1], nchunks)
+        start = k * stride
+        lens = np.minimum(start + window, ntok[doc_rep]) - start
+        # flat-token gather indices for every chunk position
+        base = off[:-1][doc_rep] + start
+        lcum = np.concatenate([[0], np.cumsum(lens)])
+        idx = np.repeat(base, lens) + (
+            np.arange(int(lcum[-1]), dtype=np.int64) -
+            np.repeat(lcum[:-1], lens))
+        gathered = flat.take(pa.array(idx, type=pa.int64()))
+        lst = pa.LargeListArray.from_arrays(
+            pa.array(lcum, type=pa.int64()), gathered)
+        return pa.Table.from_arrays(
+            [pa.array(ids[doc_rep]), pa.array(k), pa.array(start),
+             pa.array(lens), pc.binary_join(lst, " ")],
+            names=["doc_id", "chunk_idx", "start_tok", "n_tokens",
+                   "chunk_text"])
+
+    return docs.map_batches(_chunks, batch_format="pyarrow",
+                            batch_size=None)
+
+
+# pivot column order is the lang domain, pinned so the output schema is
+# stable (a pivot's schema is part of its contract); langs outside the
+# domain would raise rather than silently drop.
+PIVOT_LANGS: tuple[str, ...] = ("de", "en", "es", "fr", "zh")
+
+
+def pivot_lang_source(sf_dir: str):
+    """Pivot (wide reshape): doc counts per source, languages as columns —
+    the corpus-composition matrix every data-mixture report prints. The
+    heavy side is ONE two-phase (source, lang) counting aggregate
+    (|sources| x |langs| rows cross the shuffle, never docs); the reshape
+    itself runs on the driver over that tiny table, which is the correct
+    place for a pivot whose output is domain-sized. Output: (source,
+    n_de, n_en, n_es, n_fr, n_zh, n_total).
+    """
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["source", "lang"],
+                 blocks=fanout_blocks(0.25))
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby(["source", "lang"], sort=False).size()
+                .reset_index(name="c"))
+
+    cnt = bucket_aggregate(
+        docs.map_batches(_partial, batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")}).to_pandas()
+    unknown = set(cnt["lang"]) - set(PIVOT_LANGS)
+    if unknown:
+        raise ValueError(f"langs outside pivot domain: {sorted(unknown)}")
+    wide = (cnt.pivot_table(index="source", columns="lang", values="c",
+                            aggfunc="sum", fill_value=0)
+            .reindex(columns=list(PIVOT_LANGS), fill_value=0))
+    out = wide.reset_index()
+    out.columns = ["source"] + [f"n_{l}" for l in PIVOT_LANGS]
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    out["n_total"] = out[[f"n_{l}" for l in PIVOT_LANGS]].sum(axis=1)
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
     """The CAPSTONE composition — the full corpus-curation pipeline a
     100 TB pretraining run executes, as ONE dataflow:

@@ -245,3 +245,78 @@ def test_events_funnel_strict_ordering(ray_session, tmp_path):
 
     out = events_funnel(str(tmp_path)).to_pandas().sort_values("step_idx")
     assert out["n_users"].tolist() == [3, 2, 1]
+
+
+def test_doc_chunk_kernel_edges(ray_session, tmp_path):
+    """Chunk boundaries: doc shorter than the window emits one short
+    chunk; an exact window-multiple doc still emits the tail-start chunk
+    (starts exist while k*stride < n); empty text emits one empty chunk
+    (split('') == ['']); every chunk's text round-trips to the token
+    slice of the source."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import doc_chunk
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    texts = ["", "one", " ".join(rng.choice(vocab, 32)),  # n == window
+             " ".join(rng.choice(vocab, 33)),
+             " ".join(rng.choice(vocab, 97))]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = doc_chunk(str(tmp_path)).to_pandas().sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+    per_doc = out.groupby("doc_id").size()
+    # n tokens: 1, 1, 32, 33, 97 -> chunks: 1, 1, 2, 2, 5 (stride 24)
+    assert per_doc.tolist() == [1, 1, 2, 2, 5]
+    for _, r in out.iterrows():
+        toks = texts[r["doc_id"]].split(" ")
+        lo = r["start_tok"]
+        sl = toks[lo:lo + 32]
+        assert r["n_tokens"] == len(sl)
+        assert r["chunk_text"] == " ".join(sl)
+    # overlapping region of consecutive chunks agrees token-for-token
+    d4 = out[out["doc_id"] == 4].reset_index(drop=True)
+    for i in range(len(d4) - 1):
+        a = d4.loc[i, "chunk_text"].split(" ")
+        b = d4.loc[i + 1, "chunk_text"].split(" ")
+        assert a[24:] == b[:len(a) - 24]
+
+
+def test_pivot_lang_source_counts(ray_session, tmp_path):
+    """Pivot row sums equal per-source doc counts and missing (source,
+    lang) cells are zero-filled; a lang outside the pinned domain raises."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        pivot_lang_source)
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), type=pa.int64()),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2", "s3"]),
+        "lang": pa.array(["en", "en", "fr", "de", "zh", "es"]),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = pivot_lang_source(str(tmp_path)).set_index("source")
+    assert out.loc["s1", ["n_en", "n_fr", "n_de"]].tolist() == [2, 1, 0]
+    assert out["n_total"].tolist() == [3, 2, 1]
+    assert (out[["n_de", "n_en", "n_es", "n_fr", "n_zh"]].sum(axis=1)
+            == out["n_total"]).all()
+
+    bad = pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "source": pa.array(["s1"]),
+        "lang": pa.array(["xx"]),
+    })
+    pq.write_table(bad, tmp_path / "documents.parquet")
+    with pytest.raises(ValueError, match="pivot domain"):
+        pivot_lang_source(str(tmp_path))
