@@ -502,6 +502,12 @@ def q_curate_corpus(sf_dir: str):
     return curate_corpus(sf_dir)
 
 
+def q_q3_shipping(sf_dir: str):
+    from .pipelines.relational import q3_shipping
+
+    return q3_shipping(sf_dir)
+
+
 def q_doc_chunk(sf_dir: str):
     from .pipelines.relational import doc_chunk
 
@@ -725,4 +731,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": q_curate_corpus,
         "doc_chunk": q_doc_chunk,
         "pivot_lang_source": q_pivot_lang_source,
+        "q3_shipping": q_q3_shipping,
     }

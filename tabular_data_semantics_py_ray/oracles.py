@@ -1394,6 +1394,22 @@ FROM orders WHERE o_orderkey % 7 <> 0
 UNION ALL
 SELECT * FROM delta"""
 
+    # cutoff/segment must mirror relational.q3_shipping's defaults
+    o["q3_shipping"] = """
+WITH r AS (
+  SELECT l.l_orderkey, sum(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+         epoch_us(o.o_orderdate) AS order_date_us, o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-07-01'
+    AND l.l_shipdate > TIMESTAMP '1998-07-01'
+  GROUP BY 1, 3, 4
+)
+SELECT l_orderkey, round(rev, 2) AS revenue, order_date_us, o_orderpriority
+FROM r ORDER BY rev DESC, order_date_us, l_orderkey LIMIT 10"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

@@ -2288,6 +2288,92 @@ def doc_len_percentile(sf_dir: str):
     return docs.map_batches(_rank, batch_format="pyarrow", batch_size=None)
 
 
+def q3_shipping(sf_dir: str, *, cutoff: str = "1998-07-01",
+                segment: str = "BUILDING", k: int = 10):
+    """TPC-H Q3 shape — the classic 3-way star join with selective
+    filters on every side (unshipped-orders revenue ranking): lineitem
+    (ship date > cutoff, revenue combiner per orderkey) JOIN orders
+    (order date < cutoff) on orderkey, then JOIN the segment-filtered
+    customer on custkey as a distributed semi-join, then global top-k.
+
+    Scale shape: filters run in the first pass over each side so only
+    survivors cross the wire; both joins are hash-partitioned
+    ``bucket_join``s (nothing O(SF) is broadcast); the per-orderkey
+    revenue finalize is FUSED into join 1's bucket fn and the top-k
+    partial into join 2's, so the reduce input is <= buckets x k rows —
+    exactly two all-to-alls, then a driver-side final k. Output:
+    (l_orderkey, revenue, order_date_us, o_orderpriority).
+    """
+    from ..util import bucket_join
+
+    cut = pd.Timestamp(cutoff)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+               blocks=fanout_blocks())
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"], blocks=fanout_blocks(0.5))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 blocks=fanout_blocks(0.25))
+
+    def _li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] > cut]
+        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
+        return (b.groupby("l_orderkey", sort=False)["revenue"].sum()
+                .reset_index())
+
+    def _ord_filter(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["o_orderdate"] < cut]
+        return pd.DataFrame({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "order_date_us": b["o_orderdate"].astype("datetime64[us]")
+            .astype("int64"),
+            "o_orderpriority": b["o_orderpriority"],
+        })
+
+    def _finalize_rev(df: pd.DataFrame) -> pd.DataFrame:
+        # per-batch lineitem partials for one orderkey co-locate here
+        return (df.groupby(["l_orderkey", "o_custkey", "order_date_us",
+                            "o_orderpriority"], sort=False)["revenue"]
+                .sum().reset_index())
+
+    j1 = bucket_join(
+        li.map_batches(_li_partial, batch_format="pandas"),
+        orders.map_batches(_ord_filter, batch_format="pandas"),
+        key="l_orderkey", right_key="o_orderkey",
+        left_cols={"revenue": pa.float64()},
+        right_cols={"o_custkey": pa.int64(), "order_date_us": pa.int64(),
+                    "o_orderpriority": pa.string()},
+        post=_finalize_rev)
+
+    def _cust_filter(b: pd.DataFrame) -> pd.DataFrame:
+        return b.loc[b["c_mktsegment"] == segment, ["c_custkey"]]
+
+    def _topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["revenue", "order_date_us", "l_orderkey"],
+                            ascending=[False, True, True]).head(k)
+        return df[["l_orderkey", "revenue", "order_date_us",
+                   "o_orderpriority"]]
+
+    j2 = bucket_join(
+        j1,
+        cust.map_batches(_cust_filter, batch_format="pandas"),
+        key="o_custkey", right_key="c_custkey",
+        left_cols={"l_orderkey": pa.int64(), "revenue": pa.float64(),
+                   "order_date_us": pa.int64(),
+                   "o_orderpriority": pa.string()},
+        right_cols={},
+        post=_topk)
+
+    out = j2.to_pandas()
+    out = out.sort_values(["revenue", "order_date_us", "l_orderkey"],
+                          ascending=[False, True, True]).head(k)
+    out["revenue"] = out["revenue"].round(2)
+    return out.reset_index(drop=True)
+
+
 def doc_chunk(sf_dir: str, *, window: int = 32, stride: int = 24):
     """Token-window document chunking — the stage that turns raw docs into
     fixed-size overlapping training chunks (context windows with overlap,
