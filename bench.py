@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "contamination_8gram",
     "doc_pack_assign",
     "orders_segment_semijoin",
+    "q3_shipping",
     "curate_corpus",
     "q1_pricing",
     "revenue_by_nation",
