@@ -508,6 +508,18 @@ def q_q3_shipping(sf_dir: str):
     return q3_shipping(sf_dir)
 
 
+def q_customer_orders_left(sf_dir: str):
+    from .pipelines.relational import customer_orders_left
+
+    return customer_orders_left(sf_dir)
+
+
+def q_daily_activity_full(sf_dir: str):
+    from .pipelines.relational import daily_activity_full
+
+    return daily_activity_full(sf_dir)
+
+
 def q_doc_chunk(sf_dir: str):
     from .pipelines.relational import doc_chunk
 
@@ -732,4 +744,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": q_doc_chunk,
         "pivot_lang_source": q_pivot_lang_source,
         "q3_shipping": q_q3_shipping,
+        "customer_orders_left": q_customer_orders_left,
+        "daily_activity_full": q_daily_activity_full,
     }

@@ -1410,6 +1410,34 @@ WITH r AS (
 SELECT l_orderkey, round(rev, 2) AS revenue, order_date_us, o_orderpriority
 FROM r ORDER BY rev DESC, order_date_us, l_orderkey LIMIT 10"""
 
+    o["customer_orders_left"] = """
+WITH per AS (
+  SELECT c.c_custkey, c.c_mktsegment, count(o.o_custkey) AS n
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive,
+       CAST(sum(n) AS BIGINT) AS n_orders
+FROM per GROUP BY 1 ORDER BY 1"""
+
+    o["daily_activity_full"] = """
+WITH o AS (
+  SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us,
+         count(*) AS n_orders
+  FROM orders GROUP BY 1
+), e AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+         count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.day_us, e.day_us) AS day_us,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(n_events, 0) AS n_events
+FROM o FULL OUTER JOIN e ON o.day_us = e.day_us
+ORDER BY 1"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

@@ -2374,6 +2374,116 @@ def q3_shipping(sf_dir: str, *, cutoff: str = "1998-07-01",
     return out.reset_index(drop=True)
 
 
+def customer_orders_left(sf_dir: str):
+    """Per-segment customer activity including INACTIVE customers — the
+    left-outer-join shape (every left row kept, missing right side
+    NULL): customer LEFT JOIN per-customer order counts, aggregated to
+    (c_mktsegment, n_customers, n_inactive, n_orders).
+
+    Scale shape: orders are pre-counted per custkey inside the scan
+    (combiner — only |custkeys| partial rows cross the wire, never raw
+    orders); one hash-partitioned ``bucket_join(how="left")`` co-locates
+    each customer with its count partials; the segment rollup is FUSED
+    into the join bucket fn so the final reduce sees <= buckets x
+    |segments| partial rows (driver-side sum — result-sized).
+    """
+    from ..util import bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 blocks=fanout_blocks(0.25))
+    orders = _read(sf_dir, "orders", ["o_custkey"],
+                   blocks=fanout_blocks(0.5))
+
+    def _ord_counts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", sort=False).size().reset_index(name="n")
+        return g
+
+    def _seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # several count partials may land per customer; sum them first
+        # (skipna sum turns the all-NaN unmatched case into 0 — exactly
+        # the COUNT(o_orderkey)=0 left-join semantic)
+        per = (df.groupby(["c_custkey", "c_mktsegment"], sort=False)["n"]
+               .sum().reset_index())
+        per["n"] = per["n"].fillna(0).astype("int64")
+        g = per.groupby("c_mktsegment", sort=False)
+        return pd.DataFrame({
+            "c_mktsegment": g.size().index,
+            "n_customers": g.size().to_numpy(),
+            "n_inactive": g["n"].apply(lambda s: int((s == 0).sum())).to_numpy(),
+            "n_orders": g["n"].sum().to_numpy(),
+        })
+
+    j = bucket_join(
+        cust, orders.map_batches(_ord_counts, batch_format="pandas"),
+        key="c_custkey", right_key="o_custkey",
+        left_cols={"c_mktsegment": pa.string()},
+        right_cols={"n": pa.int64()},
+        how="left", post=_seg_partial)
+
+    out = j.to_pandas()
+    out = (out.groupby("c_mktsegment", sort=True)
+           [["n_customers", "n_inactive", "n_orders"]].sum().reset_index())
+    for c in ("n_customers", "n_inactive", "n_orders"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def daily_activity_full(sf_dir: str):
+    """Unified per-day activity calendar from two event sources — the
+    FULL-OUTER-join shape: daily order counts FULL JOIN daily event
+    counts on the day, zero-filled where one source has no rows that day
+    (the order and event date ranges only partially overlap, so both
+    unmatched sides occur). Output: (day_us, n_orders, n_events).
+
+    Scale shape: each source is count-combined per day inside its scan
+    (only |days| partial rows leave the read), reduced to one row per
+    day by a hash-partitioned two-phase aggregate, then joined with
+    ``bucket_join(how="full")``. Every shuffle is DAY-domain-sized
+    (thousands of rows regardless of corpus size); the raw tables never
+    cross the wire. Pre-reducing each side to unique keys is load-
+    bearing: joining unreduced partials would cross-product same-key
+    partial rows.
+    """
+    from ..util import bucket_aggregate, bucket_join
+
+    day_us = 86_400_000_000
+
+    orders = _read(sf_dir, "orders", ["o_orderdate"],
+                   blocks=fanout_blocks(0.5))
+    events = _read(sf_dir, "events", ["ts"], blocks=fanout_blocks())
+
+    def _ord_days(t: pa.Table) -> pa.Table:
+        us = t.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d, n = np.unique(us // day_us * day_us, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(d), pa.array(n.astype(np.int64))], names=["day_us", "n"])
+
+    def _ev_days(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        d, n = np.unique(us // day_us * day_us, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(d), pa.array(n.astype(np.int64))], names=["day_us", "n"])
+
+    oagg = bucket_aggregate(
+        orders.map_batches(_ord_days, batch_format="pyarrow",
+                           batch_size=None),
+        ["day_us"], {"n_orders": ("n", "sum")})
+    eagg = bucket_aggregate(
+        events.map_batches(_ev_days, batch_format="pyarrow",
+                           batch_size=None),
+        ["day_us"], {"n_events": ("n", "sum")})
+
+    j = bucket_join(oagg, eagg, key="day_us",
+                    left_cols={"n_orders": pa.int64()},
+                    right_cols={"n_events": pa.int64()}, how="full")
+
+    out = j.to_pandas()
+    for c in ("n_orders", "n_events"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("day_us").reset_index(drop=True)
+
+
 def doc_chunk(sf_dir: str, *, window: int = 32, stride: int = 24):
     """Token-window document chunking — the stage that turns raw docs into
     fixed-size overlapping training chunks (context windows with overlap,

@@ -229,7 +229,8 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
                 left_cols: dict[str, pa.DataType],
                 right_cols: dict[str, pa.DataType],
                 key_type: pa.DataType = pa.int64(),
-                num_buckets: int | None = None, post=None):
+                num_buckets: int | None = None, post=None,
+                how: str = "inner"):
     """Hash-partitioned inner equi-join on one key column, built on the
     bucket-groupby machinery (both sides shuffled on the key — the
     scale-safe large-large join shape).
@@ -247,7 +248,18 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
     partial aggregate into the join saves a whole extra all-to-all
     downstream (every sort-shuffle carries a fixed sampling-barrier cost
     that scales with block count, independent of data size).
+
+    ``how``: "inner" (default), "left", or "full". Outer variants keep
+    unmatched rows; missing payload columns come back NULL (pandas
+    NaN/NaT — int columns are left in their float-upcast form rather
+    than cast back, since the nulls are the point; restore a nullable
+    dtype in ``post`` if needed). The shuffle shape is identical to
+    inner, and the per-bucket merge is globally correct because BOTH
+    sides are co-located by the same key hash.
     """
+    if how not in ("inner", "left", "full"):
+        raise ValueError(
+            f"bucket_join: how={how!r} not in ('inner','left','full')")
     right_key = right_key or key
     declared = {**left_cols, **right_cols}
 
@@ -277,9 +289,14 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
 
     def _join(g: pd.DataFrame) -> pd.DataFrame:
         out = g.loc[g["_side"] == 0, lsel].merge(
-            g.loc[g["_side"] == 1, rsel], on=key, how="inner")
+            g.loc[g["_side"] == 1, rsel], on=key,
+            how=("outer" if how == "full" else how))
         # null-filling upcasts int columns to float in the union; restore
-        out = out.astype({c: dtypes[c] for c in out.columns if c in dtypes})
+        # (outer variants: unmatched-side cols legitimately hold NaN —
+        # left restores only left cols, full restores none)
+        restore = (dtypes if how == "inner"
+                   else left_cols if how == "left" else {})
+        out = out.astype({c: dtypes[c] for c in out.columns if c in restore})
         return post(out) if post is not None else out
 
     return bucket_map_keyed(tagged, [key], _join, num_buckets=num_buckets)

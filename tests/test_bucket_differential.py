@@ -102,6 +102,66 @@ def test_bucket_join_matches_pandas(seed):
 
 
 @pytest.mark.parametrize("seed", SEEDS)
+def test_bucket_left_join_matches_pandas(seed):
+    left = _frame(seed)[["k", "v"]]
+    right = _frame(seed + 1000).rename(columns={"v": "w"})[["k", "w"]]
+    # thin the right side so some left keys have NO match (the outer rows)
+    right = right[right["k"] % 3 != 0].head(800)
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    got = bucket_join(
+        lds,
+        rds,
+        key="k",
+        left_cols={"v": pa.int64()},
+        right_cols={"w": pa.int64()},
+        num_buckets=8,
+        how="left",
+    ).to_pandas()
+    want = left.merge(right, on="k", how="left")
+    assert len(got) == len(want)
+    # unmatched right payload must surface as nulls, matched as values
+    pd.testing.assert_frame_equal(
+        _canon(got).astype({"k": "int64", "v": "int64", "w": "float64"}),
+        _canon(want).astype({"k": "int64", "v": "int64", "w": "float64"}),
+    )
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_bucket_full_join_matches_pandas(seed):
+    left = _frame(seed)[["k", "v"]].head(900)
+    right = _frame(seed + 1000).rename(columns={"v": "w"})[["k", "w"]]
+    # thin BOTH sides differently so each has keys the other lacks
+    left = left[left["k"] % 5 != 0]
+    right = right[right["k"] % 3 != 0].head(800)
+    lds = rd.from_pandas(left).repartition(5)
+    rds = rd.from_pandas(right).repartition(3)
+    got = bucket_join(
+        lds,
+        rds,
+        key="k",
+        left_cols={"v": pa.int64()},
+        right_cols={"w": pa.int64()},
+        num_buckets=8,
+        how="full",
+    ).to_pandas()
+    want = left.merge(right, on="k", how="outer")
+    assert len(got) == len(want)
+    types = {"k": "int64", "v": "float64", "w": "float64"}
+    pd.testing.assert_frame_equal(
+        _canon(got).astype(types), _canon(want).astype(types)
+    )
+
+
+def test_bucket_join_rejects_unknown_how():
+    df = pd.DataFrame({"k": [1], "v": [2]})
+    ds = rd.from_pandas(df)
+    with pytest.raises(ValueError):
+        bucket_join(ds, ds, key="k", left_cols={"v": pa.int64()},
+                    right_cols={}, how="outer")
+
+
+@pytest.mark.parametrize("seed", SEEDS)
 def test_bucket_anti_join_matches_pandas(seed):
     left = _frame(seed)[["k", "v"]]
     right = _frame(seed + 2000)[["k"]].head(700)
