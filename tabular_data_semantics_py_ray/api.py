@@ -520,6 +520,12 @@ def q_daily_activity_full(sf_dir: str):
     return daily_activity_full(sf_dir)
 
 
+def q_orders_scd2(sf_dir: str):
+    from .pipelines.relational import orders_scd2
+
+    return orders_scd2(sf_dir)
+
+
 def q_doc_chunk(sf_dir: str):
     from .pipelines.relational import doc_chunk
 
@@ -746,4 +752,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q_q3_shipping,
         "customer_orders_left": q_customer_orders_left,
         "daily_activity_full": q_daily_activity_full,
+        "orders_scd2": q_orders_scd2,
     }

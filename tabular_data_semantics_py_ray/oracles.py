@@ -1438,6 +1438,25 @@ SELECT COALESCE(o.day_us, e.day_us) AS day_us,
 FROM o FULL OUTER JOIN e ON o.day_us = e.day_us
 ORDER BY 1"""
 
+    # change rows = first per customer or priority differing from the
+    # previous order (date, orderkey order); valid_to = next change's
+    # date within the customer, -1 sentinel for the open interval
+    o["orders_scd2"] = """
+WITH c AS (
+  SELECT o_custkey, o_orderpriority,
+         epoch_us(o_orderdate) AS d, o_orderkey,
+         lag(o_orderpriority) OVER w AS prev
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), k AS (
+  SELECT o_custkey, o_orderpriority, d, o_orderkey FROM c
+  WHERE prev IS NULL OR o_orderpriority <> prev
+)
+SELECT o_custkey, o_orderpriority, d AS valid_from_us,
+       COALESCE(lead(d) OVER (PARTITION BY o_custkey
+                              ORDER BY d, o_orderkey), -1) AS valid_to_us
+FROM k"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

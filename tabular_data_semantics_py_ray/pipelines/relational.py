@@ -2484,6 +2484,59 @@ def daily_activity_full(sf_dir: str):
     return out.sort_values("day_us").reset_index(drop=True)
 
 
+def orders_scd2(sf_dir: str):
+    """Slowly-changing-dimension TYPE 2 build — the warehouse op that
+    turns a change log into validity intervals: treating each customer's
+    orders (ordered by date, orderkey tie-break) as a priority change
+    log, emit one row per CHANGE (first value, or value differing from
+    the previous row) with its validity window
+    ``[valid_from_us, valid_to_us)``; the current (open) interval gets
+    the -1 sentinel. -> (o_custkey, o_orderpriority, valid_from_us,
+    valid_to_us).
+
+    Scale shape: ONE customer-keyed bucket shuffle; inside a bucket the
+    change detection and the next-change lead are a vectorized
+    sort+shift over each customer's contiguous run — no window
+    all-to-all, no driver collection (output is a Dataset, O(changes)
+    rows). Same partitioning key as the other customer/order ops, so a
+    multi-op pipeline reuses the exchange.
+    """
+    from ..util import bucket_map_keyed
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate",
+                    "o_orderpriority"], blocks=fanout_blocks(0.5))
+
+    def _scd(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                               kind="mergesort")
+        cust = b["o_custkey"].to_numpy()
+        prio = b["o_orderpriority"].to_numpy()
+        d_us = b["o_orderdate"].astype("datetime64[us]").astype("int64").to_numpy()
+        same_cust = np.empty(len(b), dtype=bool)
+        same_cust[0] = False
+        same_cust[1:] = cust[1:] == cust[:-1]
+        same_prio = np.empty(len(b), dtype=bool)
+        same_prio[0] = False
+        same_prio[1:] = prio[1:] == prio[:-1]
+        keep = ~(same_cust & same_prio)  # first row per cust, or a change
+        kc, kp, kd = cust[keep], prio[keep], d_us[keep]
+        ksame = np.empty(len(kc), dtype=bool)
+        if len(kc):
+            ksame[-1] = False
+            ksame[:-1] = kc[1:] == kc[:-1]
+        valid_to = np.full(len(kc), -1, dtype=np.int64)
+        valid_to[ksame] = np.roll(kd, -1)[ksame]
+        return pd.DataFrame({
+            "o_custkey": kc.astype("int64"),
+            "o_orderpriority": kp,
+            "valid_from_us": kd,
+            "valid_to_us": valid_to,
+        })
+
+    return bucket_map_keyed(orders, ["o_custkey"], _scd)
+
+
 def doc_chunk(sf_dir: str, *, window: int = 32, stride: int = 24):
     """Token-window document chunking — the stage that turns raw docs into
     fixed-size overlapping training chunks (context windows with overlap,
