@@ -526,6 +526,12 @@ def q_orders_scd2(sf_dir: str):
     return orders_scd2(sf_dir)
 
 
+def q_contrastive_negatives(sf_dir: str):
+    from .pipelines.relational import contrastive_negatives
+
+    return contrastive_negatives(sf_dir)
+
+
 def q_doc_chunk(sf_dir: str):
     from .pipelines.relational import doc_chunk
 
@@ -753,4 +759,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_left": q_customer_orders_left,
         "daily_activity_full": q_daily_activity_full,
         "orders_scd2": q_orders_scd2,
+        "contrastive_negatives": q_contrastive_negatives,
     }

@@ -1457,6 +1457,22 @@ SELECT o_custkey, o_orderpriority, d AS valid_from_us,
                               ORDER BY d, o_orderkey), -1) AS valid_to_us
 FROM k"""
 
+    # neg_j = (d + 1 + h60(d:j) mod (n-1)) mod n, h60 = first 15 md5 hex
+    # digits — never returns d itself; mirrors relational.contrastive_negatives
+    o["contrastive_negatives"] = """
+WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+j AS (SELECT unnest(range(4))::BIGINT AS j),
+x AS (
+  SELECT d.doc_id, j.j,
+         ('0x' || substr(md5(cast(d.doc_id AS VARCHAR) || ':' ||
+                             cast(j.j AS VARCHAR)), 1, 15))::UBIGINT AS h
+  FROM documents d CROSS JOIN j
+)
+SELECT x.doc_id, x.j AS pair_idx,
+       CAST((x.doc_id + 1 + CAST(x.h % CAST(n.n - 1 AS UBIGINT) AS BIGINT))
+            % n.n AS BIGINT) AS neg_id
+FROM x, n"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

@@ -2537,6 +2537,47 @@ def orders_scd2(sf_dir: str):
     return bucket_map_keyed(orders, ["o_custkey"], _scd)
 
 
+def contrastive_negatives(sf_dir: str, *, k: int = 4):
+    """Deterministic negative-pair sampling for contrastive training —
+    for every document, ``k`` pseudo-random OTHER doc_ids drawn
+    uniformly from the corpus: neg_j = (d + 1 + h(d,j) mod (n-1)) mod n
+    with h a 60-bit md5-derived hash, which can never return d itself.
+    -> (doc_id, pair_idx, neg_id), k rows per document.
+
+    Scale shape: ZERO shuffles and zero joins — the corpus size n comes
+    from parquet footer metadata (no scan), and sampling is a flat map
+    over the doc_id column alone (text never read). Deterministic and
+    repartition-stable, so the pairing is reproducible across runs and
+    by the SQL oracle (DuckDB md5 of the same "d:j" string). The
+    per-row md5 is the same scalar-loop-for-oracle-parity trade as
+    split_assign/mixture_oversample; a production variant would swap in
+    a vectorized 64-bit hash.
+    """
+    import hashlib
+
+    from ..util import parquet_num_rows
+
+    n = parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    if n < 2:
+        raise ValueError("contrastive_negatives needs >= 2 documents")
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=fanout_blocks())
+
+    def _negs(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dd = np.repeat(d, k)
+        jj = np.tile(np.arange(k, dtype=np.int64), len(d))
+        h = np.array(
+            [int(hashlib.md5(f"{a}:{b}".encode()).hexdigest()[:15], 16)
+             for a, b in zip(dd, jj)], dtype=np.uint64)
+        neg = (dd + 1 + (h % np.uint64(n - 1)).astype(np.int64)) % n
+        return pa.Table.from_arrays(
+            [pa.array(dd), pa.array(jj), pa.array(neg)],
+            names=["doc_id", "pair_idx", "neg_id"])
+
+    return docs.map_batches(_negs, batch_format="pyarrow", batch_size=None)
+
+
 def doc_chunk(sf_dir: str, *, window: int = 32, stride: int = 24):
     """Token-window document chunking — the stage that turns raw docs into
     fixed-size overlapping training chunks (context windows with overlap,
