@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_props_stats(sf_dir: str):
+    from .pipelines.relational import events_props_stats
+
+    return events_props_stats(sf_dir)
+
+
+def q_events_rolling_7d(sf_dir: str):
+    from .pipelines.relational import events_rolling_7d
+
+    return events_rolling_7d(sf_dir)
+
+
 def q_doc_chunk(sf_dir: str):
     from .pipelines.relational import doc_chunk
 
@@ -760,4 +772,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_activity_full": q_daily_activity_full,
         "orders_scd2": q_orders_scd2,
         "contrastive_negatives": q_contrastive_negatives,
+        "events_props_stats": q_events_props_stats,
+        "events_rolling_7d": q_events_rolling_7d,
     }

@@ -1473,6 +1473,32 @@ SELECT x.doc_id, x.j AS pair_idx,
             % n.n AS BIGINT) AS neg_id
 FROM x, n"""
 
+    # the regex mirrors the engine's pc.extract_regex parser exactly
+    o["events_props_stats"] = r"""
+WITH p AS (
+  SELECT event_type,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, count(*) AS n,
+       cast(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
+       cast(sum(k) AS BIGINT) AS sum_k,
+       cast(min(k) AS BIGINT) AS min_k,
+       cast(max(k) AS BIGINT) AS max_k
+FROM p GROUP BY event_type"""
+
+    o["events_rolling_7d"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
+FROM daily"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

@@ -2810,3 +2810,92 @@ def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
         })
 
     return bucket_map_keyed(ntok, ["rng"], _pack)
+
+
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` payload column
+    and aggregate the extracted field per event type — the
+    log-enrichment shape (every clickstream/table-log pipeline starts by
+    lifting fields out of a JSON blob; ref analogue: the lookup-response
+    JSON parsers, SURVEY §2.2 M8-M10, applied to an event stream).
+
+    Scale shape: extraction is a zero-shuffle vectorized pass
+    (``pc.extract_regex`` on the Arrow string column — the props schema
+    here is flat single-key JSON, so an anchored regex IS the parser; a
+    nested payload would swap in a per-batch ``pa.json`` reader, same
+    dataflow). Missing/unparseable keys become NULL and are excluded from
+    the aggregates exactly like SQL. The per-type rollup pre-combines per
+    batch, so the one shuffle carries |event_types| x batches rows.
+    Integer sums keep the oracle comparison exact."""
+    from ..util import bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "props"],
+               blocks=fanout_blocks(0.5))
+
+    def _extract(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.Table.from_arrays(
+            [t.column("event_type"), k,
+             pc.cast(pc.is_valid(k), pa.int64())],
+            names=["event_type", "k", "k_present"])
+
+    parsed = ev.map_batches(_extract, batch_format="pyarrow")
+    return bucket_aggregate(
+        parsed, ["event_type"],
+        {"n": ("event_type", "count"), "n_k": ("k_present", "sum"),
+         "sum_k": ("k", "sum"), "min_k": ("k", "min"),
+         "max_k": ("k", "max")})
+
+
+def events_rolling_7d(sf_dir: str):
+    """Rolling 7-row window average of daily event counts per type — the
+    trailing-window trend feature (ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW over day-ordered counts). Complements the tumbling/sliding/
+    session windows with the cumulative-frame shape.
+
+    Scale shape: the corpus-sized work is ONE combiner count shuffle down
+    to the |event_types| x |days| domain table (years of days x a handful
+    of types — thousands of rows at any corpus size); the rolling frame
+    then runs per type on that tiny table via a cumsum difference
+    (roll[i] = cs[i] - cs[i-7]), vectorized, inside a keyed map so each
+    type's day series is complete in one place. avg_7d = int64 window
+    sum / window row count in float64 — bit-identical to the SQL window
+    AVG over BIGINT."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pa.array((t.column("ts").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        // 86_400_000_000).astype(np.int64))
+        return pa.Table.from_arrays([t.column("event_type"), day],
+                                    names=["event_type", "day"])
+
+    daily = bucket_aggregate(
+        ev.map_batches(_day, batch_format="pyarrow"),
+        ["event_type", "day"], {"n": ("day", "count")})
+
+    def _roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "day"], kind="mergesort")
+        out = []
+        for _, grp in g.groupby("event_type", sort=False):
+            n = grp["n"].to_numpy(dtype=np.int64)
+            cs = np.cumsum(n)
+            lag = np.zeros(len(n), dtype=np.int64)
+            if len(n) > 7:
+                lag[7:] = cs[:-7]
+            roll = cs - lag
+            cnt = np.minimum(np.arange(len(n)) + 1, 7)
+            out.append(pd.DataFrame({
+                "event_type": grp["event_type"].to_numpy(),
+                "day": grp["day"].to_numpy(), "n": n,
+                "avg_7d": roll / cnt,
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    return bucket_map_keyed(daily, ["event_type"], _roll)

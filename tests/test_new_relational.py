@@ -320,3 +320,72 @@ def test_pivot_lang_source_counts(ray_session, tmp_path):
     pq.write_table(bad, tmp_path / "documents.parquet")
     with pytest.raises(ValueError, match="pivot domain"):
         pivot_lang_source(str(tmp_path))
+
+
+def test_events_rolling_7d_window_edges(ray_session, tmp_path):
+    """Trailing 7-row frame: partial windows at the head average over
+    fewer rows, full windows drop the 8th-oldest day, and types never
+    bleed into each other's frames."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_rolling_7d)
+
+    # type A: days 0..9 with count = day+1 (one event on day d repeated);
+    # type B: single day to prove partition isolation
+    rows_ts, rows_type = [], []
+    for d in range(10):
+        rows_ts += [d * 86_400_000_000] * (d + 1)
+        rows_type += ["A"] * (d + 1)
+    rows_ts.append(3 * 86_400_000_000)
+    rows_type.append("B")
+    t = pa.table({
+        "event_id": pa.array(range(len(rows_ts)), type=pa.int64()),
+        "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows_ts), type=pa.int64()),
+        "event_type": pa.array(rows_type),
+        "value": pa.array([0.0] * len(rows_ts)),
+        "props": pa.array(["{}"] * len(rows_ts)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_rolling_7d(str(tmp_path)).to_pandas()
+    a = out[out["event_type"] == "A"].sort_values("day").reset_index(drop=True)
+    assert a["n"].tolist() == list(range(1, 11))
+    # head: partial windows
+    assert a.loc[0, "avg_7d"] == 1.0
+    assert a.loc[2, "avg_7d"] == (1 + 2 + 3) / 3
+    # day 9 window = days 3..9 -> counts 4..10
+    assert a.loc[9, "avg_7d"] == sum(range(4, 11)) / 7
+    b = out[out["event_type"] == "B"]
+    assert b["avg_7d"].tolist() == [1.0]
+
+
+def test_events_props_stats_null_and_missing_keys(ray_session, tmp_path):
+    """NULL props and JSON without the key are excluded from k aggregates
+    but still counted in n, matching the SQL NULL semantics."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_props_stats)
+
+    props = ['{"k": 5}', '{"k": -3}', '{"other": 1}', None, '{"k": 10}']
+    t = pa.table({
+        "event_id": pa.array(range(5), type=pa.int64()),
+        "ts": pa.array([0] * 5, type=pa.timestamp("us")),
+        "user_id": pa.array([0] * 5, type=pa.int64()),
+        "event_type": pa.array(["x", "x", "x", "x", "y"]),
+        "value": pa.array([0.0] * 5),
+        "props": pa.array(props),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_props_stats(str(tmp_path)).to_pandas().set_index("event_type")
+    assert out.loc["x", "n"] == 4
+    assert out.loc["x", "n_k"] == 2
+    assert out.loc["x", "sum_k"] == 2
+    assert out.loc["x", "min_k"] == -3
+    assert out.loc["x", "max_k"] == 5
+    assert out.loc["y", "n"] == 1 and out.loc["y", "sum_k"] == 10
