@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_dedup_prefix_contain(sf_dir: str):
+    from .stages.dedup import prefix_contain_pairs
+
+    return prefix_contain_pairs(_documents(sf_dir))
+
+
+def q_kg_fuzzy_edit(sf_dir: str):
+    from .pipelines.queries_kg import fuzzy_match_edit
+
+    return fuzzy_match_edit(sf_dir)
+
+
 def q_events_props_stats(sf_dir: str):
     from .pipelines.relational import events_props_stats
 
@@ -774,4 +786,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contrastive_negatives": q_contrastive_negatives,
         "events_props_stats": q_events_props_stats,
         "events_rolling_7d": q_events_rolling_7d,
+        "dedup_prefix_contain": q_dedup_prefix_contain,
+        "kg_fuzzy_edit": q_kg_fuzzy_edit,
     }

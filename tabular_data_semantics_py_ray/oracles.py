@@ -1499,6 +1499,27 @@ SELECT event_type, day, n,
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
 FROM daily"""
 
+    # strict containment: equal texts are exact dups (dedup_exact's job)
+    o["dedup_prefix_contain"] = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM documents a JOIN documents b
+  ON len(b.text) > len(a.text)
+ AND substr(b.text, 1, len(a.text)) = a.text"""
+
+    o["kg_fuzzy_edit"] = f"""WITH
+lex(surface_form, entity_uri, rank) AS (VALUES
+    {lexicon_values_sql()}),
+names AS (SELECT DISTINCT entity_uri,
+                 lower(regexp_extract(entity_uri, '[^/]+$')) AS name
+          FROM lex),
+toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS token
+         FROM documents),
+t3 AS (SELECT token FROM toks WHERE len(token) >= 3)
+SELECT t3.token, names.entity_uri,
+       cast(levenshtein(t3.token, names.name) AS BIGINT) AS dist
+FROM t3, names
+WHERE levenshtein(t3.token, names.name) <= 2"""
+
     # chunk k covers tokens [k*24, min(k*24+32, n)); DuckDB list slices
     # are 1-based inclusive and clamp at len, matching the kernel exactly
     o["doc_chunk"] = """

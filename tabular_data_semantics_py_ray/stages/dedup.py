@@ -819,3 +819,131 @@ def dedup_components(pairs_ds, *, max_iters: int = 50,
         ),
         batch_format="pyarrow",
     )
+
+# ----------------------------------------------------------------------
+# Prefix-containment dedup: sort-adjacency pairs (truncation/extension
+# duplicates — page re-crawls that append a footer, documents cut at a
+# length cap). A is reported against B iff B.text strictly extends A.text.
+# ----------------------------------------------------------------------
+def prefix_contain_pairs(documents_ds):
+    """-> (doc_a, doc_b): text of doc_a is a STRICT prefix of text of doc_b.
+
+    The reference dedups only exact strings (SURVEY §2.7); containment is
+    the first non-exact shape a crawl corpus needs (same sort-based design
+    as suffix-array substring dedup, restricted to whole-document
+    prefixes, where it is exact and needs no suffix expansion).
+
+    Scale shape: lexicographic-sort adjacency instead of any all-pairs
+    join. Strings sharing a prefix are CONTIGUOUS under the global sort
+    (if A <= C <= B and A prefixes B then A prefixes C), so after ONE
+    range-partitioned sort every containment pair lives in a forward run:
+
+    - within a block: one forward scan per unique text; each scan step is
+      a length-bounded C memcmp that only continues while pairs are being
+      emitted, so total work is O(rows + output);
+    - across blocks: doc A in block i can pair into block j>i only if A
+      prefixes block j's FIRST row (contiguity applied at the boundary),
+      so the driver ships each block the tiny chain of earlier-block tail
+      texts that prefix its head — the same block-refs escape hatch as
+      ``triple_extract.materialize_sorted`` (SURVEY §7.3). Only chain
+      metadata (a nested-prefix chain, bounded by the tail text's length)
+      crosses the driver; pair tables stay in the object store as refs.
+
+    The sort carries the text column by necessity — prefix order IS the
+    partition function (identical cost shape to suffix-array dedup).
+    """
+    import ray
+    import ray.data as rd
+
+    sorted_ds = (
+        documents_ds.map_batches(
+            lambda t: t.select(["doc_id", "text"]), batch_format="pyarrow")
+        .sort("text")
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    def _unique_starts(texts):
+        starts = [0]
+        for i in range(1, len(texts)):
+            if texts[i] != texts[i - 1]:
+                starts.append(i)
+        starts.append(len(texts))
+        return starts
+
+    _empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                       "doc_b": pa.array([], type=pa.int64())})
+
+    @ray.remote
+    def _block_meta(block: pa.Table):
+        """(head_text, tail chain): chain = unique texts in the block that
+        strictly prefix its last text, with their doc_ids (nested, tiny)."""
+        texts = block.column("text").to_pylist()
+        if not texts:
+            return None, []
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = _unique_starts(texts)
+        last = texts[-1]
+        chain = []
+        for u in range(len(starts) - 1):
+            s, e = starts[u], starts[u + 1]
+            # equality allowed: a doc equal to the last text can still be
+            # extended by rows in LATER blocks
+            if last.startswith(texts[s]):
+                chain.append((texts[s], ids[s:e].tolist()))
+        return texts[0], chain
+
+    @ray.remote
+    def _within_pairs(block: pa.Table) -> pa.Table:
+        texts = block.column("text").to_pylist()
+        if not texts:
+            return _empty
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        starts = _unique_starts(texts)
+        a_out, b_out = [], []
+        n = len(texts)
+        for u in range(len(starts) - 1):
+            s, e = starts[u], starts[u + 1]
+            t0 = texts[s]
+            j = e
+            while j < n and texts[j].startswith(t0):
+                for a in ids[s:e]:
+                    a_out.append(int(a))
+                    b_out.append(int(ids[j]))
+                j += 1
+        return pa.table({"doc_a": pa.array(a_out, type=pa.int64()),
+                         "doc_b": pa.array(b_out, type=pa.int64())})
+
+    @ray.remote
+    def _cross_pairs(block: pa.Table, cands) -> pa.Table:
+        """(a from an earlier block) x (head rows here strictly extending
+        a's text) — the extension run is a prefix of the block."""
+        texts = block.column("text").to_pylist()
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        a_out, b_out = [], []
+        for t0, a_ids in cands:
+            j = 0
+            while j < len(texts) and texts[j].startswith(t0):
+                if len(texts[j]) > len(t0):
+                    for a in a_ids:
+                        a_out.append(int(a))
+                        b_out.append(int(ids[j]))
+                j += 1
+        return pa.table({"doc_a": pa.array(a_out, type=pa.int64()),
+                         "doc_b": pa.array(b_out, type=pa.int64())})
+
+    metas = ray.get([_block_meta.remote(r) for r in refs])
+    pair_refs = [_within_pairs.remote(r) for r in refs]
+    carry: list = []
+    for bi, (head, chain) in enumerate(metas):
+        if head is not None:
+            # equality allowed: a carried text equal to the head pairs
+            # with this block's strict extensions of it further in
+            cands = [(t, a_ids) for t, a_ids in carry
+                     if head.startswith(t)]
+            # members failing the head check can never prefix a later
+            # head either (they'd have to prefix this one in between)
+            if cands:
+                pair_refs.append(_cross_pairs.remote(refs[bi], cands))
+            carry = cands + chain
+    return rd.from_arrow_refs(pair_refs)

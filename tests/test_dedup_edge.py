@@ -165,3 +165,101 @@ def test_near_dup_hot_bucket_clique(ray_session):
     assert len(out) == n * (n - 1) // 2
     assert (out["jaccard"] == 1.0).all()
     assert (out["doc_a"] < out["doc_b"]).all()
+
+
+def test_prefix_contain_cross_block_chains(ray_session):
+    """Prefix-containment pairs survive block boundaries: many input
+    blocks force the sorted runs to split, and the result must equal the
+    brute-force O(n^2) containment set (strict extensions only)."""
+    import numpy as np
+
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        prefix_contain_pairs)
+
+    rng = np.random.default_rng(7)
+    rows = []
+    did = 0
+    # 40 families: base text + nested extensions + exact-dup copies, so
+    # chains (a prefix of b prefix of c) and equal-text runs both occur
+    for f in range(40):
+        base = f"fam{f:03d} " + " ".join(
+            rng.choice(list("abcdef"), size=5).tolist())
+        depth = int(rng.integers(0, 5))
+        text = base
+        for d in range(depth + 1):
+            copies = int(rng.integers(1, 3))
+            for _ in range(copies):
+                rows.append((did, text)); did += 1
+            text = text + f" ext{d}"
+    # noise docs that pair with nothing
+    for _ in range(200):
+        rows.append((did, "zz " + " ".join(
+            rng.choice(list("mnopqr"), size=6).tolist()))); did += 1
+
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    expected = set()
+    texts = df["text"].to_numpy()
+    ids = df["doc_id"].to_numpy()
+    for i in range(len(df)):
+        for j in range(len(df)):
+            if len(texts[j]) > len(texts[i]) and texts[j].startswith(texts[i]):
+                expected.add((int(ids[i]), int(ids[j])))
+    assert len(expected) > 50  # the fixture actually plants chains
+
+    ds = rd.from_pandas(df).repartition(16)
+    out = prefix_contain_pairs(ds).to_pandas()
+    got = set(map(tuple, out[["doc_a", "doc_b"]].values.tolist()))
+    assert got == expected
+    assert len(out) == len(out.drop_duplicates())  # each pair exactly once
+
+
+def test_fuzzy_edit_dp_matches_reference(ray_session):
+    """The token-axis-vectorized Wagner-Fischer kernel equals the scalar
+    DP on random inputs, including length-mismatch and exact-hit cases."""
+    import numpy as np
+
+    from tabular_data_semantics_py_ray.pipelines import queries_kg
+
+    # reach the closure-internal kernel through a tiny end-to-end run is
+    # indirect; instead re-derive via the public query over a controlled
+    # corpus: tokens at known distances from the fixture entity names
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def lev_ref(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev_diag, d[0] = d[0], i
+            for j in range(1, n + 1):
+                prev_diag, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev_diag + (a[i - 1] != b[j - 1]))
+        return d[n]
+
+    import tempfile, os
+    tokens = ["customer", "custoner", "cstomer", "customerxx", "part",
+              "pert", "paart", "zzzzz", "ordr", "order"]
+    with tempfile.TemporaryDirectory() as td:
+        t = pa.table({
+            "doc_id": pa.array(range(len(tokens)), type=pa.int64()),
+            "text": pa.array(tokens),
+            "lang": pa.array(["en"] * len(tokens)),
+            "source": pa.array(["s"] * len(tokens)),
+            "n_chars": pa.array([len(x) for x in tokens], type=pa.int64()),
+        })
+        pq.write_table(t, os.path.join(td, "documents.parquet"))
+        out = queries_kg.fuzzy_match_edit(td).to_pandas()
+
+    from tabular_data_semantics_py_ray import fixture_kg
+    names = sorted({(u, u.rsplit("/", 1)[-1].lower())
+                    for u in set(fixture_kg.lexicon_df()["entity_uri"])})
+    expected = set()
+    for tok in tokens:
+        if len(tok) < 3:
+            continue
+        for uri, nm in names:
+            d = lev_ref(tok, nm)
+            if d <= 2:
+                expected.add((tok, uri, d))
+    got = set(map(tuple, out[["token", "entity_uri", "dist"]].values.tolist()))
+    assert got == expected and len(expected) >= 5
