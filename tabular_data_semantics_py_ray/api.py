@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_doc_len_norm(sf_dir: str):
+    from .pipelines.relational import doc_len_norm
+
+    return doc_len_norm(sf_dir)
+
+
+def q_doc_shuffle_rank(sf_dir: str):
+    from .pipelines.relational import doc_shuffle_rank
+
+    return doc_shuffle_rank(sf_dir)
+
+
 def q_dedup_prefix_contain(sf_dir: str):
     from .stages.dedup import prefix_contain_pairs
 
@@ -788,4 +800,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_7d": q_events_rolling_7d,
         "dedup_prefix_contain": q_dedup_prefix_contain,
         "kg_fuzzy_edit": q_kg_fuzzy_edit,
+        "doc_len_norm": q_doc_len_norm,
+        "doc_shuffle_rank": q_doc_shuffle_rank,
     }

@@ -1499,6 +1499,24 @@ SELECT event_type, day, n,
                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
 FROM daily"""
 
+    # same round-to-4 stddev_samp parity convention as events_hourly_zscore
+    o["doc_len_norm"] = """
+WITH s AS (
+  SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang,
+       CASE WHEN s.sd > 0 THEN round((d.n_chars - s.mu) / s.sd, 4)
+            ELSE 0.0 END AS z_len
+FROM documents d JOIN s USING (lang)"""
+
+    o["doc_shuffle_rank"] = """
+SELECT doc_id,
+       cast(row_number() OVER (
+           ORDER BY md5(cast(doc_id AS VARCHAR)), doc_id) - 1
+            AS BIGINT) AS "rank"
+FROM documents"""
+
     # strict containment: equal texts are exact dups (dedup_exact's job)
     o["dedup_prefix_contain"] = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

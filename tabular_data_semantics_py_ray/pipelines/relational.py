@@ -2899,3 +2899,101 @@ def events_rolling_7d(sf_dir: str):
         return pd.concat(out, ignore_index=True)
 
     return bucket_map_keyed(daily, ["event_type"], _roll)
+
+
+def doc_len_norm(sf_dir: str):
+    """Per-group feature standardization: z-score each document's length
+    against ITS language's mean/std — the feature-normalization pass of a
+    training-data pipeline (per-stratum standardization before filtering
+    or mixing). Corpus-sized OUTPUT, unlike the monitoring z-scores whose
+    domain is the tiny time axis.
+
+    Scale shape: classic two-pass broadcast standardization — pass 1 is a
+    combiner shuffle of exact integer partials (count, sum, sum of
+    squares) down to the |langs| table; the lang -> (mean, std) map ships
+    in the scan closure (25-row broadcast, J6 semantics); pass 2 scores
+    every doc SHUFFLE-FREE. Sample variance from exact integer sums,
+    z rounded to 4 (same stddev_samp parity convention as
+    events_hourly_zscore)."""
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+
+    def _partials(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t.column("lang"), pa.array(n), pa.array(n * n)],
+            names=["lang", "s", "sq"])
+
+    stats = bucket_aggregate(
+        docs.map_batches(_partials, batch_format="pyarrow"),
+        ["lang"],
+        {"cnt": ("s", "count"), "s": ("s", "sum"), "sq": ("sq", "sum")},
+    ).to_pandas()
+    mu = stats["s"] / stats["cnt"]
+    var = (stats["sq"] - stats["s"] ** 2 / stats["cnt"]) / (stats["cnt"] - 1)
+    sd = np.sqrt(var.clip(lower=0.0))
+    mu_map = dict(zip(stats["lang"], mu))
+    sd_map = dict(zip(stats["lang"], sd))
+
+    def _score(t: pa.Table) -> pa.Table:
+        langs = t.column("lang").to_numpy(zero_copy_only=False)
+        n = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = np.array([mu_map[l] for l in langs])
+        s = np.array([sd_map[l] for l in langs])
+        z = np.where(s > 0, np.round((n - m) / np.where(s > 0, s, 1.0), 4), 0.0)
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), t.column("lang"), pa.array(z)],
+            names=["doc_id", "lang", "z_len"])
+
+    return docs.map_batches(_score, batch_format="pyarrow")
+
+
+def doc_shuffle_rank(sf_dir: str):
+    """Deterministic global training order: every doc gets a unique dense
+    rank 0..N-1 in md5-key order — the seeded-epoch-shuffle op (training
+    shards read rank ranges; the order is content-independent,
+    reproducible, and oracle-checkable, unlike ``random_shuffle``).
+
+    Scale shape: ONE range-partitioned sort on the 32-char md5 key — a
+    uniformly distributed key, so the range partitioner can never see
+    skew — then the global dense rank is per-block offset + arange. The
+    offsets need each block's ROW COUNT only (a driver-side cumsum over
+    block metadata, same two-pass shape as ``pack_assign``), applied via
+    tiny per-block Ray tasks on the already-materialized sorted block
+    refs (the SURVEY §7.3 escape hatch; no second shuffle, no row data
+    through the driver)."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=fanout_blocks(0.25))
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pa.Table.from_arrays([pa.array(ids), pa.array(keys)],
+                                    names=["doc_id", "k"])
+
+    sorted_ds = (docs.map_batches(_key, batch_format="pyarrow")
+                 .sort(["k", "doc_id"]).materialize())
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(block: pa.Table) -> int:
+        return block.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _rank(block: pa.Table, off: int) -> pa.Table:
+        return pa.Table.from_arrays(
+            [block.column("doc_id"),
+             pa.array(off + np.arange(block.num_rows, dtype=np.int64))],
+            names=["doc_id", "rank"])
+
+    out = [_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)

@@ -389,3 +389,56 @@ def test_events_props_stats_null_and_missing_keys(ray_session, tmp_path):
     assert out.loc["x", "min_k"] == -3
     assert out.loc["x", "max_k"] == 5
     assert out.loc["y", "n"] == 1 and out.loc["y", "sum_k"] == 10
+
+
+def test_doc_shuffle_rank_is_dense_permutation(ray_session, tmp_path):
+    """Ranks are exactly 0..N-1 with no gaps, content-independent, and
+    stable under input repartitioning (the epoch-shuffle reproducibility
+    contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        doc_shuffle_rank)
+
+    n = 400
+    t = pa.table({
+        "doc_id": pa.array(range(0, 2 * n, 2), type=pa.int64()),  # sparse ids
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array([1] * n, type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = doc_shuffle_rank(str(tmp_path)).to_pandas()
+    assert sorted(out["rank"].tolist()) == list(range(n))
+    again = doc_shuffle_rank(str(tmp_path)).to_pandas()
+    m = out.merge(again, on="doc_id", suffixes=("", "_2"))
+    assert (m["rank"] == m["rank_2"]).all()
+
+
+def test_doc_len_norm_zero_variance_group(ray_session, tmp_path):
+    """A language whose docs all share one length gets z = 0 (not NaN),
+    and a two-doc group standardizes to +/- 1/sqrt(2)-free sample z."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        doc_len_norm)
+
+    t = pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array(["x"] * 5),
+        "lang": pa.array(["aa", "aa", "aa", "bb", "bb"]),
+        "source": pa.array(["s"] * 5),
+        "n_chars": pa.array([7, 7, 7, 10, 20], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = doc_len_norm(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert (out.loc[[0, 1, 2], "z_len"] == 0.0).all()
+    # bb: mean 15, sample sd = sqrt((25+25)/1) = 7.0710678...
+    import numpy as np
+    assert np.isclose(out.loc[3, "z_len"], round(-5 / np.sqrt(50), 4))
+    assert np.isclose(out.loc[4, "z_len"], round(5 / np.sqrt(50), 4))
