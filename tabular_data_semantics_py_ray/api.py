@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_ann_topk_pq(sf_dir: str):
+    from .stages.similarity import ann_topk_pq
+
+    return ann_topk_pq(_embeddings(sf_dir), _query_vectors(sf_dir), k=10)
+
+
 def q_doc_len_norm(sf_dir: str):
     from .pipelines.relational import doc_len_norm
 
@@ -802,4 +808,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_edit": q_kg_fuzzy_edit,
         "doc_len_norm": q_doc_len_norm,
         "doc_shuffle_rank": q_doc_shuffle_rank,
+        "ann_topk_pq": q_ann_topk_pq,
     }

@@ -723,6 +723,53 @@ SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 10"""
     # exhaustive search, so it shares the brute-force oracle
     o["ann_topk_ivf_full"] = o["ann_topk"]
 
+    # PQ/ADC replicated in SQL: codebook = per-(label, dim) rounded mean,
+    # codes = per-(vector, subspace) argmin of ||c||^2 - 2 x.c (the x^2
+    # term is constant per argmin), score = q . reconstruction; rank-only
+    # output so float-sum-order noise cannot flip a value comparison
+    o["ann_topk_pq"] = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+c AS (SELECT label AS clab, dim, round(avg(v), 4) AS c FROM x GROUP BY 1, 2),
+sub AS (SELECT DISTINCT dim,
+               dim // ((SELECT max(dim) + 1 FROM c) // 4) AS j
+        FROM c),
+d AS (
+  SELECT x.vec_id, c.clab, sub.j,
+         sum(c.c * c.c - 2 * x.v * c.c) AS dist
+  FROM x JOIN c ON x.dim = c.dim JOIN sub ON x.dim = sub.dim
+  GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT vec_id, j, clab,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, clab) AS rn
+  FROM d
+),
+recon AS (
+  SELECT a.vec_id, c.dim, c.c
+  FROM a JOIN sub ON sub.j = a.j
+  JOIN c ON c.dim = sub.dim AND c.clab = a.clab
+  WHERE a.rn = 1
+),
+q AS (SELECT vec_id AS query_id, unnest(embedding)::DOUBLE AS qv,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id, sum(q.qv * r.c) AS score
+  FROM q JOIN recon r ON q.dim = r.dim
+  WHERE r.vec_id <> q.query_id
+  GROUP BY 1, 2
+),
+r AS (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, neighbor_id) AS pq_rank
+      FROM s)
+SELECT query_id, neighbor_id, pq_rank FROM r WHERE pq_rank <= 10"""
+
     # exact block-partitioned cosine pair join; ::DOUBLE[] so DuckDB
     # computes in float64 like the engine (float32 compute diverges at
     # ~1.6e-7, enough to flip the 6-decimal rounding)

@@ -264,3 +264,105 @@ def ann_topk_ivf(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
     )
 
     return _topk_reduce(partial, k)
+
+
+# ----------------------------------------------------------------------
+# Product quantization: the memory-scale ANN path (16x+ vector
+# compression; 1e12 vectors fit where raw floats cannot).
+# ----------------------------------------------------------------------
+def _label_means(embeddings_ds) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted labels, per-label mean matrix rounded to 4) — the same
+    distributed M-step partial reduce as ``relational.emb_label_centroids``
+    (|labels| x d partial rows per batch, never vectors); rounding pins
+    the codebook against float-sum-order drift so code assignment is
+    bit-stable across engines and block orders."""
+    from ..util import bucket_aggregate
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t.column("embedding"))
+        labels = t.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ulab, codes = np.unique(labels, return_inverse=True)
+        k, d = len(ulab), m.shape[1]
+        sums = np.zeros((k, d), dtype=np.float64)
+        np.add.at(sums, codes, m)
+        cnts = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(ulab, d)),
+             pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+             pa.array(sums.ravel()), pa.array(np.repeat(cnts, d))],
+            names=["label", "dim", "s", "n"])
+
+    agg = bucket_aggregate(
+        embeddings_ds.map_batches(_partial, batch_format="pyarrow"),
+        ["label", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+    ).to_pandas()
+    agg["c"] = (agg["s"] / agg["n"]).round(4)
+    wide = agg.pivot(index="label", columns="dim", values="c").sort_index()
+    return wide.index.to_numpy(dtype=np.int64), wide.to_numpy(dtype=np.float64)
+
+
+def ann_topk_pq(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
+                m: int = 4):
+    """PQ/ADC approximate top-k: -> (query_id, neighbor_id, pq_rank).
+
+    Scale path for ANN beyond IVF: vectors are ENCODED to m uint8
+    sub-codes (d floats -> m bytes; here the sub-codebooks are the
+    per-label means sliced per subspace — deterministic and
+    oracle-reproducible, where classic PQ would k-means each subspace),
+    and queries score reconstructed vectors via asymmetric distance
+    (sum over subspaces of query-subvector . assigned-centroid) — the
+    matmul touches the (ksub x d) codebook, never the raw corpus floats.
+
+    Scale shape: one |labels| x d partial-reduce for the codebook, then a
+    single shuffle-free scan: per batch encode (m argmins) + ADC scores +
+    per-query top-k partials into the same bounded ``_topk_reduce`` as
+    the exhaustive path. At 1e12 vectors the scan reads codes (m bytes a
+    vector) instead of d floats — the 16x I/O and object-store saving is
+    the point of the operator. Rank ties break by neighbor_id; self
+    excluded like ``ann_topk``.
+    """
+    labels, C = _label_means(embeddings_ds)
+    if C.shape[1] % m:
+        raise ValueError(f"dim {C.shape[1]} not divisible by m={m}")
+    dsub = C.shape[1] // m
+    q_ids = queries_df["vec_id"].to_numpy()
+    Q = np.stack(queries_df["embedding"].to_numpy()).astype(np.float64)
+    csq = [  # per-subspace ||c||^2 for the argmin (x^2 term is constant)
+        (C[:, j * dsub:(j + 1) * dsub] ** 2).sum(axis=1) for j in range(m)]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        X = list_column_matrix(t.column("embedding"))
+        recon = np.empty_like(X, dtype=np.float64)
+        for j in range(m):
+            sl = slice(j * dsub, (j + 1) * dsub)
+            # argmin ||x - c||^2 = argmin(||c||^2 - 2 x.c); np.argmin's
+            # first-hit tie-break = lowest label (rows sorted by label)
+            codes = (csq[j] - 2.0 * (X[:, sl] @ C[:, sl].T)).argmin(axis=1)
+            recon[:, sl] = C[codes][:, sl]
+        S = Q @ recon.T  # (nq, n) ADC scores
+        rows = []
+        for qi in range(len(q_ids)):
+            s = S[qi].copy()
+            mask = ids != q_ids[qi]
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
+            rows.append(pa.Table.from_arrays(
+                [pa.array(np.full(len(order), q_ids[qi], dtype=np.int64)),
+                 pa.array(ids[order]), pa.array(s[order])],
+                names=["query_id", "neighbor_id", "sim"]))
+        if not rows:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.concat_tables(rows)
+
+    partial = embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+    out = _topk_reduce(partial, k)
+    return out.map_batches(
+        lambda b: b.rename(columns={"rank": "pq_rank"}),
+        batch_format="pandas")
