@@ -900,19 +900,25 @@ def prefix_contain_pairs(documents_ds):
             return _empty
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
         starts = _unique_starts(texts)
-        a_out, b_out = [], []
-        n = len(texts)
-        for u in range(len(starts) - 1):
+        nruns = len(starts) - 1
+        a_parts, b_parts = [], []
+        # scan unique RUNS (one startswith per run, not per row); pair
+        # emission is a numpy repeat/tile cross product per containment
+        # run, so heavy duplicate clusters never hit a Python-level loop
+        for u in range(nruns):
             s, e = starts[u], starts[u + 1]
             t0 = texts[s]
-            j = e
-            while j < n and texts[j].startswith(t0):
-                for a in ids[s:e]:
-                    a_out.append(int(a))
-                    b_out.append(int(ids[j]))
-                j += 1
-        return pa.table({"doc_a": pa.array(a_out, type=pa.int64()),
-                         "doc_b": pa.array(b_out, type=pa.int64())})
+            v = u + 1
+            while v < nruns and texts[starts[v]].startswith(t0):
+                v += 1
+            if v > u + 1:
+                b_ids = ids[e:starts[v]]
+                a_parts.append(np.repeat(ids[s:e], len(b_ids)))
+                b_parts.append(np.tile(b_ids, e - s))
+        if not a_parts:
+            return _empty
+        return pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
+                         "doc_b": pa.array(np.concatenate(b_parts))})
 
     @ray.remote
     def _cross_pairs(block: pa.Table, cands) -> pa.Table:
@@ -920,17 +926,26 @@ def prefix_contain_pairs(documents_ds):
         a's text) — the extension run is a prefix of the block."""
         texts = block.column("text").to_pylist()
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-        a_out, b_out = [], []
+        starts = _unique_starts(texts)
+        nruns = len(starts) - 1
+        a_parts, b_parts = [], []
         for t0, a_ids in cands:
-            j = 0
-            while j < len(texts) and texts[j].startswith(t0):
-                if len(texts[j]) > len(t0):
-                    for a in a_ids:
-                        a_out.append(int(a))
-                        b_out.append(int(ids[j]))
-                j += 1
-        return pa.table({"doc_a": pa.array(a_out, type=pa.int64()),
-                         "doc_b": pa.array(b_out, type=pa.int64())})
+            a_arr = np.asarray(a_ids, dtype=np.int64)
+            v = 0
+            while v < nruns and texts[starts[v]].startswith(t0):
+                v += 1
+            # rows in [0, starts[v]) extend t0, minus any run EQUAL to t0
+            # (only ever the first run, by sortedness)
+            lo = starts[1] if nruns and texts[0] == t0 else 0
+            hi = starts[v] if v else 0
+            if hi > lo:
+                b_ids = ids[lo:hi]
+                a_parts.append(np.repeat(a_arr, len(b_ids)))
+                b_parts.append(np.tile(b_ids, len(a_arr)))
+        if not a_parts:
+            return _empty
+        return pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
+                         "doc_b": pa.array(np.concatenate(b_parts))})
 
     metas = ray.get([_block_meta.remote(r) for r in refs])
     pair_refs = [_within_pairs.remote(r) for r in refs]
