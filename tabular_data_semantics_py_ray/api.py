@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_attribution(sf_dir: str):
+    from .pipelines.relational import events_attribution
+
+    return events_attribution(sf_dir)
+
+
+def q_contamination_near_dup(sf_dir: str):
+    from .pipelines.relational import contamination_near_dup
+
+    return contamination_near_dup(sf_dir)
+
+
 def q_ann_topk_pq(sf_dir: str):
     from .stages.similarity import ann_topk_pq
 
@@ -809,4 +821,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_norm": q_doc_len_norm,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "ann_topk_pq": q_ann_topk_pq,
+        "events_attribution": q_events_attribution,
+        "contamination_near_dup": q_contamination_near_dup,
     }

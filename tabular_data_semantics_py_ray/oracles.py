@@ -625,6 +625,49 @@ j AS (
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
 
+    # cross-dataset variant of dedup_near_pairs: exactly one endpoint in
+    # the held-out benchmark split (doc_id % 10 == 0), oriented
+    # corpus -> benchmark
+    o["contamination_near_dup"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, cast(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE jaccard >= 0.8 AND (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+)
+SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
+       CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS bench_doc,
+       round(jaccard, 6) AS jaccard
+FROM j"""
+
+    # attribution: latest strictly-preceding click of the same user,
+    # max-event-id tie-break at equal ts; gap in exact microseconds
+    o["events_attribution"] = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'click'),
+x AS (
+  SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+         p.t - c.t AS gap_us,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.t DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.t < p.t
+)
+SELECT purchase_id, click_id, gap_us FROM x WHERE rn = 1"""
+
     # connected components over the near-dup pair graph; recursive closure
     # computes min reachable doc_id per node. UNION ALL in every
     # non-recursive CTE (under WITH RECURSIVE, DuckDB's bare UNION there

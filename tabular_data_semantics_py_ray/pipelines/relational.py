@@ -2997,3 +2997,92 @@ def doc_shuffle_rank(sf_dir: str):
 
     out = [_rank.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out)
+
+
+def events_attribution(sf_dir: str):
+    """Last-touch attribution: every purchase is attributed to the SAME
+    user's latest strictly-preceding click -> (purchase_id, click_id,
+    gap_us). The marketing-attribution shape — an AS-OF self-join within
+    one stream, complementing ``events_last_order_asof``'s two-stream
+    join.
+
+    Scale shape: ONE user-keyed bucket shuffle (pre-thinned to the two
+    event types in the scan), then per-bucket vectorized searchsorted:
+    clicks sorted by (ts, event_id) so the insertion point - 1 IS the
+    latest prior click with the max-event-id tie-break; gaps are exact
+    int64 microseconds. No per-event Python, no cross join."""
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        return b[b["event_type"].isin(["click", "purchase"])]
+
+    def _attr(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ts_us = g["ts"].astype("int64")
+        g = g.assign(_ts=ts_us)
+        for _, u in g.groupby("user_id", sort=False):
+            c = u[u["event_type"] == "click"].sort_values(
+                ["_ts", "event_id"], kind="mergesort")
+            p = u[u["event_type"] == "purchase"]
+            if not len(c) or not len(p):
+                continue
+            cts = c["_ts"].to_numpy()
+            cid = c["event_id"].to_numpy()
+            pts = p["_ts"].to_numpy()
+            idx = np.searchsorted(cts, pts, side="left") - 1
+            ok = idx >= 0
+            out.append(pd.DataFrame({
+                "purchase_id": p["event_id"].to_numpy()[ok],
+                "click_id": cid[idx[ok]],
+                "gap_us": pts[ok] - cts[idx[ok]],
+            }))
+        if not out:
+            return pd.DataFrame({
+                "purchase_id": pd.Series([], dtype="int64"),
+                "click_id": pd.Series([], dtype="int64"),
+                "gap_us": pd.Series([], dtype="int64")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucket_map_keyed(ev, ["user_id"], _attr, pre=_pre)
+
+
+def contamination_near_dup(sf_dir: str, *, threshold: float = 0.8,
+                           bench_mod: int = 10):
+    """Near-duplicate decontamination ACROSS datasets: corpus docs whose
+    Jaccard similarity to any held-out benchmark doc (doc_id %
+    bench_mod == 0, same split as ``contamination_ngram``) reaches the
+    threshold -> (corpus_doc, bench_doc, jaccard). Catches paraphrase-free
+    rewraps the verbatim 8-gram check misses when whitespace or a prefix
+    shifts every window.
+
+    Scale shape: the full MinHash-LSH core is reused UNSPLIT — band
+    buckets see both sides (a cross-dataset join via the same one-shuffle
+    candidate generation), and the side restriction is a post-verify
+    vectorized filter. Running LSH once over the union beats two
+    per-side runs plus a cross-only join: candidates are near-dup-bounded
+    either way and the band shuffle is shared."""
+    from ..stages.dedup import near_dup_pairs_minhash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+    pairs = near_dup_pairs_minhash(docs, threshold=threshold)
+
+    def _cross(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        a = t.column("doc_a").to_numpy(zero_copy_only=False)
+        b = t.column("doc_b").to_numpy(zero_copy_only=False)
+        a_bench = a % bench_mod == 0
+        b_bench = b % bench_mod == 0
+        keep = a_bench != b_bench  # exactly one endpoint in the benchmark
+        corpus = np.where(a_bench, b, a)[keep]
+        bench = np.where(a_bench, a, b)[keep]
+        j = t.column("jaccard").to_numpy(zero_copy_only=False)[keep]
+        return pa.Table.from_arrays(
+            [pa.array(corpus), pa.array(bench), pa.array(j)],
+            names=["corpus_doc", "bench_doc", "jaccard"])
+
+    return pairs.map_batches(_cross, batch_format="pyarrow")

@@ -442,3 +442,45 @@ def test_doc_len_norm_zero_variance_group(ray_session, tmp_path):
     import numpy as np
     assert np.isclose(out.loc[3, "z_len"], round(-5 / np.sqrt(50), 4))
     assert np.isclose(out.loc[4, "z_len"], round(5 / np.sqrt(50), 4))
+
+
+def test_events_attribution_tiebreak_and_exclusion(ray_session, tmp_path):
+    """Latest strictly-preceding click wins; equal-timestamp clicks break
+    to the max event_id; purchases with no prior click are dropped; a
+    click AT the purchase timestamp does not attribute."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_attribution)
+
+    US = 1_000_000
+    rows = [
+        # user 1: clicks at t=1 (ids 10, 11 — tie), purchase at t=5
+        (10, 1, 1 * US, "click"), (11, 1, 1 * US, "click"),
+        (12, 1, 5 * US, "purchase"),
+        # user 2: click exactly AT purchase ts -> excluded; earlier click wins
+        (20, 2, 3 * US, "click"), (21, 2, 7 * US, "click"),
+        (22, 2, 7 * US, "purchase"),
+        # user 3: purchase with no click at all -> no row
+        (30, 3, 2 * US, "purchase"),
+        # noise: a view never attributes
+        (40, 1, 4 * US, "view"),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_attribution(str(tmp_path)).to_pandas()
+    out = out.set_index("purchase_id")
+    assert set(out.index) == {12, 22}
+    assert out.loc[12, "click_id"] == 11          # max-id tie-break
+    assert out.loc[12, "gap_us"] == 4 * US
+    assert out.loc[22, "click_id"] == 20          # same-ts click excluded
+    assert out.loc[22, "gap_us"] == 4 * US
