@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_kg_closure_compute(sf_dir: str):
+    from .pipelines.queries_kg import class_closure_compute
+
+    return class_closure_compute(sf_dir)
+
+
+def q_orders_snapshot_diff(sf_dir: str):
+    from .pipelines.relational import orders_snapshot_diff
+
+    return orders_snapshot_diff(sf_dir)
+
+
 def q_events_attribution(sf_dir: str):
     from .pipelines.relational import events_attribution
 
@@ -823,4 +835,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_pq": q_ann_topk_pq,
         "events_attribution": q_events_attribution,
         "contamination_near_dup": q_contamination_near_dup,
+        "kg_closure_compute": q_kg_closure_compute,
+        "orders_snapshot_diff": q_orders_snapshot_diff,
     }

@@ -625,6 +625,41 @@ j AS (
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
 
+    # closure recomputed from the distance-1 edges — must equal the pinned
+    # fixture closure the other kg_* oracles consume
+    o["kg_closure_compute"] = f"""WITH RECURSIVE
+closure(cls_uri, ancestor_uri, distance) AS (VALUES
+    {class_closure_values_sql()}),
+edges AS (SELECT cls_uri, ancestor_uri FROM closure WHERE distance = 1),
+walk(cls_uri, ancestor_uri, distance) AS (
+    SELECT cls_uri, ancestor_uri, 1 FROM edges
+    UNION ALL
+    SELECT w.cls_uri, e.ancestor_uri, w.distance + 1
+    FROM walk w JOIN edges e ON w.ancestor_uri = e.cls_uri
+)
+SELECT cls_uri, ancestor_uri, cast(min(distance) AS BIGINT) AS distance
+FROM walk GROUP BY 1, 2"""
+
+    # v2 snapshot simulated identically on both sides (see
+    # relational.orders_snapshot_diff)
+    o["orders_snapshot_diff"] = """
+WITH v1 AS (SELECT o_orderkey, o_orderpriority AS pri FROM orders),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN '9-CHANGED'
+              ELSE o_orderpriority END AS pri
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 1000000000, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v2.o_orderkey IS NULL THEN 'removed'
+            WHEN v1.o_orderkey IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL OR v1.pri <> v2.pri"""
+
     # cross-dataset variant of dedup_near_pairs: exactly one endpoint in
     # the held-out benchmark split (doc_id % 10 == 0), oriented
     # corpus -> benchmark

@@ -1190,3 +1190,69 @@ def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
             "dist": pa.array(np.concatenate(out_d), type=pa.int64())})
 
     return toks.map_batches(_match, batch_format="pandas")
+
+
+def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
+    """COMPUTE the ancestor closure with distances from the DIRECT
+    subclass edges by iterative distributed joins — the ontology-
+    projection step the rest of the engine consumes as a pinned artifact
+    (fixture_kg.class_closure; ref onto_access.py:189-204 walks the same
+    closure in-memory). Proving the engine can derive its own closure
+    matters at real-ontology scale (Wikidata: ~3M classes, ~4M subclass
+    edges — far past a driver dict).
+
+    Scale shape: frontier-relaxation loop — per iteration ONE
+    hash-partitioned ``bucket_join`` of the current frontier against the
+    direct-edge table on the ancestor key, iterations bounded by
+    hierarchy DEPTH (not size; ~20 for real ontologies). New pairs keep
+    min distance via a bucket aggregate at the end (multi-parent safe).
+    The loop terminates when a frontier joins to nothing. ``sf_dir`` is
+    unused (the KG is corpus-independent) but kept for the uniform query
+    signature."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..util import bucket_aggregate, bucket_join
+
+    closure = fixture_kg.class_closure_df()
+    edges = closure[closure["distance"] == 1][
+        ["cls_uri", "ancestor_uri"]].reset_index(drop=True)
+    edges_ds = rd.from_pandas(edges)
+
+    frontier = edges_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("cls_uri"), t.column("ancestor_uri"),
+             pa.array(np.full(t.num_rows, 1, dtype=np.int64))],
+            names=["cls_uri", "ancestor_uri", "distance"]),
+        batch_format="pyarrow").materialize()
+    acc = [frontier]
+    for _ in range(max_depth):
+        # frontier(cls -> anc, d) x edges(anc -> parent) => (cls -> parent, d+1)
+        nxt = bucket_join(
+            frontier, edges_ds.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("cls_uri"), t.column("ancestor_uri")],
+                    names=["ancestor_uri", "parent"]),
+                batch_format="pyarrow"),
+            key="ancestor_uri",
+            left_cols={"cls_uri": pa.string(), "distance": pa.int64()},
+            right_cols={"parent": pa.string()},
+            key_type=pa.string(),
+            post=lambda df: pd.DataFrame({
+                "cls_uri": df["cls_uri"],
+                "ancestor_uri": df["parent"],
+                "distance": df["distance"] + 1}),
+        ).materialize()
+        if nxt.count() == 0:
+            break
+        acc.append(nxt)
+        frontier = nxt
+
+    all_pairs = acc[0]
+    for a in acc[1:]:
+        all_pairs = all_pairs.union(a)
+    # min distance per (cls, ancestor): multi-parent DAGs reach the same
+    # ancestor along several paths
+    return bucket_aggregate(all_pairs, ["cls_uri", "ancestor_uri"],
+                            {"distance": ("distance", "min")})

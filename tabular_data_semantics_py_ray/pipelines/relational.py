@@ -3086,3 +3086,66 @@ def contamination_near_dup(sf_dir: str, *, threshold: float = 0.8,
             names=["corpus_doc", "bench_doc", "jaccard"])
 
     return pairs.map_batches(_cross, batch_format="pyarrow")
+
+
+def orders_snapshot_diff(sf_dir: str):
+    """Lakehouse snapshot diff: row-level (key, status) deltas between two
+    table versions — the change-detection op behind incremental syncs and
+    CDC validation, complementing ``orders_upsert`` (which APPLIES a
+    delta; this one DERIVES it). v2 simulates the next snapshot
+    deterministically from v1 so both engines see identical versions:
+    keys % 7 == 0 deleted, surviving keys % 5 == 0 get a changed
+    priority, and keys % 11 == 0 reappear shifted by 1e9 as inserts.
+
+    Scale shape: ONE hash-partitioned full-outer ``bucket_join`` on the
+    key with the status classification FUSED into the join bucket fn
+    (left-only -> removed, right-only -> added, both -> changed iff the
+    payload differs; unchanged rows are dropped INSIDE the shuffle stage,
+    so the reduce output is delta-sized, not table-sized)."""
+    from ..util import bucket_join
+
+    v1 = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+               blocks=fanout_blocks(0.5))
+
+    def _v1(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_orderkey").cast(pa.int64()),
+             t.column("o_orderpriority")],
+            names=["o_orderkey", "pri_v1"])
+
+    def _v2(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        k = t.column("o_orderkey").cast(pa.int64())
+        kn = k.to_numpy(zero_copy_only=False)
+        pri = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        survive = kn % 7 != 0
+        changed = survive & (kn % 5 == 0)
+        out_k = kn[survive]
+        out_p = np.where(changed[survive], "9-CHANGED", pri[survive])
+        ins = kn % 11 == 0
+        out_k = np.concatenate([out_k, kn[ins] + 1_000_000_000])
+        out_p = np.concatenate([out_p, pri[ins]])
+        return pa.Table.from_arrays(
+            [pa.array(out_k), pa.array(out_p, type=pa.string())],
+            names=["o_orderkey", "pri_v2"])
+
+    def _classify(df: pd.DataFrame) -> pd.DataFrame:
+        v1n = df["pri_v1"].notna()
+        v2n = df["pri_v2"].notna()
+        status = np.where(~v2n, "removed",
+                          np.where(~v1n, "added",
+                                   np.where(df["pri_v1"] != df["pri_v2"],
+                                            "changed", "same")))
+        keep = status != "same"
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy()[keep].astype(np.int64),
+            "status": status[keep]})
+
+    return bucket_join(
+        v1.map_batches(_v1, batch_format="pyarrow"),
+        v1.map_batches(_v2, batch_format="pyarrow"),
+        key="o_orderkey",
+        left_cols={"pri_v1": pa.string()},
+        right_cols={"pri_v2": pa.string()},
+        how="full", post=_classify)

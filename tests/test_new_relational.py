@@ -484,3 +484,55 @@ def test_events_attribution_tiebreak_and_exclusion(ray_session, tmp_path):
     assert out.loc[12, "gap_us"] == 4 * US
     assert out.loc[22, "click_id"] == 20          # same-ts click excluded
     assert out.loc[22, "gap_us"] == 4 * US
+
+
+def test_closure_compute_equals_pinned_fixture(ray_session):
+    """The iteratively computed ancestor closure equals the fixture's
+    pinned closure artifact the rest of the engine consumes."""
+    from tabular_data_semantics_py_ray import fixture_kg
+    from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+        class_closure_compute)
+
+    got = (class_closure_compute("unused")
+           .to_pandas()
+           .sort_values(["cls_uri", "ancestor_uri"])
+           .reset_index(drop=True))
+    exp = (fixture_kg.class_closure_df()
+           .sort_values(["cls_uri", "ancestor_uri"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["cls_uri", "ancestor_uri", "distance"]].astype(
+            {"distance": "int64"}),
+        exp[["cls_uri", "ancestor_uri", "distance"]].astype(
+            {"distance": "int64"}))
+
+
+def test_snapshot_diff_statuses(ray_session, tmp_path):
+    """Every status class appears and matches a pandas re-derivation on a
+    handcrafted key set (deletion, change, insert, and overlap cases)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        orders_snapshot_diff)
+
+    keys = [1, 5, 7, 11, 35, 55, 77, 13]
+    t = pa.table({
+        "o_orderkey": pa.array(keys, type=pa.int64()),
+        "o_custkey": pa.array([0] * len(keys), type=pa.int64()),
+        "o_orderpriority": pa.array([f"p{k}" for k in keys]),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+    out = (orders_snapshot_diff(str(tmp_path)).to_pandas()
+           .sort_values(["o_orderkey", "status"]).reset_index(drop=True))
+    exp = {
+        (5, "changed"),        # %5, survives changed
+        (7, "removed"), (35, "removed"), (77, "removed"),  # %7 deleted
+        (55, "changed"),       # %5 and %11: survives changed AND re-inserts
+        (11 + 10**9, "added"), (55 + 10**9, "added"),
+        (77 + 10**9, "added"),  # deleted from v2 but reinserted shifted
+        # keys 1, 13 unchanged; key 11 survives unchanged (not %5)
+    }
+    got = set(map(tuple, out[["o_orderkey", "status"]].values.tolist()))
+    assert got == exp
