@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_knn_graph(sf_dir: str):
+    from .stages.similarity import knn_graph
+
+    return knn_graph(_embeddings(sf_dir), k=5)
+
+
 def q_kg_closure_compute(sf_dir: str):
     from .pipelines.queries_kg import class_closure_compute
 
@@ -837,4 +843,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_near_dup": q_contamination_near_dup,
         "kg_closure_compute": q_kg_closure_compute,
         "orders_snapshot_diff": q_orders_snapshot_diff,
+        "knn_graph": q_knn_graph,
     }

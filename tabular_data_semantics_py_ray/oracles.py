@@ -801,6 +801,23 @@ SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 10"""
     # exhaustive search, so it shares the brute-force oracle
     o["ann_topk_ivf_full"] = o["ann_topk"]
 
+    # exact kNN graph: every vector's global top-5 cosine neighbors;
+    # rank-only output (ties broken by neighbor id)
+    o["knn_graph"] = """
+WITH s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id) AS knn_rank
+  FROM s
+)
+SELECT vec_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 5"""
+
     # PQ/ADC replicated in SQL: codebook = per-(label, dim) rounded mean,
     # codes = per-(vector, subspace) argmin of ||c||^2 - 2 x.c (the x^2
     # term is constant per argmin), score = q . reconstruction; rank-only

@@ -366,3 +366,108 @@ def ann_topk_pq(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
     return out.map_batches(
         lambda b: b.rename(columns={"rank": "pq_rank"}),
         batch_format="pandas")
+
+
+def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
+              checkpoint_dir: str | None = None):
+    """Exact k-nearest-neighbor GRAPH: every vector gets its global top-k
+    cosine neighbors -> (vec_id, neighbor_id, knn_rank). The all-vectors
+    self-join behind SemDeDup-style curation and graph-based sampling
+    (brute-force ANN answers q queries; this answers ALL n).
+
+    Scale shape: the same block-partitioned checkpoint as
+    ``dedup.near_dup_pairs_exact_embedding`` — normalized vectors land in
+    ~block_rows parquet files, each of the B(B+1)/2 file pairs is scored
+    by one task holding 2 blocks — but the per-task OUTPUT is top-k
+    partials for BOTH sides of the pair (rows of S for A, columns for B),
+    so the reduce input is <= 2k rows per vector per opposing block,
+    never the n^2 score matrix. A vec_id-keyed bucket reduce finalizes
+    global rank. Work is inherently O(n^2/block_rows) block reads — the
+    exact baseline; cap the corpus or swap the scorer for the IVF/PQ
+    bucketed variants past ~1e7 vectors."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..util import bucket_map_keyed
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="knng_", dir="/tmp")
+    else:
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+
+    def _norm(batch: pa.Table) -> pa.Table:
+        X = list_column_matrix(batch.column("embedding"))
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pa.Table.from_arrays(
+            [batch.column("vec_id").cast(pa.int64()),
+             pa.array(list(Xn), type=pa.list_(pa.float64()))],
+            names=["vec_id", "nvec"])
+
+    embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _norm, batch_format="pyarrow"
+    ).write_parquet(checkpoint_dir, min_rows_per_file=block_rows,
+                    max_rows_per_file=block_rows)
+
+    files = sorted(_glob.glob(f"{checkpoint_dir}/*.parquet"))
+    items = [{"fa": files[i], "fb": files[j]}
+             for i in range(len(files)) for j in range(i, len(files))]
+
+    def _side_topk(ids_q, ids_n, S):
+        """Per-row top-k of S (queries = ids_q, neighbors = ids_n)."""
+        kk = min(k, S.shape[1])
+        # lexsort per row: cosine desc, neighbor id asc
+        ordr = np.lexsort((np.broadcast_to(ids_n, S.shape), -S), axis=1)[:, :kk]
+        rows = np.repeat(ids_q, kk)
+        cols = ids_n[ordr.ravel()]
+        sims = np.take_along_axis(S, ordr, axis=1).ravel()
+        return rows, cols, sims
+
+    def _score(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out_v, out_n, out_s = [], [], []
+        for fa, fb in zip(batch.column("fa").to_pylist(),
+                          batch.column("fb").to_pylist()):
+            ta = pq.read_table(fa, columns=["vec_id", "nvec"])
+            ids_a = ta.column("vec_id").to_numpy()
+            A = list_column_matrix(ta.column("nvec"))
+            if fa == fb:
+                S = A @ A.T
+                np.fill_diagonal(S, -np.inf)
+                r, c, s = _side_topk(ids_a, ids_a, S)
+                out_v.append(r); out_n.append(c); out_s.append(s)
+            else:
+                tb = pq.read_table(fb, columns=["vec_id", "nvec"])
+                ids_b = tb.column("vec_id").to_numpy()
+                B = list_column_matrix(tb.column("nvec"))
+                S = A @ B.T
+                r, c, s = _side_topk(ids_a, ids_b, S)
+                out_v.append(r); out_n.append(c); out_s.append(s)
+                r, c, s = _side_topk(ids_b, ids_a, S.T)
+                out_v.append(r); out_n.append(c); out_s.append(s)
+        if not out_v:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "neighbor_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({"vec_id": pa.array(np.concatenate(out_v)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    partial = (rd.from_items(items)
+               .repartition(len(items))
+               .map_batches(_score, batch_format="pyarrow"))
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("vec_id", sort=False).head(k)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "knn_rank": (g.groupby("vec_id", sort=False).cumcount() + 1
+                         ).to_numpy(dtype=np.int64)})
+
+    return bucket_map_keyed(partial, ["vec_id"], _final)

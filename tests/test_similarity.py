@@ -134,3 +134,19 @@ def test_pq_recall_on_clustered_corpus(ray_session, tmp_path):
     for qi in range(4):
         nb = out[out.query_id == qi]["neighbor_id"].to_numpy()
         assert (labels[nb] == labels[qi]).all()
+
+
+def test_knn_graph_blocked_equals_single_block(sf_small):
+    """The block-pair partial top-k path (many small checkpoint files)
+    produces the identical graph to the single-block run — the reduce
+    correctly merges per-block partials across every file pair."""
+    from tabular_data_semantics_py_ray.stages.similarity import knn_graph
+
+    one = (knn_graph(_embeddings(sf_small), k=5, block_rows=4096)
+           .to_pandas().sort_values(["vec_id", "knn_rank"])
+           .reset_index(drop=True))
+    many = (knn_graph(_embeddings(sf_small), k=5, block_rows=64)
+            .to_pandas().sort_values(["vec_id", "knn_rank"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(one, many)
+    assert (one.groupby("vec_id").size() == 5).all()
