@@ -854,7 +854,8 @@ q AS (SELECT vec_id AS query_id, unnest(embedding)::DOUBLE AS qv,
              unnest(range(0, len(embedding))) AS dim
       FROM embeddings WHERE vec_id < 8),
 s AS (
-  SELECT q.query_id, r.vec_id AS neighbor_id, sum(q.qv * r.c) AS score
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         round(sum(q.qv * r.c), 6) AS score
   FROM q JOIN recon r ON q.dim = r.dim
   WHERE r.vec_id <> q.query_id
   GROUP BY 1, 2

@@ -342,7 +342,12 @@ def ann_topk_pq(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
             # first-hit tie-break = lowest label (rows sorted by label)
             codes = (csq[j] - 2.0 * (X[:, sl] @ C[:, sl].T)).argmin(axis=1)
             recon[:, sl] = C[codes][:, sl]
-        S = Q @ recon.T  # (nq, n) ADC scores
+        # round-6 BEFORE ranking: per-label codebooks make equal-recon
+        # score ties common, and un-rounded float sums order those ties
+        # by summation noise (DuckDB's parallel aggregate is not even
+        # run-deterministic there); rounding makes ties exact on both
+        # sides so the neighbor-id tie-break decides
+        S = np.round(Q @ recon.T, 6)  # (nq, n) ADC scores
         rows = []
         for qi in range(len(q_ids)):
             s = S[qi].copy()
