@@ -11,9 +11,9 @@ this module or the library calls ``ray.init()`` / ``ray.shutdown()``.
                       inline VALUES generated from the same Python data the
                       Ray actors pin (``tabular_data_semantics_py_ray.fixture_kg``).
 
-Every query carries an oracle (28+ / 28+): ``dedup_simhash`` derives token
-bit-hashes from md5 on both sides so the whole signature + hamming pipeline
-is SQL-checkable.
+Every registered query carries an oracle (105/105): even the sketch /
+signature pipelines (simhash, HLL, count-min, PQ) derive their hashes from
+md5 on both sides so the full pipeline is SQL-checkable.
 """
 
 from __future__ import annotations
