@@ -1107,6 +1107,32 @@ def triangle_census(sf_dir: str):
         {"n_triangles": ("node", "count")})
 
 
+def levenshtein_to_word(tokens, word: str):
+    """Levenshtein(word, t) for every t, VECTORIZED ACROSS THE TOKEN AXIS:
+    tokens become a codepoint matrix (numpy U-dtype view) and the
+    Wagner-Fischer recurrence loops over character positions only — every
+    min/compare is an N-vector op, never a per-token Python loop. Pure
+    kernel of ``fuzzy_match_edit`` (property-tested vs the scalar DP)."""
+    import numpy as np
+
+    n = len(tokens)
+    L = int(max(len(t) for t in tokens))
+    mat = np.array(list(tokens), dtype=f"U{L}").view(np.uint32).reshape(n, L)
+    tlen = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
+    w = np.frombuffer(word.encode("utf-32-le"), dtype=np.uint32)
+    prev = np.broadcast_to(np.arange(L + 1), (n, L + 1)).astype(np.int64)
+    for i, wc in enumerate(w, start=1):
+        curr = np.empty_like(prev)
+        curr[:, 0] = i
+        ne = (mat != wc).astype(np.int64)
+        for j in range(1, L + 1):
+            curr[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, curr[:, j - 1] + 1),
+                prev[:, j - 1] + ne[:, j - 1])
+        prev = curr
+    return prev[np.arange(n), tlen]
+
+
 def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
     """Edit-distance fuzzy join: corpus vocabulary x entity names by exact
     Levenshtein distance <= max_dist — the typo-tolerant complement of the
@@ -1146,25 +1172,6 @@ def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
     names = sorted({(u, u.rsplit("/", 1)[-1].lower())
                     for u in set(lex["entity_uri"])})
 
-    def _lev_to_word(tokens: "np.ndarray", word: str) -> "np.ndarray":
-        """Levenshtein(word, t) for every t, vectorized across tokens."""
-        n = len(tokens)
-        L = int(max(len(t) for t in tokens))
-        mat = np.array(tokens, dtype=f"U{L}").view(np.uint32).reshape(n, L)
-        tlen = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=n)
-        w = np.frombuffer(word.encode("utf-32-le"), dtype=np.uint32)
-        prev = np.broadcast_to(np.arange(L + 1), (n, L + 1)).astype(np.int64)
-        for i, wc in enumerate(w, start=1):
-            curr = np.empty_like(prev)
-            curr[:, 0] = i
-            ne = (mat != wc).astype(np.int64)
-            for j in range(1, L + 1):
-                curr[:, j] = np.minimum(
-                    np.minimum(prev[:, j] + 1, curr[:, j - 1] + 1),
-                    prev[:, j - 1] + ne[:, j - 1])
-            prev = curr
-        return prev[np.arange(n), tlen]
-
     def _match(b: pd.DataFrame) -> pa.Table:
         out_t, out_u, out_d = [], [], []
         if len(b):
@@ -1175,7 +1182,7 @@ def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
                 cand = tokens[np.abs(tlen - len(name)) <= max_dist]
                 if not len(cand):
                     continue
-                d = _lev_to_word(cand, name)
+                d = levenshtein_to_word(cand, name)
                 keep = d <= max_dist
                 out_t.append(cand[keep])
                 out_u.append(np.full(int(keep.sum()), uri, dtype=object))

@@ -820,6 +820,73 @@ def dedup_components(pairs_ds, *, max_iters: int = 50,
         batch_format="pyarrow",
     )
 
+def _unique_run_starts(texts: list[str]) -> list[int]:
+    """Boundaries of equal-text runs in a SORTED text list (+ final len)."""
+    starts = [0]
+    for i in range(1, len(texts)):
+        if texts[i] != texts[i - 1]:
+            starts.append(i)
+    starts.append(len(texts))
+    return starts
+
+
+def sorted_prefix_pairs(ids, texts: list[str]):
+    """All (a, b) with texts sorted, text_a a STRICT prefix of text_b —
+    one forward run scan per unique text; pair emission is a numpy
+    repeat/tile cross product per containment run, so heavy duplicate
+    clusters never hit a Python-level loop. Pure kernel of
+    ``prefix_contain_pairs``'s within-block pass (property-tested
+    against brute force)."""
+    if not texts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    starts = _unique_run_starts(texts)
+    nruns = len(starts) - 1
+    a_parts, b_parts = [], []
+    for u in range(nruns):
+        s, e = starts[u], starts[u + 1]
+        t0 = texts[s]
+        v = u + 1
+        while v < nruns and texts[starts[v]].startswith(t0):
+            v += 1
+        if v > u + 1:
+            b_ids = ids[e:starts[v]]
+            a_parts.append(np.repeat(ids[s:e], len(b_ids)))
+            b_parts.append(np.tile(b_ids, e - s))
+    if not a_parts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def head_extension_pairs(ids, texts: list[str], cands):
+    """(a from an earlier sorted block) x (head rows of THIS block that
+    strictly extend a's text). The extension run is a prefix of the block
+    (sort contiguity); runs equal to a's text (only ever the first run)
+    are excluded — equality is exact-dup territory."""
+    if not texts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    starts = _unique_run_starts(texts)
+    nruns = len(starts) - 1
+    a_parts, b_parts = [], []
+    for t0, a_ids in cands:
+        a_arr = np.asarray(a_ids, dtype=np.int64)
+        v = 0
+        while v < nruns and texts[starts[v]].startswith(t0):
+            v += 1
+        lo = starts[1] if nruns and texts[0] == t0 else 0
+        hi = starts[v] if v else 0
+        if hi > lo:
+            b_ids = ids[lo:hi]
+            a_parts.append(np.repeat(a_arr, len(b_ids)))
+            b_parts.append(np.tile(b_ids, len(a_arr)))
+    if not a_parts:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
 # ----------------------------------------------------------------------
 # Prefix-containment dedup: sort-adjacency pairs (truncation/extension
 # duplicates — page re-crawls that append a footer, documents cut at a
@@ -863,32 +930,24 @@ def prefix_contain_pairs(documents_ds):
     )
     refs = sorted_ds.to_arrow_refs()
 
-    def _unique_starts(texts):
-        starts = [0]
-        for i in range(1, len(texts)):
-            if texts[i] != texts[i - 1]:
-                starts.append(i)
-        starts.append(len(texts))
-        return starts
-
     _empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
                        "doc_b": pa.array([], type=pa.int64())})
 
     @ray.remote
     def _block_meta(block: pa.Table):
         """(head_text, tail chain): chain = unique texts in the block that
-        strictly prefix its last text, with their doc_ids (nested, tiny)."""
+        prefix its last text (equality allowed — a doc equal to the last
+        text can still be extended by rows in LATER blocks), with their
+        doc_ids (nested, tiny)."""
         texts = block.column("text").to_pylist()
         if not texts:
             return None, []
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-        starts = _unique_starts(texts)
+        starts = _unique_run_starts(texts)
         last = texts[-1]
         chain = []
         for u in range(len(starts) - 1):
             s, e = starts[u], starts[u + 1]
-            # equality allowed: a doc equal to the last text can still be
-            # extended by rows in LATER blocks
             if last.startswith(texts[s]):
                 chain.append((texts[s], ids[s:e].tolist()))
         return texts[0], chain
@@ -899,53 +958,19 @@ def prefix_contain_pairs(documents_ds):
         if not texts:
             return _empty
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-        starts = _unique_starts(texts)
-        nruns = len(starts) - 1
-        a_parts, b_parts = [], []
-        # scan unique RUNS (one startswith per run, not per row); pair
-        # emission is a numpy repeat/tile cross product per containment
-        # run, so heavy duplicate clusters never hit a Python-level loop
-        for u in range(nruns):
-            s, e = starts[u], starts[u + 1]
-            t0 = texts[s]
-            v = u + 1
-            while v < nruns and texts[starts[v]].startswith(t0):
-                v += 1
-            if v > u + 1:
-                b_ids = ids[e:starts[v]]
-                a_parts.append(np.repeat(ids[s:e], len(b_ids)))
-                b_parts.append(np.tile(b_ids, e - s))
-        if not a_parts:
+        a, b = sorted_prefix_pairs(ids, texts)
+        if not len(a):
             return _empty
-        return pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
-                         "doc_b": pa.array(np.concatenate(b_parts))})
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     @ray.remote
     def _cross_pairs(block: pa.Table, cands) -> pa.Table:
-        """(a from an earlier block) x (head rows here strictly extending
-        a's text) — the extension run is a prefix of the block."""
         texts = block.column("text").to_pylist()
         ids = block.column("doc_id").to_numpy(zero_copy_only=False)
-        starts = _unique_starts(texts)
-        nruns = len(starts) - 1
-        a_parts, b_parts = [], []
-        for t0, a_ids in cands:
-            a_arr = np.asarray(a_ids, dtype=np.int64)
-            v = 0
-            while v < nruns and texts[starts[v]].startswith(t0):
-                v += 1
-            # rows in [0, starts[v]) extend t0, minus any run EQUAL to t0
-            # (only ever the first run, by sortedness)
-            lo = starts[1] if nruns and texts[0] == t0 else 0
-            hi = starts[v] if v else 0
-            if hi > lo:
-                b_ids = ids[lo:hi]
-                a_parts.append(np.repeat(a_arr, len(b_ids)))
-                b_parts.append(np.tile(b_ids, len(a_arr)))
-        if not a_parts:
+        a, b = head_extension_pairs(ids, texts, cands)
+        if not len(a):
             return _empty
-        return pa.table({"doc_a": pa.array(np.concatenate(a_parts)),
-                         "doc_b": pa.array(np.concatenate(b_parts))})
+        return pa.table({"doc_a": pa.array(a), "doc_b": pa.array(b)})
 
     metas = ray.get([_block_meta.remote(r) for r in refs])
     pair_refs = [_within_pairs.remote(r) for r in refs]

@@ -192,3 +192,60 @@ def test_sliding_window_membership(seed):
     assert ((start <= t) & (t < start + w)).all()
     assert (start % s == 0).all()
     assert len(start) == len(ts) * k
+
+
+# ---------------------------------------------------------------------------
+# Prefix-containment run-scan kernel (stages/dedup.sorted_prefix_pairs)
+# ---------------------------------------------------------------------------
+from tabular_data_semantics_py_ray.stages.dedup import (  # noqa: E402
+    sorted_prefix_pairs,
+)
+
+short_texts = st.lists(
+    st.text(alphabet="abc", min_size=0, max_size=6), min_size=0, max_size=60)
+
+
+@given(short_texts)
+@settings(max_examples=200, deadline=None)
+def test_sorted_prefix_pairs_matches_bruteforce(texts):
+    texts = sorted(texts)
+    ids = np.arange(len(texts), dtype=np.int64)
+    a, b = sorted_prefix_pairs(ids, texts)
+    got = set(zip(a.tolist(), b.tolist()))
+    expected = {
+        (i, j)
+        for i in range(len(texts))
+        for j in range(len(texts))
+        if len(texts[j]) > len(texts[i]) and texts[j].startswith(texts[i])
+    }
+    assert got == expected
+    assert len(got) == len(a)  # no duplicate emissions
+
+
+# ---------------------------------------------------------------------------
+# Token-axis-vectorized Levenshtein (queries_kg fuzzy_match_edit kernel)
+# ---------------------------------------------------------------------------
+from tabular_data_semantics_py_ray.pipelines.queries_kg import (  # noqa: E402
+    levenshtein_to_word,
+)
+
+
+def _lev_scalar(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        prev, d[0] = d[0], i
+        for j in range(1, len(b) + 1):
+            prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                   prev + (a[i - 1] != b[j - 1]))
+    return d[len(b)]
+
+
+@given(
+    st.lists(st.text(alphabet="abcd", min_size=1, max_size=8),
+             min_size=1, max_size=40),
+    st.text(alphabet="abcd", min_size=1, max_size=8),
+)
+@settings(max_examples=150, deadline=None)
+def test_levenshtein_vectorized_matches_scalar(tokens, word):
+    got = levenshtein_to_word(np.array(tokens, dtype=object), word)
+    assert got.tolist() == [_lev_scalar(word, t) for t in tokens]
