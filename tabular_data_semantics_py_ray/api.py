@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_emb_kmeans_train(sf_dir: str):
+    from .stages.similarity import emb_kmeans_train
+
+    return emb_kmeans_train(_embeddings(sf_dir), iters=3)
+
+
 def q_knn_graph(sf_dir: str):
     from .stages.similarity import knn_graph
 
@@ -844,4 +850,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closure_compute": q_kg_closure_compute,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "knn_graph": q_knn_graph,
+        "emb_kmeans_train": q_emb_kmeans_train,
     }

@@ -801,6 +801,39 @@ SELECT query_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 10"""
     # exhaustive search, so it shares the brute-force oracle
     o["ann_topk_ivf_full"] = o["ann_topk"]
 
+    # full Lloyd's k-means unrolled: per-label rounded-mean init, then
+    # iters x (assign -> round-4 recompute); empty clusters keep their
+    # previous centroid; argmin ties break to the lowest cluster id.
+    # Centroid rounding each round is what pins cross-engine float drift
+    # in an ITERATIVE pipeline (see stages/similarity.emb_kmeans_train).
+    def _kmeans_sql(iters: int) -> str:
+        ctes = ["""x AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+       unnest(range(0, len(embedding))) AS dim FROM embeddings)""",
+                """c0 AS (SELECT cast(label AS BIGINT) AS k, dim,
+       round(avg(v), 4) AS c FROM x GROUP BY 1, 2)"""]
+        for i in range(1, iters + 1):
+            ctes.append(f"""d{i} AS (
+  SELECT x.vec_id, c.k, sum((x.v - c.c) * (x.v - c.c)) AS dist
+  FROM x JOIN c{i - 1} c ON x.dim = c.dim GROUP BY 1, 2)""")
+            ctes.append(f"""a{i} AS (
+  SELECT vec_id, k FROM (
+    SELECT vec_id, k,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, k) AS rn
+    FROM d{i}) t WHERE rn = 1)""")
+            if i < iters:
+                ctes.append(f"""cm{i} AS (
+  SELECT a.k, x.dim, round(avg(x.v), 4) AS c
+  FROM a{i} a JOIN x ON a.vec_id = x.vec_id GROUP BY 1, 2)""")
+                ctes.append(f"""c{i} AS (
+  SELECT k, dim, c FROM cm{i}
+  UNION ALL
+  SELECT p.k, p.dim, p.c FROM c{i - 1} p
+  WHERE p.k NOT IN (SELECT DISTINCT k FROM cm{i}))""")
+        return ("WITH " + ",\n".join(ctes)
+                + f"\nSELECT vec_id, k AS cluster FROM a{iters}")
+
+    o["emb_kmeans_train"] = _kmeans_sql(3)
+
     # exact kNN graph: every vector's global top-5 cosine neighbors;
     # rank-only output (ties broken by neighbor id)
     o["knn_graph"] = """

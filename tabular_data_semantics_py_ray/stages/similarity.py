@@ -476,3 +476,66 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
                          ).to_numpy(dtype=np.int64)})
 
     return bucket_map_keyed(partial, ["vec_id"], _final)
+
+
+def emb_kmeans_train(embeddings_ds, *, iters: int = 3):
+    """Full distributed Lloyd's k-means (not just the E-step):
+    -> (vec_id, cluster) after ``iters`` assign/recompute rounds from a
+    deterministic per-label-mean initialization. The iterative-ML-training
+    shape: each round is ONE shuffle-free assignment scan emitting
+    per-cluster (sum, count) partials (np.add.at over cluster codes — the
+    shuffle carries k x d partial rows per batch, never vectors) plus one
+    tiny (cluster, dim) aggregate; the k x d centroid table round-trips
+    through the driver between rounds (bounded by k, corpus-independent).
+
+    Determinism contract (what makes an ITERATIVE float pipeline
+    oracle-checkable): centroids are rounded to 4 decimals after every
+    M-step — float-sum-order drift (engine partials vs SQL avg) is ~1e-16
+    per round and would compound across rounds unpinned; rounding
+    re-quantizes it away each iteration. Ties in the argmin break to the
+    lowest cluster id; empty clusters keep their previous centroid."""
+    from ..util import bucket_aggregate
+
+    labels, C = _label_means(embeddings_ds)  # init: rounded per-label means
+    k, d = C.shape
+
+    def _assign_codes(t: pa.Table, C_: np.ndarray) -> np.ndarray:
+        X = list_column_matrix(t.column("embedding"))
+        csq = (C_ ** 2).sum(axis=1)
+        return (csq - 2.0 * (X @ C_.T)).argmin(axis=1), X
+
+    for _ in range(iters - 1):
+        C_now = C  # bind for the closure
+
+        def _partial(t: pa.Table) -> pa.Table:
+            codes, X = _assign_codes(t, C_now)
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, codes, X)
+            cnts = np.bincount(codes, minlength=k).astype(np.int64)
+            return pa.Table.from_arrays(
+                [pa.array(np.repeat(labels, d)),
+                 pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                 pa.array(sums.ravel()), pa.array(np.repeat(cnts, d))],
+                names=["cluster", "dim", "s", "n"])
+
+        agg = bucket_aggregate(
+            embeddings_ds.map_batches(_partial, batch_format="pyarrow"),
+            ["cluster", "dim"], {"s": ("s", "sum"), "n": ("n", "sum")},
+        ).to_pandas()
+        agg = agg[agg["n"] > 0]
+        agg["c"] = (agg["s"] / agg["n"]).round(4)
+        wide = agg.pivot(index="cluster", columns="dim", values="c")
+        newC = C.copy()  # empty clusters keep their previous centroid
+        pos = np.searchsorted(labels, wide.index.to_numpy())
+        newC[pos] = wide.to_numpy(dtype=np.float64)
+        C = newC
+
+    C_fin = C
+
+    def _final(t: pa.Table) -> pa.Table:
+        codes, _ = _assign_codes(t, C_fin)
+        return pa.Table.from_arrays(
+            [t.column("vec_id").cast(pa.int64()), pa.array(labels[codes])],
+            names=["vec_id", "cluster"])
+
+    return embeddings_ds.map_batches(_final, batch_format="pyarrow")

