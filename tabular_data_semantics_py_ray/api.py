@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_doc_len_decile(sf_dir: str):
+    from .pipelines.relational import doc_len_decile
+
+    return doc_len_decile(sf_dir)
+
+
 def q_emb_kmeans_train(sf_dir: str):
     from .stages.similarity import emb_kmeans_train
 
@@ -851,4 +857,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "knn_graph": q_knn_graph,
         "emb_kmeans_train": q_emb_kmeans_train,
+        "doc_len_decile": q_doc_len_decile,
     }

@@ -1686,6 +1686,12 @@ SELECT d.doc_id, d.lang,
             ELSE 0.0 END AS z_len
 FROM documents d JOIN s USING (lang)"""
 
+    o["doc_len_decile"] = """
+SELECT doc_id, lang, n_chars,
+       cast(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS BIGINT) AS decile
+FROM documents"""
+
     o["doc_shuffle_rank"] = """
 SELECT doc_id,
        cast(row_number() OVER (

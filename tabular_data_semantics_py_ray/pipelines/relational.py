@@ -3149,3 +3149,61 @@ def orders_snapshot_diff(sf_dir: str):
         left_cols={"pri_v1": pa.string()},
         right_cols={"pri_v2": pa.string()},
         how="full", post=_classify)
+
+
+def doc_len_decile(sf_dir: str):
+    """Per-group equi-depth binning: every doc gets its language's length
+    DECILE (ntile(10) over (n_chars, doc_id) order) — the equi-depth
+    bucketing behind curriculum schedules and balanced stratification
+    (equal COUNTS per bin, unlike the fixed thresholds of
+    ``quality_filter_census``).
+
+    Scale shape: ONE range-partitioned sort on (lang, n_chars, doc_id) —
+    the same sort + per-block-offset rank assignment as
+    ``doc_shuffle_rank`` — then per-lang rank = global rank minus the
+    lang's base offset, with the |langs|-sized (base, count) map shipped
+    in the closure. The exact ntile arithmetic (first n%10 buckets one
+    row larger) runs vectorized per block; no second shuffle."""
+    import ray
+    import ray.data as rd
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+
+    counts = bucket_aggregate(
+        docs, ["lang"], {"n": ("doc_id", "count")}).to_pandas()
+    counts = counts.sort_values("lang").reset_index(drop=True)
+    base = dict(zip(counts["lang"],
+                    np.cumsum(counts["n"]) - counts["n"]))
+    size = dict(zip(counts["lang"], counts["n"]))
+
+    sorted_ds = docs.sort(["lang", "n_chars", "doc_id"]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def _nrows(block: pa.Table) -> int:
+        return block.num_rows
+
+    nrows = ray.get([_nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(nrows)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def _decile(block: pa.Table, off: int) -> pa.Table:
+        langs = block.column("lang").to_numpy(zero_copy_only=False)
+        g_rank = off + np.arange(block.num_rows, dtype=np.int64)
+        r = g_rank - np.array([base[l] for l in langs])
+        n = np.array([size[l] for l in langs], dtype=np.int64)
+        q, rem = n // 10, n % 10
+        boundary = rem * (q + 1)
+        small = r < boundary
+        tile = np.where(small, r // np.maximum(q + 1, 1),
+                        rem + (r - boundary) // np.maximum(q, 1)) + 1
+        return pa.Table.from_arrays(
+            [block.column("doc_id"), block.column("lang"),
+             block.column("n_chars"), pa.array(tile.astype(np.int64))],
+            names=["doc_id", "lang", "n_chars", "decile"])
+
+    out = [_decile.remote(rf, int(o)) for rf, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out)

@@ -536,3 +536,40 @@ def test_snapshot_diff_statuses(ray_session, tmp_path):
     }
     got = set(map(tuple, out[["o_orderkey", "status"]].values.tolist()))
     assert got == exp
+
+
+def test_doc_len_decile_equal_depth(ray_session, tmp_path):
+    """Deciles are equi-DEPTH: per lang the bin sizes differ by at most
+    one, larger bins come first (ntile contract), and a tiny group with
+    fewer rows than bins gives one row per bin."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        doc_len_decile)
+
+    import numpy as np
+    rng = np.random.default_rng(2)
+    n_big = 47  # 10 bins: 7 of size 5, 3 of size 4
+    rows = [(i, "big", int(rng.integers(1, 1000))) for i in range(n_big)]
+    rows += [(100 + i, "tiny", i) for i in range(3)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array(["x"] * len(rows)),
+        "lang": pa.array([r[1] for r in rows]),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = doc_len_decile(str(tmp_path)).to_pandas()
+    big = out[out["lang"] == "big"]
+    sizes = big.groupby("decile").size()
+    assert sizes.index.tolist() == list(range(1, 11))
+    assert sizes.tolist() == [5] * 7 + [4] * 3
+    # monotone: higher decile never holds a shorter doc than a lower one
+    mx = big.groupby("decile")["n_chars"].max()
+    mn = big.groupby("decile")["n_chars"].min()
+    assert (mn.to_numpy()[1:] >= mx.to_numpy()[:-1]).all()
+    tiny = out[out["lang"] == "tiny"]
+    assert sorted(tiny["decile"].tolist()) == [1, 2, 3]
