@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_knn_mutual(sf_dir: str):
+    from .stages.similarity import knn_mutual_pairs
+
+    return knn_mutual_pairs(_embeddings(sf_dir), k=5)
+
+
+def q_events_transition_census(sf_dir: str):
+    from .pipelines.relational import events_transition_census
+
+    return events_transition_census(sf_dir)
+
+
 def q_doc_len_decile(sf_dir: str):
     from .pipelines.relational import doc_len_decile
 
@@ -858,4 +870,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "emb_kmeans_train": q_emb_kmeans_train,
         "doc_len_decile": q_doc_len_decile,
+        "events_transition_census": q_events_transition_census,
+        "knn_mutual": q_knn_mutual,
     }

@@ -687,6 +687,19 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # Markov transition census: consecutive pairs in each user's
+    # (ts, event_id)-ordered stream
+    o["events_transition_census"] = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type,
+       cast(count(*) AS BIGINT) AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2"""
+
     # attribution: latest strictly-preceding click of the same user,
     # max-event-id tie-break at equal ts; gap in exact microseconds
     o["events_attribution"] = """
@@ -850,6 +863,26 @@ r AS (
   FROM s
 )
 SELECT vec_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 5"""
+
+    # mutual-kNN symmetrization: both directions rank <= 5
+    o["knn_mutual"] = """
+WITH s AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding::DOUBLE[],
+                                b.embedding::DOUBLE[]) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor_id) AS knn_rank
+  FROM s
+)
+SELECT r1.vec_id AS vec_a, r1.neighbor_id AS vec_b
+FROM r r1 JOIN r r2
+  ON r1.vec_id = r2.neighbor_id AND r1.neighbor_id = r2.vec_id
+WHERE r1.knn_rank <= 5 AND r2.knn_rank <= 5
+  AND r1.vec_id < r1.neighbor_id"""
 
     # PQ/ADC replicated in SQL: codebook = per-(label, dim) rounded mean,
     # codes = per-(vector, subspace) argmin of ||c||^2 - 2 x.c (the x^2

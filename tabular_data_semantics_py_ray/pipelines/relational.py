@@ -3207,3 +3207,43 @@ def doc_len_decile(sf_dir: str):
 
     out = [_decile.remote(rf, int(o)) for rf, o in zip(refs, offsets)]
     return rd.from_arrow_refs(out)
+
+
+def events_transition_census(sf_dir: str):
+    """First-order Markov transition census over per-user event sequences:
+    (from_type, to_type, n) counting consecutive event pairs in each
+    user's ts-ordered stream — the sequence-mining complement of the
+    fixed-pattern ``events_funnel`` (this one counts EVERY adjacent
+    transition). Tie-break within equal timestamps by event_id, so the
+    sequence is total and both engines see the same successor.
+
+    Scale shape: ONE user-keyed bucket shuffle (events pre-thinned to 3
+    columns in the scan), a vectorized shift per user segment inside the
+    bucket (no per-event Python), per-bucket pre-counting, then a tiny
+    |types|^2-sized final census."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _trans(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        et = b["event_type"].to_numpy()
+        same_user = uid[1:] == uid[:-1]
+        frm = et[:-1][same_user]
+        to = et[1:][same_user]
+        if not len(frm):
+            return pd.DataFrame({
+                "from_type": pd.Series([], dtype="string"),
+                "to_type": pd.Series([], dtype="string"),
+                "n": pd.Series([], dtype="int64")})
+        out = (pd.DataFrame({"from_type": frm, "to_type": to})
+               .groupby(["from_type", "to_type"], sort=False)
+               .size().reset_index(name="n"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    per_bucket = bucket_map_keyed(ev, ["user_id"], _trans)
+    return bucket_aggregate(per_bucket, ["from_type", "to_type"],
+                            {"n": ("n", "sum")})

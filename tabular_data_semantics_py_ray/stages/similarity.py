@@ -539,3 +539,36 @@ def emb_kmeans_train(embeddings_ds, *, iters: int = 3):
             names=["vec_id", "cluster"])
 
     return embeddings_ds.map_batches(_final, batch_format="pyarrow")
+
+
+def knn_mutual_pairs(embeddings_ds, *, k: int = 5, block_rows: int = 4096):
+    """Mutual-kNN graph symmetrization: (vec_a, vec_b) with a < b where
+    EACH vector is in the other's top-k — the standard denoising step
+    before graph clustering (one-directional edges from a dense region
+    into an outlier drop out).
+
+    Scale shape: the ``knn_graph`` partial-top-k pipeline unchanged, then
+    pairs normalize to (min, max) and ONE pair-keyed combiner count; an
+    edge surviving with count 2 is mutual. Nothing beyond the k*n edge
+    list is ever shuffled."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate
+
+    edges = knn_graph(embeddings_ds, k=k, block_rows=block_rows)
+
+    def _norm(t: pa.Table) -> pa.Table:
+        a = t.column("vec_id").to_numpy(zero_copy_only=False)
+        b = t.column("neighbor_id").to_numpy(zero_copy_only=False)
+        return pa.table({"vec_a": pa.array(np.minimum(a, b)),
+                         "vec_b": pa.array(np.maximum(a, b))})
+
+    counts = bucket_aggregate(
+        edges.map_batches(_norm, batch_format="pyarrow"),
+        ["vec_a", "vec_b"], {"n_dir": ("vec_a", "count")})
+
+    def _mutual(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t.column("n_dir"), 2)
+        return t.filter(keep).select(["vec_a", "vec_b"])
+
+    return counts.map_batches(_mutual, batch_format="pyarrow")
