@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_trend_slope(sf_dir: str):
+    from .pipelines.relational import events_trend_slope
+
+    return events_trend_slope(sf_dir)
+
+
+def q_events_value_psi(sf_dir: str):
+    from .pipelines.relational import events_value_psi
+
+    return events_value_psi(sf_dir)
+
+
 def q_knn_mutual(sf_dir: str):
     from .stages.similarity import knn_mutual_pairs
 
@@ -872,4 +884,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_decile": q_doc_len_decile,
         "events_transition_census": q_events_transition_census,
         "knn_mutual": q_knn_mutual,
+        "events_trend_slope": q_events_trend_slope,
+        "events_value_psi": q_events_value_psi,
     }

@@ -687,6 +687,50 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # slope from exact integer sums, one final float division (bit-stable)
+    o["events_trend_slope"] = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         cast(count(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, cast(count(*) AS BIGINT) AS n,
+         cast(sum(day) AS BIGINT) AS sx, cast(sum(y) AS BIGINT) AS sy,
+         cast(sum(day * y) AS BIGINT) AS sxy,
+         cast(sum(day * day) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN cast(n * sxy - sx * sy AS DOUBLE)
+                 / cast(n * sxx - sx * sx AS DOUBLE)
+            ELSE 0.0 END AS slope
+FROM s"""
+
+    # PSI drift: deterministic median-id split, fixed-width value buckets,
+    # Laplace +1 smoothing; ln on identical float64 operands both sides
+    o["events_value_psi"] = """
+WITH h AS (SELECT count(*) // 2 AS half FROM events),
+b AS (
+  SELECT cast(floor(value / 10.0) AS BIGINT) AS bucket,
+         CASE WHEN event_id >= h.half THEN 1 ELSE 0 END AS side
+  FROM events, h
+),
+c AS (SELECT bucket, side, cast(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+w AS (
+  SELECT bucket,
+         cast(coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS BIGINT) AS n_a,
+         cast(coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS BIGINT) AS n_b
+  FROM c GROUP BY 1
+),
+t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM w)
+SELECT bucket, n_a, n_b,
+       round(((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+             * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))),
+             6) AS psi_term
+FROM w, t"""
+
     # Markov transition census: consecutive pairs in each user's
     # (ts, event_id)-ordered stream
     o["events_transition_census"] = """

@@ -3247,3 +3247,101 @@ def events_transition_census(sf_dir: str):
     per_bucket = bucket_map_keyed(ev, ["user_id"], _trans)
     return bucket_aggregate(per_bucket, ["from_type", "to_type"],
                             {"n": ("n", "sum")})
+
+
+def events_trend_slope(sf_dir: str):
+    """Per-type linear trend: least-squares slope of daily event counts
+    over epoch-day x — the trend-detection op behind volume monitoring
+    (is this event type growing or decaying?). -> (event_type, n_days,
+    slope).
+
+    Determinism: the slope is computed from EXACT INTEGER sums
+    (n, Σx, Σy, Σxy, Σx²) with one float64 division at the end —
+    bit-identical across engines because both sides evaluate the same
+    two integer products and one quotient (no covariance recurrences).
+    Scale shape: one combiner count shuffle to the types x days table,
+    then the regression runs on the tiny result."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pa.array((t.column("ts").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        // 86_400_000_000).astype(np.int64))
+        return pa.Table.from_arrays([t.column("event_type"), day],
+                                    names=["event_type", "day"])
+
+    daily = bucket_aggregate(
+        ev.map_batches(_day, batch_format="pyarrow"),
+        ["event_type", "day"], {"y": ("day", "count")})
+
+    def _slope(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for et, grp in g.groupby("event_type", sort=False):
+            x = grp["day"].to_numpy(dtype=np.int64)
+            y = grp["y"].to_numpy(dtype=np.int64)
+            n = len(x)
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int((x * y).sum())
+            sxx = int((x * x).sum())
+            den = n * sxx - sx * sx
+            slope = float(n * sxy - sx * sy) / float(den) if den else 0.0
+            out.append((et, n, slope))
+        return pd.DataFrame(out, columns=["event_type", "n_days", "slope"])
+
+    return bucket_map_keyed(daily, ["event_type"], _slope)
+
+
+def events_value_psi(sf_dir: str, *, bucket_width: float = 10.0):
+    """Population-stability-index drift check: compare the ``value``
+    distribution of the FIRST half of the event stream (by median split
+    on event_id — deterministic, data-independent) against the second
+    half, per fixed-width bucket -> (bucket, n_a, n_b, psi_term). The
+    data-drift monitor of a production feature pipeline; sum(psi_term)
+    > 0.2 is the conventional drift alarm.
+
+    Scale shape: one combiner count shuffle to the 2 x |buckets| table
+    (buckets are value-range-bounded, corpus-independent); PSI terms
+    compute on the tiny result. Laplace-smoothed (+1 per cell) so empty
+    buckets stay finite; ln from libm on exact count ratios, rounded to
+    6 (the idf bit-parity convention)."""
+    from ..util import bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_id", "value"],
+               blocks=fanout_blocks(0.5))
+    n_total = _read(sf_dir, "events", ["event_id"]).count()
+    half = n_total // 2
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        val = t.column("value").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        side = (eid >= half).astype(np.int8)
+        bucket = np.floor(val / bucket_width).astype(np.int64)
+        return pa.Table.from_arrays([pa.array(bucket), pa.array(side)],
+                                    names=["bucket", "side"])
+
+    counts = bucket_aggregate(
+        ev.map_batches(_bucketize, batch_format="pyarrow"),
+        ["bucket", "side"], {"n": ("side", "count")}).to_pandas()
+
+    wide = counts.pivot(index="bucket", columns="side", values="n").fillna(0)
+    wide = wide.reindex(columns=[0, 1], fill_value=0).sort_index()
+    n_a = wide[0].to_numpy(dtype=np.int64)
+    n_b = wide[1].to_numpy(dtype=np.int64)
+    tot_a, tot_b = int(n_a.sum()), int(n_b.sum())
+    k = len(wide)
+    p = (n_a + 1.0) / (tot_a + k)
+    q = (n_b + 1.0) / (tot_b + k)
+    # scalar libm log (not np.log's SIMD path) for oracle bit-parity with
+    # DuckDB's ln — the TF-IDF idf convention; k is tiny
+    import math
+
+    psi = np.round(np.array([(pi - qi) * math.log(pi / qi)
+                             for pi, qi in zip(p, q)]), 6)
+    return pd.DataFrame({
+        "bucket": wide.index.to_numpy(dtype=np.int64),
+        "n_a": n_a, "n_b": n_b, "psi_term": psi})

@@ -573,3 +573,65 @@ def test_doc_len_decile_equal_depth(ray_session, tmp_path):
     assert (mn.to_numpy()[1:] >= mx.to_numpy()[:-1]).all()
     tiny = out[out["lang"] == "tiny"]
     assert sorted(tiny["decile"].tolist()) == [1, 2, 3]
+
+
+def test_events_trend_slope_exact_line(ray_session, tmp_path):
+    """A perfectly linear daily series recovers its slope exactly (the
+    integer-sum arithmetic has no float accumulation), and a single-day
+    type reports slope 0 (degenerate denominator)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_trend_slope)
+
+    US = 86_400_000_000
+    rows_ts, rows_type = [], []
+    # type A: count on day d = 3 + 2*d for d in 0..6 -> slope exactly 2
+    for d in range(7):
+        rows_ts += [d * US] * (3 + 2 * d)
+        rows_type += ["A"] * (3 + 2 * d)
+    rows_ts += [5 * US] * 4
+    rows_type += ["B"] * 4
+    t = pa.table({
+        "event_id": pa.array(range(len(rows_ts)), type=pa.int64()),
+        "ts": pa.array(rows_ts, type=pa.timestamp("us")),
+        "user_id": pa.array([0] * len(rows_ts), type=pa.int64()),
+        "event_type": pa.array(rows_type),
+        "value": pa.array([0.0] * len(rows_ts)),
+        "props": pa.array(["{}"] * len(rows_ts)),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_trend_slope(str(tmp_path)).to_pandas().set_index("event_type")
+    assert out.loc["A", "slope"] == 2.0
+    assert out.loc["A", "n_days"] == 7
+    assert out.loc["B", "slope"] == 0.0 and out.loc["B", "n_days"] == 1
+
+
+def test_events_value_psi_identical_halves_near_zero(ray_session, tmp_path):
+    """When both halves draw the identical value multiset, every PSI term
+    is ~0 (only Laplace smoothing noise), and the bucket counts split
+    exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        events_value_psi)
+
+    vals = np.tile(np.array([5.0, 15.0, 25.0, 35.0]), 50)  # 200 events
+    t = pa.table({
+        "event_id": pa.array(range(200), type=pa.int64()),
+        "ts": pa.array([0] * 200, type=pa.timestamp("us")),
+        "user_id": pa.array([0] * 200, type=pa.int64()),
+        "event_type": pa.array(["x"] * 200),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 200),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+    out = events_value_psi(str(tmp_path))
+    assert (out["n_a"] == out["n_b"]).all()
+    assert (out["psi_term"].abs() < 1e-9).all()
+    assert out["bucket"].tolist() == [0, 1, 2, 3]
