@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_split_leakfree(sf_dir: str):
+    from .pipelines.relational import split_leakfree
+
+    return split_leakfree(sf_dir)
+
+
 def q_events_trend_slope(sf_dir: str):
     from .pipelines.relational import events_trend_slope
 
@@ -886,4 +892,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mutual": q_knn_mutual,
         "events_trend_slope": q_events_trend_slope,
         "events_value_psi": q_events_value_psi,
+        "split_leakfree": q_split_leakfree,
     }

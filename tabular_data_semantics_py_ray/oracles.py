@@ -811,6 +811,26 @@ WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component_id)""",
         ")\ncomp AS (", "),\ncomp AS ("
     )
 
+    # leakage-free split: the split hash keys on the dup-cluster
+    # representative (component id, else the doc itself) with
+    # split_assign's exact thresholds
+    o["split_leakfree"] = o["dedup_components"].replace(
+        "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",
+        """comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+)
+SELECT d.doc_id,
+       coalesce(c.component_id, d.doc_id) AS rep_id,
+       CASE WHEN substr(md5(cast(coalesce(c.component_id, d.doc_id)
+                                 AS VARCHAR)), 1, 2) < 'e6' THEN 'train'
+            WHEN substr(md5(cast(coalesce(c.component_id, d.doc_id)
+                                 AS VARCHAR)), 1, 2) < 'f3' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id""",
+    ).replace(
+        ")\ncomp AS (", "),\ncomp AS ("
+    )
+
     # simhash made oracle-checkable by deriving token bit-hashes from md5
     # (functions/hashing.py:md5_hash64); signature + hamming fully in SQL
     o["dedup_simhash"] = """

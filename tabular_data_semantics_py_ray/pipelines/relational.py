@@ -3345,3 +3345,47 @@ def events_value_psi(sf_dir: str, *, bucket_width: float = 10.0):
     return pd.DataFrame({
         "bucket": wide.index.to_numpy(dtype=np.int64),
         "n_a": n_a, "n_b": n_b, "psi_term": psi})
+
+
+def split_leakfree(sf_dir: str):
+    """Leakage-free train/val/test split: assignment is hashed on the
+    NEAR-DUP CLUSTER representative, not the doc — every member of a dup
+    cluster lands in the same split, closing the eval-contamination hole
+    ``split_assign`` leaves open (a near-copy of a test doc in train).
+    -> (doc_id, rep_id, split).
+
+    Scale shape: the minhash -> components chain is edge-bounded (only
+    docs in >= 1 dup pair reach the component table); the rep attach is
+    a hash-partitioned LEFT ``bucket_join`` (both sides shuffled —
+    never a corpus-sized broadcast), singletons default rep_id = doc_id,
+    and the md5-threshold assignment runs shuffle-free on the joined
+    stream with ``split_assign``'s exact thresholds."""
+    import hashlib
+
+    from ..stages.dedup import dedup_components, near_dup_pairs_minhash
+    from ..util import bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+    comp = dedup_components(near_dup_pairs_minhash(docs))
+
+    def _ids_only(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64())], names=["doc_id"])
+
+    def _assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        comp_id = df["component_id"].to_numpy()
+        rep = np.where(pd.isna(comp_id), ids,
+                       np.nan_to_num(comp_id, nan=0)).astype(np.int64)
+        b1 = np.array([hashlib.md5(str(r).encode()).hexdigest()[:2]
+                       for r in rep])
+        split = np.where(b1 < "e6", "train",
+                         np.where(b1 < "f3", "val", "test"))
+        return pd.DataFrame({"doc_id": ids, "rep_id": rep, "split": split})
+
+    return bucket_join(
+        docs.map_batches(_ids_only, batch_format="pyarrow"),
+        comp, key="doc_id",
+        left_cols={}, right_cols={"component_id": pa.int64()},
+        how="left", post=_assign)

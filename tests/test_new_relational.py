@@ -635,3 +635,55 @@ def test_events_value_psi_identical_halves_near_zero(ray_session, tmp_path):
     assert (out["n_a"] == out["n_b"]).all()
     assert (out["psi_term"].abs() < 1e-9).all()
     assert out["bucket"].tolist() == [0, 1, 2, 3]
+
+
+def test_split_leakfree_cluster_integrity(ray_session, tmp_path):
+    """Every near-dup cluster lands in exactly ONE split (the property
+    split_assign lacks), and singleton docs keep their plain-hash split."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        split_leakfree)
+
+    import numpy as np
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    rows = []
+    # 30 clusters of 3 near-identical docs; each family body is its own
+    # random 20-word draw so families never near-match EACH OTHER
+    did = 0
+    for c in range(30):
+        fam = f"fam{c:02d} " + " ".join(rng.choice(vocab, size=20,
+                                                   replace=False))
+        for ext in ("", " dup", " dup two"):
+            rows.append((did, fam + ext)); did += 1
+    for i in range(40):  # singletons
+        rows.append((did, f"solo{i:03d} " + " ".join(
+            rng.choice(vocab, size=20, replace=False))))
+        did += 1
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([len(r[1]) for r in rows], type=pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    out = split_leakfree(str(tmp_path)).to_pandas()
+    assert len(out) == len(rows)
+    # cluster integrity: one split per rep_id
+    assert (out.groupby("rep_id")["split"].nunique() == 1).all()
+    # the 30 planted clusters really are clusters (3 docs share a rep)
+    clustered = out[out["doc_id"] < 90]
+    assert (clustered.groupby("rep_id").size() == 3).all()
+    # singletons: rep is the doc itself, split matches the plain hash
+    solo = out[out["doc_id"] >= 90]
+    assert (solo["rep_id"] == solo["doc_id"]).all()
+    for _, r in solo.iterrows():
+        b1 = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+        want = "train" if b1 < "e6" else ("val" if b1 < "f3" else "test")
+        assert r["split"] == want
