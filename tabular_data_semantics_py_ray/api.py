@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_media_pack_assign(sf_dir: str):
+    from .pipelines.relational import media_pack_assign
+
+    return media_pack_assign(sf_dir)
+
+
 def q_split_leakfree(sf_dir: str):
     from .pipelines.relational import split_leakfree
 
@@ -893,4 +899,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_slope": q_events_trend_slope,
         "events_value_psi": q_events_value_psi,
         "split_leakfree": q_split_leakfree,
+        "media_pack_assign": q_media_pack_assign,
     }

@@ -1461,6 +1461,37 @@ SELECT doc_id, n_tokens, tok_offset,
        tok_offset % 2048 AS pack_pos
 FROM s"""
 
+    # multimodal packing: text tokens + 16 per media span (media count
+    # mirrors the manifest derivation: 12-token chunks, (doc+chunk)%4==0)
+    o["media_pack_assign"] = """
+WITH d AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+mc AS (
+  SELECT doc_id, cast(count(*) AS BIGINT) AS n_media
+  FROM (SELECT doc_id,
+               unnest(range(0, cast(ceil(cast(nt AS DOUBLE) / 12.0)
+                                    AS BIGINT))) AS chunk_idx
+        FROM d) t
+  WHERE (doc_id + chunk_idx) % 4 = 0 GROUP BY doc_id
+),
+n AS (
+  SELECT d.doc_id, d.nt + 16 * coalesce(mc.n_media, 0) AS n_tokens
+  FROM d LEFT JOIN mc USING (doc_id)
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM n
+)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // 2048 AS pack_id,
+       tok_offset % 2048 AS pack_pos
+FROM s"""
+
     o["emb_kmeans_assign"] = """
 WITH x AS (
   SELECT vec_id, label, unnest(embedding) AS v,

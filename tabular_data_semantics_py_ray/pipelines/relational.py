@@ -1494,6 +1494,17 @@ def pack_assign(sf_dir: str, *, seq_len: int = 2048):
                  blocks=fanout_blocks(0.5)).map_batches(
         _ntok, batch_format="pyarrow", batch_size=None)
 
+    return _pack_from_ntok(ntok, seq_len)
+
+
+def _pack_from_ntok(ntok, seq_len: int):
+    """Shared packer core: (doc_id, n_tokens, rng) dataset -> per-doc
+    (tok_offset, pack_id, pack_pos) via the two-pass distributed prefix
+    sum (per-range totals -> driver exclusive scan -> per-range cumsum).
+    Used by both the text packer (``pack_assign``) and the multimodal
+    packer (``media_pack_assign``)."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
     # pass 1: per-range totals -> driver exclusive scan. A MAPPING, not a
     # dense array: sparse doc_ids (e.g. replicated corpora with strided id
     # ranges) would make a max_rng-sized array driver-resident
@@ -1528,6 +1539,56 @@ def pack_assign(sf_dir: str, *, seq_len: int = 2048):
         })
 
     return bucket_map_keyed(ntok, ["rng"], _pack)
+
+
+def media_pack_assign(sf_dir: str, *, seq_len: int = 2048,
+                      media_tokens: int = 16):
+    """Multimodal sequence packing over the INTERLEAVED corpus: a doc's
+    packed length is its text tokens plus a fixed ``media_tokens`` budget
+    per media span (the vision-token placeholder convention of
+    interleaved image-text training). Consumes the actual spans table —
+    text token counts and media counts both come from the flattened
+    span column, exercising the span-sequence invariant end-to-end —
+    then reuses the same two-pass distributed prefix sum as the text
+    packer (``_pack_from_ntok``)."""
+    import pyarrow.compute as pc
+
+    from ..stages.interleave import interleave_batch
+    from ..util import adaptive_buckets, parquet_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = max(1, parquet_num_rows(path))
+    n_ranges = max(1, min(adaptive_buckets(16), n_rows))
+    width = -(-n_rows // n_ranges)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _ntok(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        spans = interleave_batch(t).column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        per_doc = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        flat = spans.flatten()
+        doc_idx = np.repeat(np.arange(len(ids), dtype=np.int64), per_doc)
+        is_text = pc.equal(flat.field("kind"), "text").to_numpy(
+            zero_copy_only=False)
+        span_toks = pc.list_value_length(
+            pc.split_pattern(flat.field("text"), " ")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        text_toks = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(text_toks, doc_idx[is_text], span_toks[is_text])
+        n_media = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(n_media, doc_idx[~is_text], 1)
+        n = text_toks + media_tokens * n_media
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(n), pa.array(ids // width)],
+            names=["doc_id", "n_tokens", "rng"])
+
+    ntok = docs.map_batches(_ntok, batch_format="pyarrow", batch_size=None)
+    return _pack_from_ntok(ntok, seq_len)
 
 
 def emb_kmeans_assign(sf_dir: str):
