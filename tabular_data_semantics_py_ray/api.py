@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_orders_checksum(sf_dir: str):
+    from .pipelines.relational import orders_checksum
+
+    return orders_checksum(sf_dir)
+
+
 def q_media_pack_assign(sf_dir: str):
     from .pipelines.relational import media_pack_assign
 
@@ -900,4 +906,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_psi": q_events_value_psi,
         "split_leakfree": q_split_leakfree,
         "media_pack_assign": q_media_pack_assign,
+        "orders_checksum": q_orders_checksum,
     }

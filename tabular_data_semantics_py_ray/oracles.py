@@ -640,6 +640,16 @@ walk(cls_uri, ancestor_uri, distance) AS (
 SELECT cls_uri, ancestor_uri, cast(min(distance) AS BIGINT) AS distance
 FROM walk GROUP BY 1, 2"""
 
+    # order-independent content checksum: commutative modular sum of
+    # per-row 60-bit md5 (15 hex digits), mod 2^61-1
+    o["orders_checksum"] = """
+SELECT cast(count(*) AS BIGINT) AS n_rows,
+       cast(cast(sum(('0x' || substr(md5(cast(o_orderkey AS VARCHAR)
+                                     || ':' || o_orderpriority), 1, 15)
+                      )::UBIGINT) AS HUGEINT)
+            % 2305843009213693951 AS BIGINT) AS checksum
+FROM orders"""
+
     # v2 snapshot simulated identically on both sides (see
     # relational.orders_snapshot_diff)
     o["orders_snapshot_diff"] = """

@@ -3450,3 +3450,41 @@ def split_leakfree(sf_dir: str):
         comp, key="doc_id",
         left_cols={}, right_cols={"component_id": pa.int64()},
         how="left", post=_assign)
+
+
+def orders_checksum(sf_dir: str):
+    """Order-independent table content checksum -> one row (n_rows,
+    checksum): the cross-system sync-validation op (compare a table's
+    content across two engines/replicas without moving rows — exactly how
+    the snapshot-diff family is validated in production). checksum =
+    sum of per-row 60-bit md5 of the canonical key string, mod 2^61-1 —
+    commutative/associative, so it is repartition- and order-invariant
+    by construction.
+
+    Scale shape: zero shuffles — per-batch modular partial sums (one
+    tiny row per batch) reduced on the driver with arbitrary-precision
+    ints (the partial table is batch-count-sized, not row-count-sized)."""
+    import hashlib
+
+    M = (1 << 61) - 1
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"],
+                   blocks=fanout_blocks(0.5))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        p = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        s = 0
+        for ki, pi in zip(k, p):
+            s = (s + int(hashlib.md5(
+                f"{ki}:{pi}".encode()).hexdigest()[:15], 16)) % M
+        return pa.table({"n": pa.array([len(k)], type=pa.int64()),
+                         "s": pa.array([s], type=pa.int64())})
+
+    parts = orders.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    total = 0
+    for v in parts["s"]:
+        total = (total + int(v)) % M
+    return pd.DataFrame({"n_rows": [int(parts["n"].sum())],
+                         "checksum": [total]})

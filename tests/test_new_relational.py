@@ -687,3 +687,41 @@ def test_split_leakfree_cluster_integrity(ray_session, tmp_path):
         b1 = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
         want = "train" if b1 < "e6" else ("val" if b1 < "f3" else "test")
         assert r["split"] == want
+
+
+def test_snapshot_diff_apply_roundtrip(ray_session):
+    """CDC closure property: applying orders_snapshot_diff's deltas to v1
+    reconstructs exactly the v2 the diff was computed against (pandas
+    apply on the engine's own diff output — removed keys dropped, changed
+    keys repriorized, added keys inserted)."""
+    import numpy as np
+
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        orders_snapshot_diff, _read)
+
+    sf = "/root/testdata/sf0.001"
+    diff = orders_snapshot_diff(sf).to_pandas()
+    v1 = _read(sf, "orders", ["o_orderkey", "o_orderpriority"]).to_pandas()
+
+    # independent v2 re-derivation (same deterministic simulation)
+    k = v1["o_orderkey"].to_numpy()
+    surv = v1[k % 7 != 0].copy()
+    surv.loc[surv["o_orderkey"] % 5 == 0, "o_orderpriority"] = "9-CHANGED"
+    ins = v1[k % 11 == 0].copy()
+    ins["o_orderkey"] = ins["o_orderkey"] + 1_000_000_000
+    v2 = pd.concat([surv, ins], ignore_index=True)
+
+    # apply the diff to v1: delete removed, insert added; changed rows'
+    # new value comes from the v2 rule (the diff carries keys + status)
+    removed = set(diff[diff["status"] == "removed"]["o_orderkey"])
+    added = set(diff[diff["status"] == "added"]["o_orderkey"])
+    changed = set(diff[diff["status"] == "changed"]["o_orderkey"])
+    applied = v1[~v1["o_orderkey"].isin(removed)].copy()
+    applied.loc[applied["o_orderkey"].isin(changed),
+                "o_orderpriority"] = "9-CHANGED"
+    add_rows = v2[v2["o_orderkey"].isin(added)]
+    applied = pd.concat([applied, add_rows], ignore_index=True)
+
+    a = applied.sort_values(["o_orderkey"]).reset_index(drop=True)
+    b = v2.sort_values(["o_orderkey"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
