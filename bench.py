@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "orders_segment_semijoin",
     "q3_shipping",
     "curate_corpus",
+    "dedup_prefix_contain",
+    "ann_topk_pq",
     "q1_pricing",
     "revenue_by_nation",
     "top_parts_by_revenue",
