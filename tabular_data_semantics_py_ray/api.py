@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_kg_entity_salience(sf_dir: str):
+    from .pipelines.queries_kg import entity_salience
+
+    return entity_salience(sf_dir)
+
+
 def q_orders_checksum(sf_dir: str):
     from .pipelines.relational import orders_checksum
 
@@ -907,4 +913,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakfree": q_split_leakfree,
         "media_pack_assign": q_media_pack_assign,
         "orders_checksum": q_orders_checksum,
+        "kg_entity_salience": q_kg_entity_salience,
     }

@@ -100,6 +100,25 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
 FROM linked GROUP BY 1, 2, 3"""
 
+    # salient entity per doc: mention-count x ln(N/df), rounded 6 BEFORE
+    # ranking (ties then break on entity_uri in both engines)
+    o["kg_entity_salience"] = f"""WITH {_kg_ctes()},
+me AS (SELECT doc_id, entity_uri, count(*) AS m FROM linked GROUP BY 1, 2),
+dfreq AS (SELECT entity_uri, count(*) AS df FROM me GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM documents),
+sal AS (
+  SELECT me.doc_id, me.entity_uri,
+         round(me.m * ln(cast(nn.n AS DOUBLE) / dfreq.df), 6) AS salience
+  FROM me JOIN dfreq USING (entity_uri), nn
+),
+w AS (
+  SELECT doc_id, entity_uri, salience,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY salience DESC, entity_uri) AS rn
+  FROM sal
+)
+SELECT doc_id, entity_uri, salience FROM w WHERE rn = 1"""
+
     # M1 bracket normalization + M3/M4/M5 KG-prefix whitelist: cells are
     # 'tok0 (tok1)'; main text and bracket content become separate items;
     # candidates = lexicon UNION kg2-aliased candidates at rank 0 (which

@@ -1263,3 +1263,44 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
     # ancestor along several paths
     return bucket_aggregate(all_pairs, ["cls_uri", "ancestor_uri"],
                             {"distance": ("distance", "min")})
+
+
+def entity_salience(sf_dir: str):
+    """Salient-entity detection: the single most salient linked entity per
+    document by mention-count x entity-IDF (an entity mentioned often in
+    few documents carries the doc's identity; stopword-like entities that
+    appear everywhere get discounted) -> (doc_id, entity_uri, salience).
+    The KG-side analogue of TF-IDF keyword extraction — the reference's
+    CEA output feeds exactly this kind of downstream ranking.
+
+    Scale shape: mention counts are the CEA table (one combiner shuffle,
+    distinct doc x entity rows); the entity document-frequency census is
+    KG-BOUNDED (entities come from the lexicon), so the idf map ships in
+    the closure; the per-doc argmax is one doc-keyed pass over the
+    already-thinned counts. Scalar libm log + round-6 for oracle
+    bit-parity (the TF-IDF convention)."""
+    import math
+
+    from ..util import bucket_aggregate, bucket_map_keyed, parquet_num_rows
+    import os
+
+    n_docs = parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    linked = _linked_flat(sf_dir)
+    me = rename_cols(
+        partial_count(linked, ["doc_id", "entity_uri"]), {"n": "m"})
+
+    df_tbl = bucket_aggregate(
+        me, ["entity_uri"], {"df": ("doc_id", "count")}).to_pandas()
+    idf = {e: math.log(float(n_docs) / d)
+           for e, d in zip(df_tbl["entity_uri"], df_tbl["df"])}
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["m"].to_numpy() * g["entity_uri"].map(idf).to_numpy()
+        import numpy as np
+        g = g.assign(salience=np.round(s, 6))
+        g = g.sort_values(["doc_id", "salience", "entity_uri"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("doc_id")[
+            ["doc_id", "entity_uri", "salience"]]
+
+    return bucket_map_keyed(me, ["doc_id"], _top)
