@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_item_cooccur(sf_dir: str):
+    from .pipelines.relational import events_item_cooccur
+
+    return events_item_cooccur(sf_dir)
+
+
 def q_kg_entity_salience(sf_dir: str):
     from .pipelines.queries_kg import entity_salience
 
@@ -914,4 +920,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pack_assign": q_media_pack_assign,
         "orders_checksum": q_orders_checksum,
         "kg_entity_salience": q_kg_entity_salience,
+        "events_item_cooccur": q_events_item_cooccur,
     }

@@ -716,6 +716,21 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # item-item co-occurrence over distinct (user, item) interactions
+    o["events_item_cooccur"] = r"""
+WITH x AS (
+  SELECT DISTINCT user_id,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS item
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+)
+SELECT a.item AS item_a, b.item AS item_b,
+       cast(count(*) AS BIGINT) AS n_users
+FROM x a JOIN x b ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= 2"""
+
     # slope from exact integer sums, one final float division (bit-stable)
     o["events_trend_slope"] = """
 WITH daily AS (

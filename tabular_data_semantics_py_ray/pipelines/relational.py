@@ -3488,3 +3488,49 @@ def orders_checksum(sf_dir: str):
         total = (total + int(v)) % M
     return pd.DataFrame({"n_rows": [int(parts["n"].sum())],
                          "checksum": [total]})
+
+
+def events_item_cooccur(sf_dir: str, *, min_n: int = 2):
+    """Item-item co-occurrence mining — the collaborative-filtering
+    counting shape: items (the JSON props ``k`` field) that the same user
+    interacted with, counted over distinct (user, item) pairs ->
+    (item_a, item_b, n_users) with item_a < item_b and n_users >= min_n.
+
+    Scale shape: per-batch regex extraction (zero-shuffle), a distinct
+    (user, item) thinning shuffle, ONE user-keyed co-location where the
+    pair expansion is a vectorized self-merge per bucket, then a
+    combiner census over the ITEM-DOMAIN-BOUNDED pair space (items are a
+    catalog, not a corpus — the pair table is |items|^2 at worst
+    regardless of event count)."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "props"],
+               blocks=fanout_blocks(0.5))
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        out = pa.Table.from_arrays(
+            [t.column("user_id").cast(pa.int64()), k],
+            names=["user_id", "item"])
+        return out.filter(pc.is_valid(out.column("item")))
+
+    pairs_src = bucket_distinct(
+        ev.map_batches(_extract, batch_format="pyarrow"),
+        ["user_id", "item"])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(b, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["item_a"] < m["item_b"]]
+        return m[["item_a", "item_b"]].reset_index(drop=True)
+
+    pair_rows = bucket_map_keyed(pairs_src, ["user_id"], _pairs)
+    counts = bucket_aggregate(pair_rows, ["item_a", "item_b"],
+                              {"n_users": ("item_a", "count")})
+
+    def _thresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("n_users"), min_n))
+
+    return counts.map_batches(_thresh, batch_format="pyarrow")
