@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_revenue_share(sf_dir: str):
+    from .pipelines.relational import revenue_share
+
+    return revenue_share(sf_dir)
+
+
 def q_events_item_cooccur(sf_dir: str):
     from .pipelines.relational import events_item_cooccur
 
@@ -921,4 +927,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": q_orders_checksum,
         "kg_entity_salience": q_kg_entity_salience,
         "events_item_cooccur": q_events_item_cooccur,
+        "revenue_share": q_revenue_share,
     }

@@ -568,6 +568,26 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1"""
 
+    # cents-rounded revenue BEFORE the ratio, share rounded 6 after
+    o["revenue_share"] = """
+WITH rn AS (
+  SELECT n_name, n_regionkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT r.r_name, rn.n_name, rn.revenue,
+         sum(rn.revenue) OVER (PARTITION BY rn.n_regionkey) AS region_rev
+  FROM rn JOIN region r ON rn.n_regionkey = r.r_regionkey
+)
+SELECT r_name AS region, n_name AS nation, revenue,
+       round(revenue / region_rev, 6) AS share
+FROM t"""
+
     o["top_parts_by_revenue"] = """
 WITH agg AS (
   SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue

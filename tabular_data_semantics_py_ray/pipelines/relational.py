@@ -3534,3 +3534,30 @@ def events_item_cooccur(sf_dir: str, *, min_n: int = 2):
         return t.filter(pc.greater_equal(t.column("n_users"), min_n))
 
     return counts.map_batches(_thresh, batch_format="pyarrow")
+
+
+def revenue_share(sf_dir: str):
+    """Share-of-group BI rollup: each nation's revenue as a fraction of
+    its REGION's total -> (region, nation, revenue, share). The classic
+    ratio-to-window-total report, computed without any window all-to-all:
+    the corpus-sized work is exactly ``revenue_by_nation``'s
+    hash-partitioned join + rollup; the share step runs on the 25-row
+    result with the 25-row nation -> region map fused in. Revenue is
+    rounded to cents BEFORE the ratio and the share to 6 after (pins
+    float-sum-order noise on both sides — the ratio operands are then
+    identical doubles)."""
+    nat_rev = revenue_by_nation(sf_dir)
+    if not isinstance(nat_rev, pd.DataFrame):
+        nat_rev = nat_rev.to_pandas()
+
+    nation = _read(sf_dir, "nation", ["n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    m = (nat_rev.merge(nation, on="n_name")
+         .merge(region, left_on="n_regionkey", right_on="r_regionkey"))
+    region_rev = m.groupby("r_name")["revenue"].transform("sum")
+    return pd.DataFrame({
+        "region": m["r_name"],
+        "nation": m["n_name"],
+        "revenue": m["revenue"],
+        "share": (m["revenue"] / region_rev).round(6),
+    }).reset_index(drop=True)
