@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_kg_degree_census(sf_dir: str):
+    from .pipelines.queries_kg import degree_census
+
+    return degree_census(sf_dir)
+
+
+def q_kg_related_docs(sf_dir: str):
+    from .pipelines.queries_kg import related_docs
+
+    return related_docs(sf_dir)
+
+
 def q_revenue_share(sf_dir: str):
     from .pipelines.relational import revenue_share
 
@@ -928,4 +940,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_salience": q_kg_entity_salience,
         "events_item_cooccur": q_events_item_cooccur,
         "revenue_share": q_revenue_share,
+        "kg_degree_census": q_kg_degree_census,
+        "kg_related_docs": q_kg_related_docs,
     }

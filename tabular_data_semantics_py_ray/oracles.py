@@ -100,6 +100,23 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
 FROM linked GROUP BY 1, 2, 3"""
 
+    o["kg_degree_census"] = f"""WITH {_kg_ctes()},
+de AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
+dg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS degree FROM de GROUP BY 1)
+SELECT degree, cast(count(*) AS BIGINT) AS n_docs FROM dg GROUP BY 1"""
+
+    # hub cap (df <= 10000) is part of the contract; a no-op at test
+    # scale, load-bearing at web scale (see queries_kg.related_docs)
+    o["kg_related_docs"] = f"""WITH {_kg_ctes()},
+de AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
+dfq AS (SELECT entity_uri, count(*) AS d FROM de GROUP BY 1),
+k AS (SELECT de.doc_id, de.entity_uri
+      FROM de JOIN dfq USING (entity_uri) WHERE dfq.d <= 10000)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(count(*) AS BIGINT) AS n_shared
+FROM k a JOIN k b ON a.entity_uri = b.entity_uri AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 26"""
+
     # salient entity per doc: mention-count x ln(N/df), rounded 6 BEFORE
     # ranking (ties then break on entity_uri in both engines)
     o["kg_entity_salience"] = f"""WITH {_kg_ctes()},

@@ -1304,3 +1304,61 @@ def entity_salience(sf_dir: str):
             ["doc_id", "entity_uri", "salience"]]
 
     return bucket_map_keyed(me, ["doc_id"], _top)
+
+
+def degree_census(sf_dir: str):
+    """Degree-distribution census of the doc -> entity bipartite graph:
+    (degree, n_docs) where degree = distinct linked entities per doc —
+    the first skew diagnostic run before any graph workload (it is how
+    the hub cap in ``related_docs`` gets chosen). Two combiner-shaped
+    aggregates: distinct (doc, entity) -> per-doc degree -> tiny
+    histogram; every shuffle row is a count, never a payload."""
+    from ..util import bucket_aggregate, bucket_distinct
+
+    linked = _linked_flat(sf_dir)
+    ents = bucket_distinct(linked, ["doc_id", "entity_uri"])
+    deg = bucket_aggregate(ents, ["doc_id"],
+                           {"degree": ("entity_uri", "count")})
+    return bucket_aggregate(deg, ["degree"], {"n_docs": ("doc_id", "count")})
+
+
+def related_docs(sf_dir: str, *, min_shared: int = 26, hub_cap: int = 10_000):
+    """Related-document pairs through shared entities: (doc_a, doc_b,
+    n_shared) for doc pairs sharing >= ``min_shared`` distinct linked
+    entities — the KG-side nearest-neighbor structure used for
+    retrieval-augmented grouping. The inverted expansion is per-ENTITY,
+    so a hub entity linked by d docs costs d^2 pairs: entities with
+    d > ``hub_cap`` are EXCLUDED (the standard hub cap of entity-graph
+    mining; a stopword-like entity that appears everywhere carries no
+    relatedness signal anyway, the same argument as the IDF discount).
+    The oracle applies the identical cap, so the cap is part of the
+    contract, not a silent approximation.
+
+    Scale shape: distinct (doc, entity) -> per-entity document lists
+    co-located by ONE entity-keyed shuffle (hub-capped inside the
+    bucket), vectorized pair self-merge, then a combiner census keyed on
+    the pair."""
+    from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
+
+    linked = _linked_flat(sf_dir)
+    ents = bucket_distinct(linked, ["doc_id", "entity_uri"])
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        sizes = b.groupby("entity_uri")["doc_id"].transform("size")
+        b = b[sizes <= hub_cap]
+        m = b.merge(b, on="entity_uri", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return m[["doc_id_a", "doc_id_b"]].rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"}
+        ).reset_index(drop=True)
+
+    pair_rows = bucket_map_keyed(ents, ["entity_uri"], _pairs)
+    counts = bucket_aggregate(pair_rows, ["doc_a", "doc_b"],
+                              {"n_shared": ("doc_a", "count")})
+
+    def _thresh(t):
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
+
+    return counts.map_batches(_thresh, batch_format="pyarrow")
