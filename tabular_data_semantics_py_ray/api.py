@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_item_sim(sf_dir: str):
+    from .pipelines.relational import events_item_sim
+
+    return events_item_sim(sf_dir)
+
+
 def q_kg_degree_census(sf_dir: str):
     from .pipelines.queries_kg import degree_census
 
@@ -942,4 +948,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share": q_revenue_share,
         "kg_degree_census": q_kg_degree_census,
         "kg_related_docs": q_kg_related_docs,
+        "events_item_sim": q_events_item_sim,
     }

@@ -768,6 +768,28 @@ FROM x a JOIN x b ON a.user_id = b.user_id AND a.item < b.item
 GROUP BY 1, 2
 HAVING count(*) >= 2"""
 
+    # co-occurrence cosine: n / sqrt(df_a * df_b), round 6
+    o["events_item_sim"] = r"""
+WITH x AS (
+  SELECT DISTINCT user_id,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS item
+  FROM events
+  WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+),
+dfq AS (SELECT item, cast(count(*) AS BIGINT) AS df FROM x GROUP BY 1),
+p AS (
+  SELECT a.item AS item_a, b.item AS item_b,
+         cast(count(*) AS BIGINT) AS n_users
+  FROM x a JOIN x b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p.item_a, p.item_b, p.n_users,
+       round(p.n_users / sqrt(cast(da.df * db.df AS DOUBLE)), 6) AS sim
+FROM p JOIN dfq da ON p.item_a = da.item
+JOIN dfq db ON p.item_b = db.item"""
+
     # slope from exact integer sums, one final float division (bit-stable)
     o["events_trend_slope"] = """
 WITH daily AS (

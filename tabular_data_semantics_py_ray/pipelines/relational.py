@@ -3561,3 +3561,58 @@ def revenue_share(sf_dir: str):
         "revenue": m["revenue"],
         "share": (m["revenue"] / region_rev).round(6),
     }).reset_index(drop=True)
+
+
+def events_item_sim(sf_dir: str, *, min_n: int = 2):
+    """Normalized item-item similarity — co-occurrence cosine
+    sim(a, b) = n_users(a, b) / sqrt(df_a * df_b) over distinct user
+    interactions, the item-CF scoring step on top of
+    ``events_item_cooccur``'s raw counts (frequent items stop dominating
+    once normalized by their own reach). -> (item_a, item_b, n_users,
+    sim).
+
+    Scale shape: identical shuffles to the co-occurrence op; the
+    per-item reach map (df) is ITEM-DOMAIN-BOUNDED and ships in a final
+    small keyed map. sqrt of exact integer products, rounded to 6."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "props"],
+               blocks=fanout_blocks(0.5))
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        out = pa.Table.from_arrays(
+            [t.column("user_id").cast(pa.int64()), k],
+            names=["user_id", "item"])
+        return out.filter(pc.is_valid(out.column("item")))
+
+    ui = bucket_distinct(
+        ev.map_batches(_extract, batch_format="pyarrow"),
+        ["user_id", "item"])
+
+    df_tbl = bucket_aggregate(ui, ["item"],
+                              {"df": ("user_id", "count")}).to_pandas()
+    df_map = dict(zip(df_tbl["item"], df_tbl["df"]))
+
+    def _pairs(b: pd.DataFrame) -> pd.DataFrame:
+        m = b.merge(b, on="user_id", suffixes=("_a", "_b"))
+        m = m[m["item_a"] < m["item_b"]]
+        return m[["item_a", "item_b"]].reset_index(drop=True)
+
+    counts = bucket_aggregate(
+        bucket_map_keyed(ui, ["user_id"], _pairs),
+        ["item_a", "item_b"], {"n_users": ("item_a", "count")})
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_users"] >= min_n].copy()
+        da = b["item_a"].map(df_map).to_numpy(dtype=np.int64)
+        db = b["item_b"].map(df_map).to_numpy(dtype=np.int64)
+        b["sim"] = np.round(
+            b["n_users"].to_numpy() / np.sqrt((da * db).astype(np.float64)),
+            6)
+        return b.reset_index(drop=True)
+
+    return counts.map_batches(_score, batch_format="pandas")
