@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_weekly_active(sf_dir: str):
+    from .pipelines.relational import events_weekly_active
+
+    return events_weekly_active(sf_dir)
+
+
 def q_events_item_sim(sf_dir: str):
     from .pipelines.relational import events_item_sim
 
@@ -949,4 +955,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_census": q_kg_degree_census,
         "kg_related_docs": q_kg_related_docs,
         "events_item_sim": q_events_item_sim,
+        "events_weekly_active": q_events_weekly_active,
     }

@@ -753,6 +753,19 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # trailing-7-day distinct users: every (user, day) covers the 7
+    # window-end days [day, day+6]
+    o["events_weekly_active"] = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+cov AS (
+  SELECT du.day + u.i AS day, du.user_id
+  FROM du, unnest(range(0, 7)) AS u(i)
+)
+SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+FROM cov GROUP BY 1"""
+
     # item-item co-occurrence over distinct (user, item) interactions
     o["events_item_cooccur"] = r"""
 WITH x AS (

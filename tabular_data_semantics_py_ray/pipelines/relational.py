@@ -3616,3 +3616,47 @@ def events_item_sim(sf_dir: str, *, min_n: int = 2):
         return b.reset_index(drop=True)
 
     return counts.map_batches(_score, batch_format="pandas")
+
+
+def events_weekly_active(sf_dir: str):
+    """Trailing-7-day active users per day (WAU) -> (day, n_users_7d):
+    the windowed COUNT DISTINCT that a rolling sum cannot express
+    (distinct is not subtractable out of a sliding frame).
+
+    Scale shape: the standard exact reduction — distinct (user, day)
+    pairs first (combiner + one hash-partitioned distinct, events
+    collapse to at most users x days rows), then each pair is expanded to
+    the 7 window-END days it covers (a BOUNDED x7 flat map on the
+    already-thinned pairs, never on raw events), a second distinct kills
+    multi-day overlap within a user's window, and a tiny per-day count
+    finishes. Every reported day d counts users active in (d-6 .. d]."""
+    from ..util import bucket_aggregate, bucket_distinct
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"],
+               blocks=fanout_blocks(0.5))
+
+    def _day(t: pa.Table) -> pa.Table:
+        day = pa.array((t.column("ts").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False)
+                        // 86_400_000_000).astype(np.int64))
+        out = pa.Table.from_arrays(
+            [day, t.column("user_id").cast(pa.int64())],
+            names=["day", "user_id"])
+        return out.group_by(["day", "user_id"]).aggregate([])
+
+    pairs = bucket_distinct(
+        ev.map_batches(_day, batch_format="pyarrow"), ["day", "user_id"])
+
+    def _cover(t: pa.Table) -> pa.Table:
+        day = t.column("day").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        off = np.tile(np.arange(7, dtype=np.int64), len(day))
+        return pa.Table.from_arrays(
+            [pa.array(np.repeat(day, 7) + off), pa.array(np.repeat(uid, 7))],
+            names=["day", "user_id"])
+
+    covered = bucket_distinct(
+        pairs.map_batches(_cover, batch_format="pyarrow"),
+        ["day", "user_id"])
+    return bucket_aggregate(covered, ["day"],
+                            {"n_users_7d": ("user_id", "count")})
