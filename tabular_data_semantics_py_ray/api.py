@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_kg_type_by_source(sf_dir: str):
+    from .pipelines.queries_kg import type_by_source
+
+    return type_by_source(sf_dir)
+
+
 def q_events_weekly_active(sf_dir: str):
     from .pipelines.relational import events_weekly_active
 
@@ -956,4 +962,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_related_docs": q_kg_related_docs,
         "events_item_sim": q_events_item_sim,
         "events_weekly_active": q_events_weekly_active,
+        "kg_type_by_source": q_kg_type_by_source,
     }

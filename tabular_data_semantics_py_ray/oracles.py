@@ -100,6 +100,24 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
 FROM linked GROUP BY 1, 2, 3"""
 
+    # chi-square contingency vs independence, from exact integer margins;
+    # expected/contrib computed UNROUNDED then rounded 6 on output
+    o["kg_type_by_source"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
+wt AS (SELECT doc_id, type_uri FROM win WHERE rn = 1),
+j AS (SELECT d.source, wt.type_uri
+      FROM wt JOIN documents d USING (doc_id)),
+c AS (SELECT source, type_uri, cast(count(*) AS BIGINT) AS n
+      FROM j GROUP BY 1, 2),
+t AS (SELECT sum(n) AS total FROM c),
+rm AS (SELECT source, sum(n) AS rsum FROM c GROUP BY 1),
+cm AS (SELECT type_uri, sum(n) AS csum FROM c GROUP BY 1)
+SELECT c.source, c.type_uri, c.n,
+       round(rm.rsum * cm.csum / cast(t.total AS DOUBLE), 6) AS expected,
+       round((c.n - rm.rsum * cm.csum / cast(t.total AS DOUBLE))
+             * (c.n - rm.rsum * cm.csum / cast(t.total AS DOUBLE))
+             / (rm.rsum * cm.csum / cast(t.total AS DOUBLE)), 6) AS contrib
+FROM c JOIN rm USING (source) JOIN cm USING (type_uri), t"""
+
     o["kg_degree_census"] = f"""WITH {_kg_ctes()},
 de AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
 dg AS (SELECT doc_id, cast(count(*) AS BIGINT) AS degree FROM de GROUP BY 1)

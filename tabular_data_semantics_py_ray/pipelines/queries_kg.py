@@ -1362,3 +1362,54 @@ def related_docs(sf_dir: str, *, min_shared: int = 26, hub_cap: int = 10_000):
         return t.filter(pc.greater_equal(t.column("n_shared"), min_shared))
 
     return counts.map_batches(_thresh, batch_format="pyarrow")
+
+
+def type_by_source(sf_dir: str):
+    """Annotation-drift contingency: CTA winner type crossed with the
+    document's SOURCE, with chi-square contributions against the
+    independence expectation -> (source, type_uri, n, expected, contrib).
+    The monitoring question behind it: does one crawl source produce a
+    systematically different type mix (a broken extractor, a spam
+    source)? Large contrib cells are where to look.
+
+    Scale shape: winners come from the existing one-shuffle vote; the
+    source attach is a broadcast-free pandas merge INSIDE the keyed vote
+    output against a doc->source map read column-pruned... at corpus
+    scale the attach is a doc-keyed bucket_join; here the winner table is
+    the corpus-bounded (1 row/doc) CTA output, so the join reuses the
+    hash-partitioned path. The contingency table itself is
+    |sources| x |types| — tiny — so expectations and contributions
+    compute in one final driver-side pass from exact integer margins
+    (float64 division + round 6, the stddev-parity convention)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..util import bucket_aggregate, bucket_join
+
+    import os
+
+    import ray.data as rd
+
+    winners = cta_doc_type(sf_dir)  # (doc_id, type_uri), 1 row per doc
+    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                          columns=["doc_id", "source"])
+
+    joined = bucket_join(
+        winners, src, key="doc_id",
+        left_cols={"type_uri": pa.string()},
+        right_cols={"source": pa.string()})
+    counts = bucket_aggregate(
+        joined, ["source", "type_uri"], {"n": ("doc_id", "count")}
+    ).to_pandas()
+
+    total = counts["n"].sum()
+    row_m = counts.groupby("source")["n"].transform("sum")
+    col_tot = counts.groupby("type_uri")["n"].sum()
+    col_m = counts["type_uri"].map(col_tot)
+    expected = (row_m.astype(np.float64) * col_m.astype(np.float64)
+                / float(total))
+    contrib = (counts["n"] - expected) ** 2 / expected
+    out = counts.copy()
+    out["expected"] = expected.round(6)
+    out["contrib"] = contrib.round(6)
+    return out.reset_index(drop=True)
