@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_source_lang_entropy(sf_dir: str):
+    from .pipelines.relational import source_lang_entropy
+
+    return source_lang_entropy(sf_dir)
+
+
 def q_kg_type_by_source(sf_dir: str):
     from .pipelines.queries_kg import type_by_source
 
@@ -963,4 +969,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_item_sim": q_events_item_sim,
         "events_weekly_active": q_events_weekly_active,
         "kg_type_by_source": q_kg_type_by_source,
+        "source_lang_entropy": q_source_lang_entropy,
     }

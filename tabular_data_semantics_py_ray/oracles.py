@@ -771,6 +771,16 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # Shannon entropy of each source's language mix, from exact counts
+    o["source_lang_entropy"] = """
+WITH c AS (SELECT source, lang, cast(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.source, cast(t.tot AS BIGINT) AS n_docs,
+       round(-sum((c.n / cast(t.tot AS DOUBLE))
+                  * ln(c.n / cast(t.tot AS DOUBLE))), 6) AS entropy
+FROM c JOIN t USING (source) GROUP BY 1, 2"""
+
     # trailing-7-day distinct users: every (user, day) covers the 7
     # window-end days [day, day+6]
     o["events_weekly_active"] = """

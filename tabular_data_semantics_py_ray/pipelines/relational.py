@@ -3660,3 +3660,34 @@ def events_weekly_active(sf_dir: str):
         ["day", "user_id"])
     return bucket_aggregate(covered, ["day"],
                             {"n_users_7d": ("user_id", "count")})
+
+
+def source_lang_entropy(sf_dir: str):
+    """Per-source language diversity: Shannon entropy of the language mix
+    -> (source, n_docs, entropy). The corpus-diversity report of a
+    multilingual pipeline (a source whose entropy collapses got
+    monolingual — crawler drift); complements the raw counts of
+    ``pivot_lang_source`` with the scalar the alerting actually tracks.
+
+    Scale shape: one combiner count shuffle to the |sources| x |langs|
+    domain table; entropy computes on the tiny result from exact integer
+    counts (scalar libm ln per cell, round 6 — the bit-parity
+    convention)."""
+    import math
+
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["source", "lang"],
+                 blocks=fanout_blocks(0.25))
+    counts = bucket_aggregate(
+        docs, ["source", "lang"], {"n": ("lang", "count")}).to_pandas()
+
+    rows = []
+    # lang-sorted term order: run-deterministic float summation
+    counts = counts.sort_values(["source", "lang"])
+    for src, grp in counts.groupby("source", sort=False):
+        n = grp["n"].to_numpy(dtype=np.int64)
+        tot = int(n.sum())
+        h = -sum((int(c) / tot) * math.log(int(c) / tot) for c in n)
+        rows.append((src, tot, round(h, 6)))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "entropy"])
