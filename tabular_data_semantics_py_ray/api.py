@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_user_journey_report(sf_dir: str):
+    from .pipelines.relational import user_journey_report
+
+    return user_journey_report(sf_dir)
+
+
 def q_source_lang_entropy(sf_dir: str):
     from .pipelines.relational import source_lang_entropy
 
@@ -970,4 +976,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_weekly_active": q_events_weekly_active,
         "kg_type_by_source": q_kg_type_by_source,
         "source_lang_entropy": q_source_lang_entropy,
+        "user_journey_report": q_user_journey_report,
     }

@@ -771,6 +771,40 @@ SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS corpus_doc,
        round(jaccard, 6) AS jaccard
 FROM j"""
 
+    # fused journey report: sessions (gap > 30 min), purchase counts,
+    # strict-precedence attribution, activity span
+    o["user_journey_report"] = """
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t, event_type,
+         lag(epoch_us(ts)) OVER w AS prev_t
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         1 + sum(CASE WHEN prev_t IS NOT NULL AND t - prev_t > 1800000000
+                      THEN 1 ELSE 0 END) AS n_sessions,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS n_purchases,
+         max(t) - min(t) AS span_us
+  FROM s GROUP BY 1
+),
+attr AS (
+  SELECT p.user_id, count(*) AS n_attr
+  FROM (SELECT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = 'purchase') p
+  WHERE EXISTS (SELECT 1 FROM events c
+                WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                  AND epoch_us(c.ts) < p.t)
+  GROUP BY 1
+)
+SELECT a.user_id, cast(a.n_events AS BIGINT) AS n_events,
+       cast(a.n_sessions AS BIGINT) AS n_sessions,
+       cast(a.n_purchases AS BIGINT) AS n_purchases,
+       cast(coalesce(attr.n_attr, 0) AS BIGINT) AS n_attributed,
+       cast(a.span_us AS BIGINT) AS span_us
+FROM agg a LEFT JOIN attr USING (user_id)"""
+
     # Shannon entropy of each source's language mix, from exact counts
     o["source_lang_entropy"] = """
 WITH c AS (SELECT source, lang, cast(count(*) AS BIGINT) AS n

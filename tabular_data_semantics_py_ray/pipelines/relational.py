@@ -3691,3 +3691,50 @@ def source_lang_entropy(sf_dir: str):
         h = -sum((int(c) / tot) * math.log(int(c) / tot) for c in n)
         rows.append((src, tot, round(h, 6)))
     return pd.DataFrame(rows, columns=["source", "n_docs", "entropy"])
+
+
+def user_journey_report(sf_dir: str, *, gap_minutes: int = 30):
+    """Per-user journey capstone — sessionization, purchase attribution
+    and activity span FUSED into one keyed pass -> (user_id, n_events,
+    n_sessions, n_purchases, n_attributed, span_us). The events-domain
+    analogue of ``curate_corpus``: several already-verified operator
+    semantics (30-min gap sessions, strict-precedence click attribution)
+    composed so the whole report costs ONE user-keyed bucket shuffle —
+    running the constituent queries separately would pay that exchange
+    four times.
+
+    All per-user work is vectorized over the user's contiguous sorted run
+    (gap compare, type masks, searchsorted attribution); outputs are
+    exact integers."""
+    from ..util import bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"],
+               blocks=fanout_blocks(0.5))
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _report(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = b["user_id"].to_numpy()
+        ts = b["ts"].astype("int64").to_numpy()
+        et = b["event_type"].to_numpy()
+        rows = []
+        starts = np.concatenate(
+            ([0], np.flatnonzero(uid[1:] != uid[:-1]) + 1, [len(b)]))
+        for i in range(len(starts) - 1):
+            s, e = starts[i], starts[i + 1]
+            t = ts[s:e]
+            k = et[s:e]
+            n_sessions = 1 + int(((t[1:] - t[:-1]) > gap_us).sum())
+            is_p = k == "purchase"
+            is_c = k == "click"
+            cts = t[is_c]
+            pts = t[is_p]
+            # attributed = purchases with a strictly earlier click
+            n_attr = int((np.searchsorted(cts, pts, side="left") > 0).sum())
+            rows.append((int(uid[s]), e - s, n_sessions, int(is_p.sum()),
+                        n_attr, int(t[-1] - t[0])))
+        return pd.DataFrame(rows, columns=[
+            "user_id", "n_events", "n_sessions", "n_purchases",
+            "n_attributed", "span_us"])
+
+    return bucket_map_keyed(ev, ["user_id"], _report)
