@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_events_item_cvr(sf_dir: str):
+    from .pipelines.relational import events_item_cvr
+
+    return events_item_cvr(sf_dir)
+
+
 def q_user_journey_report(sf_dir: str):
     from .pipelines.relational import user_journey_report
 
@@ -977,4 +983,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_by_source": q_kg_type_by_source,
         "source_lang_entropy": q_source_lang_entropy,
         "user_journey_report": q_user_journey_report,
+        "events_item_cvr": q_events_item_cvr,
     }

@@ -828,6 +828,32 @@ cov AS (
 SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
 FROM cov GROUP BY 1"""
 
+    # per-item view->purchase conversion over distinct users
+    o["events_item_cvr"] = r"""
+WITH x AS (
+  SELECT DISTINCT event_type, user_id,
+         CAST(NULLIF(regexp_extract(props, '"k":\s*(-?\d+)', 1), '')
+              AS BIGINT) AS item
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+    AND regexp_extract(props, '"k":\s*(-?\d+)', 1) <> ''
+),
+w AS (
+  SELECT item,
+         cast(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view_users,
+         cast(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purchase_users
+  FROM (SELECT DISTINCT item, event_type, user_id FROM x) t
+  GROUP BY 1
+)
+SELECT item, n_view_users, n_purchase_users,
+       CASE WHEN n_view_users > 0
+            THEN round(n_purchase_users
+                       / cast(n_view_users AS DOUBLE), 6)
+            ELSE 0.0 END AS cvr
+FROM w"""
+
     # item-item co-occurrence over distinct (user, item) interactions
     o["events_item_cooccur"] = r"""
 WITH x AS (

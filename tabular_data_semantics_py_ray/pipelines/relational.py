@@ -3738,3 +3738,52 @@ def user_journey_report(sf_dir: str, *, gap_minutes: int = 30):
             "n_attributed", "span_us"])
 
     return bucket_map_keyed(ev, ["user_id"], _report)
+
+
+def events_item_cvr(sf_dir: str):
+    """Per-item conversion rate: distinct users who viewed item k vs
+    distinct users who purchased it -> (item, n_view_users,
+    n_purchase_users, cvr). The funnel-per-item metric of any catalog
+    pipeline (items whose cvr collapses get investigated).
+
+    Scale shape: extraction + per-batch distinct thinning, one
+    hash-partitioned distinct on (event_type, user, item), then two
+    item-domain-bounded counts; cvr = purchasers / viewers in float64
+    from exact integer counts, round 6. Items never viewed report a
+    NULL-free 0-viewer row only if they were purchased (LEFT from the
+    purchase side would hide view-only items — FULL semantics via the
+    count table union)."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "props"],
+               blocks=fanout_blocks(0.5))
+
+    def _extract(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("props"), r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        out = pa.Table.from_arrays(
+            [t.column("event_type"), t.column("user_id").cast(pa.int64()), k],
+            names=["event_type", "user_id", "item"])
+        keep = pc.and_(pc.is_valid(out.column("item")),
+                       pc.is_in(out.column("event_type"),
+                                value_set=pa.array(["view", "purchase"])))
+        return out.filter(keep)
+
+    trip = bucket_distinct(
+        ev.map_batches(_extract, batch_format="pyarrow"),
+        ["event_type", "user_id", "item"])
+    counts = bucket_aggregate(
+        trip, ["item", "event_type"], {"n": ("user_id", "count")}
+    ).to_pandas()
+
+    wide = counts.pivot(index="item", columns="event_type", values="n")
+    wide = wide.reindex(columns=["view", "purchase"]).fillna(0).astype(int)
+    nv = wide["view"].to_numpy(dtype=np.int64)
+    npu = wide["purchase"].to_numpy(dtype=np.int64)
+    cvr = np.where(nv > 0, np.round(npu / np.maximum(nv, 1), 6), 0.0)
+    return pd.DataFrame({
+        "item": wide.index.to_numpy(dtype=np.int64),
+        "n_view_users": nv, "n_purchase_users": npu, "cvr": cvr,
+    }).reset_index(drop=True)
