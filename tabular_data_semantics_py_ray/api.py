@@ -532,6 +532,18 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_part_top_supplier(sf_dir: str):
+    from .pipelines.relational import part_top_supplier
+
+    return part_top_supplier(sf_dir)
+
+
+def q_orders_per_customer_census(sf_dir: str):
+    from .pipelines.relational import orders_per_customer_census
+
+    return orders_per_customer_census(sf_dir)
+
+
 def q_events_item_cvr(sf_dir: str):
     from .pipelines.relational import events_item_cvr
 
@@ -984,4 +996,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_entropy": q_source_lang_entropy,
         "user_journey_report": q_user_journey_report,
         "events_item_cvr": q_events_item_cvr,
+        "part_top_supplier": q_part_top_supplier,
+        "orders_per_customer_census": q_orders_per_customer_census,
     }

@@ -603,6 +603,31 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1"""
 
+    # Q2-shaped argmax join: most-frequent supplier per part, lowest
+    # suppkey on ties
+    o["part_top_supplier"] = """
+WITH c AS (
+  SELECT l_partkey, l_suppkey, cast(count(*) AS BIGINT) AS n_shipments
+  FROM lineitem GROUP BY 1, 2
+),
+w AS (
+  SELECT l_partkey, l_suppkey, n_shipments,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY n_shipments DESC, l_suppkey) AS rn
+  FROM c
+)
+SELECT l_partkey, l_suppkey, n_shipments FROM w WHERE rn = 1"""
+
+    # Q13: count-of-counts including zero-order customers
+    o["orders_per_customer_census"] = """
+WITH pc AS (
+  SELECT c.c_custkey, cast(count(o.o_orderkey) AS BIGINT) AS n_orders
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+)
+SELECT n_orders, cast(count(*) AS BIGINT) AS n_customers
+FROM pc GROUP BY 1"""
+
     # cents-rounded revenue BEFORE the ratio, share rounded 6 after
     o["revenue_share"] = """
 WITH rn AS (

@@ -3787,3 +3787,72 @@ def events_item_cvr(sf_dir: str):
         "item": wide.index.to_numpy(dtype=np.int64),
         "n_view_users": nv, "n_purchase_users": npu, "cvr": cvr,
     }).reset_index(drop=True)
+
+
+def part_top_supplier(sf_dir: str):
+    """TPC-H Q2-shaped correlated argmax join: for every part, the
+    supplier that shipped it MOST often -> (l_partkey, l_suppkey,
+    n_shipments), ties to the lowest suppkey. Unlike the tiny-domain
+    argmaxes (vote winners, tfidf top-k), the group domain here is
+    corpus-scale (|parts|), so the winner selection must ride the
+    shuffle, not the driver.
+
+    Scale shape: one combiner count shuffle to (part, supp) — a hot part
+    contributes one row per batch per supplier — then the per-part argmax
+    is ALREADY co-located (the count shuffle keys on the pair, so a
+    second part-keyed pass co-locates each part's suppliers); vectorized
+    sort + drop_duplicates per bucket."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+               blocks=fanout_blocks(0.5))
+    counts = bucket_aggregate(
+        li, ["l_partkey", "l_suppkey"], {"n_shipments": ("l_suppkey", "count")})
+
+    def _winner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_partkey", "n_shipments", "l_suppkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.drop_duplicates("l_partkey")[
+            ["l_partkey", "l_suppkey", "n_shipments"]]
+
+    return bucket_map_keyed(counts, ["l_partkey"], _winner)
+
+
+def orders_per_customer_census(sf_dir: str):
+    """TPC-H Q13: the distribution of order counts per customer INCLUDING
+    customers with zero orders -> (n_orders, n_customers). The zero bucket
+    is the point — it needs the LEFT side of an outer join, which a plain
+    groupby over orders can never produce.
+
+    Scale shape: orders pre-counted per customer in a combiner shuffle,
+    then ONE hash-partitioned left ``bucket_join`` customer -> counts
+    (both sides shuffled), nulls -> 0 inside the join bucket fn, and a
+    tiny count-of-counts census."""
+    from ..util import bucket_aggregate, bucket_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey"], blocks=fanout_blocks(0.5))
+    orders = _read(sf_dir, "orders", ["o_custkey"], blocks=fanout_blocks(0.5))
+
+    per_cust = bucket_aggregate(
+        orders.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("o_custkey").cast(pa.int64())], names=["c_custkey"]),
+            batch_format="pyarrow"),
+        ["c_custkey"], {"n_orders": ("c_custkey", "count")})
+
+    def _fill(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_orders"].fillna(0).astype(np.int64)
+        return pd.DataFrame({"c_custkey": df["c_custkey"].astype(np.int64),
+                             "n_orders": n})
+
+    joined = bucket_join(
+        cust.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("c_custkey").cast(pa.int64())], names=["c_custkey"]),
+            batch_format="pyarrow"),
+        per_cust, key="c_custkey",
+        left_cols={}, right_cols={"n_orders": pa.int64()},
+        how="left", post=_fill)
+
+    return bucket_aggregate(joined, ["n_orders"],
+                            {"n_customers": ("c_custkey", "count")})
