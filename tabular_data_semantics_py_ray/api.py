@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_part_type_supplier_census(sf_dir: str):
+    from .pipelines.relational import part_type_supplier_census
+
+    return part_type_supplier_census(sf_dir)
+
+
 def q_part_top_supplier(sf_dir: str):
     from .pipelines.relational import part_top_supplier
 
@@ -998,4 +1004,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_item_cvr": q_events_item_cvr,
         "part_top_supplier": q_part_top_supplier,
         "orders_per_customer_census": q_orders_per_customer_census,
+        "part_type_supplier_census": q_part_type_supplier_census,
     }

@@ -628,6 +628,12 @@ WITH pc AS (
 SELECT n_orders, cast(count(*) AS BIGINT) AS n_customers
 FROM pc GROUP BY 1"""
 
+    # Q16 shape: join then COUNT DISTINCT per dimension attribute
+    o["part_type_supplier_census"] = """
+SELECT p.p_type, cast(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1"""
+
     # cents-rounded revenue BEFORE the ratio, share rounded 6 after
     o["revenue_share"] = """
 WITH rn AS (

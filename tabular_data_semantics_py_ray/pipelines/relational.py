@@ -3856,3 +3856,45 @@ def orders_per_customer_census(sf_dir: str):
 
     return bucket_aggregate(joined, ["n_orders"],
                             {"n_customers": ("c_custkey", "count")})
+
+
+def part_type_supplier_census(sf_dir: str):
+    """TPC-H Q16-shaped join-then-COUNT-DISTINCT: distinct suppliers that
+    shipped each part TYPE -> (p_type, n_suppliers). The attribute lives
+    on the part dimension, the supplier on the fact — so the distinct
+    must run AFTER a key join, which is what separates this from the
+    plain distinct censuses.
+
+    Scale shape: lineitem thins to distinct (part, supp) pairs first
+    (combiner + hash-partitioned distinct — the fact table collapses to
+    its pair domain before any join), ONE hash-partitioned bucket_join
+    against the part dimension attaches p_type, then a second distinct on
+    (p_type, supp) and a tiny census."""
+    from ..util import bucket_aggregate, bucket_distinct, bucket_join
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"],
+               blocks=fanout_blocks(0.5))
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"],
+                 blocks=fanout_blocks(0.25))
+
+    pairs = bucket_distinct(li, ["l_partkey", "l_suppkey"])
+
+    joined = bucket_join(
+        pairs.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("l_partkey").cast(pa.int64()),
+                 t.column("l_suppkey").cast(pa.int64())],
+                names=["p_partkey", "l_suppkey"]),
+            batch_format="pyarrow"),
+        part.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("p_partkey").cast(pa.int64()),
+                 t.column("p_type")], names=["p_partkey", "p_type"]),
+            batch_format="pyarrow"),
+        key="p_partkey",
+        left_cols={"l_suppkey": pa.int64()},
+        right_cols={"p_type": pa.string()})
+
+    ts = bucket_distinct(joined, ["p_type", "l_suppkey"])
+    return bucket_aggregate(ts, ["p_type"],
+                            {"n_suppliers": ("l_suppkey", "count")})
