@@ -532,6 +532,12 @@ def q_contrastive_negatives(sf_dir: str):
     return contrastive_negatives(sf_dir)
 
 
+def q_orders_segment_salted(sf_dir: str):
+    from .pipelines.relational import orders_segment_salted
+
+    return orders_segment_salted(sf_dir)
+
+
 def q_part_type_supplier_census(sf_dir: str):
     from .pipelines.relational import part_type_supplier_census
 
@@ -1005,4 +1011,5 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_top_supplier": q_part_top_supplier,
         "orders_per_customer_census": q_orders_per_customer_census,
         "part_type_supplier_census": q_part_type_supplier_census,
+        "orders_segment_salted": q_orders_segment_salted,
     }

@@ -628,6 +628,11 @@ WITH pc AS (
 SELECT n_orders, cast(count(*) AS BIGINT) AS n_customers
 FROM pc GROUP BY 1"""
 
+    # salted many-to-one join must equal the plain join bit-for-bit
+    o["orders_segment_salted"] = """
+SELECT o.o_custkey, o.o_orderkey, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"""
+
     # Q16 shape: join then COUNT DISTINCT per dimension attribute
     o["part_type_supplier_census"] = """
 SELECT p.p_type, cast(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers

@@ -3898,3 +3898,36 @@ def part_type_supplier_census(sf_dir: str):
     ts = bucket_distinct(joined, ["p_type", "l_suppkey"])
     return bucket_aggregate(ts, ["p_type"],
                             {"n_suppliers": ("l_suppkey", "count")})
+
+
+def orders_segment_salted(sf_dir: str):
+    """Order -> customer-segment enrichment through the SALTED
+    many-to-one join (``util.bucket_join_salted``) — the hot-key join
+    demonstrator: a celebrity customer's orders spread over ``salts``
+    reduce buckets instead of forming one straggler, while each customer
+    row replicates ``salts`` times (tiny). Output (o_custkey, o_orderkey,
+    c_mktsegment) is bit-equal to the unsalted join; the skew handling is
+    purely a scheduling property."""
+    from ..util import bucket_join_salted
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"],
+                   blocks=fanout_blocks(0.5))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
+                 blocks=fanout_blocks(0.25))
+
+    return bucket_join_salted(
+        orders.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("o_custkey").cast(pa.int64()),
+                 t.column("o_orderkey").cast(pa.int64())],
+                names=["o_custkey", "o_orderkey"]),
+            batch_format="pyarrow"),
+        cust.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("c_custkey").cast(pa.int64()),
+                 t.column("c_mktsegment")],
+                names=["o_custkey", "c_mktsegment"]),
+            batch_format="pyarrow"),
+        key="o_custkey",
+        fact_cols={"o_orderkey": pa.int64()},
+        dim_cols={"c_mktsegment": pa.string()})

@@ -302,6 +302,77 @@ def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
     return bucket_map_keyed(tagged, [key], _join, num_buckets=num_buckets)
 
 
+def bucket_join_salted(fact_ds, dim_ds, *, key: str,
+                       fact_cols: dict[str, "pa.DataType"],
+                       dim_cols: dict[str, "pa.DataType"],
+                       key_type=None, salts: int = 8,
+                       num_buckets: int | None = None, post=None):
+    """Skew-safe MANY-TO-ONE equi-join: the salted-hot-key pattern the
+    plain ``bucket_join`` lacks. A hot key in ``bucket_join`` sends every
+    matching row of BOTH sides to one bucket — one straggling reduce task
+    owns the whole key. Here the FACT side's shuffle key becomes
+    (key, row_hash % salts), spreading a hot key over ``salts`` buckets,
+    and each DIM row is REPLICATED to all salts (legal precisely because
+    the dim side is unique per key — the many-to-one contract; a
+    many-to-many join cannot be salted this way without pair
+    replication). Dim replication cost: |dim| x salts tiny rows.
+
+    Output: key + fact_cols + dim_cols (inner join), exactly equal to
+    ``bucket_join`` on the same inputs — asserted by a differential test.
+    """
+    key_type = key_type or pa.int64()
+    declared = {**fact_cols, **dim_cols}
+
+    def _tag_fact(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column(key).cast(key_type)
+        # row-position hash: uniform, key-independent salt assignment
+        salt = pa.array((np.arange(n) % salts).astype(np.int8))
+        arrs, names = [k, salt], [key, "_salt"]
+        for c, tp in declared.items():
+            arrs.append(t.column(c).cast(tp) if c in fact_cols
+                        else pa.nulls(n, tp))
+            names.append(c)
+        arrs.append(pa.array(np.zeros(n, dtype=np.int8)))
+        names.append("_side")
+        return pa.Table.from_arrays(arrs, names=names)
+
+    def _tag_dim(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = t.column(key).cast(key_type).to_numpy(zero_copy_only=False)
+        rep_k = np.repeat(k, salts)
+        salt = pa.array(np.tile(np.arange(salts, dtype=np.int8), n))
+        arrs = [pa.array(rep_k), salt]
+        names = [key, "_salt"]
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salts))
+        for c, tp in declared.items():
+            if c in dim_cols:
+                arrs.append(t.column(c).cast(tp).take(idx))
+            else:
+                arrs.append(pa.nulls(n * salts, tp))
+            names.append(c)
+        arrs.append(pa.array(np.ones(n * salts, dtype=np.int8)))
+        names.append("_side")
+        return pa.Table.from_arrays(arrs, names=names)
+
+    tagged = fact_ds.map_batches(_tag_fact, batch_format="pyarrow").union(
+        dim_ds.map_batches(_tag_dim, batch_format="pyarrow"))
+
+    fsel = [key, "_salt"] + list(fact_cols)
+    dsel = [key, "_salt"] + list(dim_cols)
+    dtypes = {c: tp.to_pandas_dtype() for c, tp in declared.items()}
+
+    def _join(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.loc[g["_side"] == 0, fsel].merge(
+            g.loc[g["_side"] == 1, dsel], on=[key, "_salt"], how="inner")
+        out = out.drop(columns=["_salt"])
+        out = out.astype({c: dtypes[c] for c in out.columns if c in dtypes})
+        return post(out) if post is not None else out
+
+    return bucket_map_keyed(tagged, [key, "_salt"], _join,
+                            num_buckets=num_buckets)
+
+
 def bucket_anti_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
                      left_cols: dict[str, pa.DataType] | None = None,
                      key_type: pa.DataType = pa.int64(),
