@@ -1705,7 +1705,12 @@ FROM s"""
     # mirrors the manifest derivation: 12-token chunks, (doc+chunk)%4==0)
     o["media_pack_assign"] = """
 WITH d AS (
-  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS nt
+  -- span semantics: an empty/NULL text produces ZERO spans (interleave
+  -- emits no chunks), so nt=0 — unlike the raw-text packer where
+  -- string_split('') counts 1. nt=0 also zeroes the media chunk range.
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR text = '' THEN 0
+              ELSE cast(len(string_split(text, ' ')) AS BIGINT) END AS nt
   FROM documents
 ),
 mc AS (

@@ -203,7 +203,8 @@ def triples_from_documents_doclocal(documents_ds, *, concurrency=(1, 4),
 def triples_stream_to_parquet(documents_ds, out_dir: str, *,
                               concurrency=(1, 4),
                               link_batch_size: int | None = None,
-                              etype_shuffle: bool = False,
+                              etype_shuffle: bool | None = None,
+                              etype_driver_max: int = 1_000_000,
                               fast: bool = True,
                               pre_interleaved: bool = False,
                               backend: str | None = None) -> tuple[str, str]:
@@ -222,13 +223,15 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
     thousand docs each.
 
     Entity-type finalize: after the per-actor memo, the pair stream holds at
-    most ``n_actors * |entity_types|`` rows, so the default path collects it
+    most ``n_actors * |entity_types|`` rows, so for small KGs it is collected
     on the driver (a small-result collect, not a corpus materialize) and
-    writes one sorted file. For KGs whose type table itself is huge, pass
-    ``etype_shuffle=True`` to use a distributed bucket distinct instead —
-    measured on this box the groupby's fixed all-to-all cost (~10 ms per
-    input block plus sampling barriers) dominates the tiny data, which is
-    why it is not the default.
+    written as one sorted file. ``etype_shuffle=None`` (default) AUTO-FLIPS
+    on the pinned type-table size: a KG with more than ``etype_driver_max``
+    (entity, type) rows takes the distributed bucket-distinct path instead —
+    the caller no longer has to know their KG is huge. For small KGs the
+    driver collect wins because the groupby's fixed all-to-all cost (~10 ms
+    per input block plus sampling barriers) dominates the tiny data
+    (measured on this box). Pass an explicit bool to override.
 
     Returns ``(doc_triples_dir, entity_type_triples_dir)``.
     """
@@ -257,6 +260,7 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
         from ..stages.linking_fast import DocTriplesFast
 
         ctor = {"sink_dir": main_dir, "pre_interleaved": pre_interleaved}
+        n_types = len(fixture_kg.entity_types_df())
         if backend is not None:
             # named KG backend (state/backends.py): the actors pin ITS
             # tables instead of the fixture's
@@ -265,6 +269,7 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
             b = get_backend(backend)
             ctor.update(lexicon=b.lexicon(), entity_types=b.entity_types(),
                         alias_edges=b.alias_edges())
+            n_types = len(ctor["entity_types"])
         pairs = documents_ds.map_batches(
             DocTriplesFast,
             fn_constructor_kwargs=ctor,
@@ -273,6 +278,7 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
             concurrency=concurrency,
         )
     else:
+        n_types = len(fixture_kg.entity_types_df())
         pairs = documents_ds.map_batches(
             DocTriples,
             fn_constructor_kwargs={
@@ -285,6 +291,10 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
             batch_size=link_batch_size,
             concurrency=concurrency,
         )
+    if etype_shuffle is None:
+        # auto-flip: a KG whose pinned type table exceeds the driver budget
+        # takes the distributed distinct; small KGs take the cheaper collect
+        etype_shuffle = n_types > etype_driver_max
     sort_keys = [("subj", "ascending"), ("pred", "ascending"),
                  ("obj", "ascending")]
     if etype_shuffle:

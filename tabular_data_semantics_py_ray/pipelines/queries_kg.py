@@ -1236,7 +1236,7 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
     acc = [frontier]
     for _ in range(max_depth):
         # frontier(cls -> anc, d) x edges(anc -> parent) => (cls -> parent, d+1)
-        nxt = bucket_join(
+        joined = bucket_join(
             frontier, edges_ds.map_batches(
                 lambda t: pa.Table.from_arrays(
                     [t.column("cls_uri"), t.column("ancestor_uri")],
@@ -1250,11 +1250,26 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
                 "cls_uri": df["cls_uri"],
                 "ancestor_uri": df["parent"],
                 "distance": df["distance"] + 1}),
-        ).materialize()
+        )
+        # min-distance-distinct the frontier BEFORE the next join: in a
+        # multi-parent DAG the raw join output carries one row per distinct
+        # PATH (exponential on dense ontologies); the distinct keeps the
+        # frontier bounded by |closure pairs|
+        nxt = bucket_aggregate(
+            joined, ["cls_uri", "ancestor_uri"],
+            {"distance": ("distance", "min")}).materialize()
         if nxt.count() == 0:
             break
         acc.append(nxt)
         frontier = nxt
+    else:
+        import warnings
+
+        warnings.warn(
+            f"class_closure_compute: frontier non-empty after max_depth="
+            f"{max_depth} iterations — hierarchy deeper than max_depth "
+            "(or cyclic); closure is TRUNCATED. Raise max_depth.",
+            stacklevel=2)
 
     all_pairs = acc[0]
     for a in acc[1:]:

@@ -174,7 +174,15 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
     )
     top = agg.sort(["revenue", "l_partkey"], descending=[True, False]).limit(k)
     top_df = top.to_pandas()  # k rows — driver-side is fine
-    part = _read(sf_dir, "part", ["p_partkey", "p_name"]).to_pandas()
+    # name the k winners via predicate+column pushdown: only row groups
+    # containing the k keys leave storage (never the whole part table)
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"],
+        filters=[("p_partkey", "in", top_df["l_partkey"].tolist())],
+    ).to_pandas()
     out = top_df.merge(part, left_on="l_partkey", right_on="p_partkey")
     out["revenue"] = out["revenue"].round(2)
     return out[["p_partkey", "p_name", "revenue"]]
@@ -2904,11 +2912,24 @@ def events_props_stats(sf_dir: str):
             names=["event_type", "k", "k_present"])
 
     parsed = ev.map_batches(_extract, batch_format="pyarrow")
-    return bucket_aggregate(
+    agg = bucket_aggregate(
         parsed, ["event_type"],
         {"n": ("event_type", "count"), "n_k": ("k_present", "sum"),
          "sum_k": ("k", "sum"), "min_k": ("k", "min"),
          "max_k": ("k", "max")})
+
+    def _sql_nulls(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas sum over an all-null group returns 0.0 where SQL sum(k)
+        # is NULL; restore NULL (NaN) when no k value was parseable
+        # (min/max already yield NaN over all-null groups)
+        empty = df["n_k"].to_numpy() == 0
+        if empty.any():
+            df = df.copy()
+            df["sum_k"] = df["sum_k"].astype("float64")
+            df.loc[empty, "sum_k"] = np.nan
+        return df
+
+    return agg.map_batches(_sql_nulls, batch_format="pandas")
 
 
 def events_rolling_7d(sf_dir: str):

@@ -430,7 +430,22 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
 # ----------------------------------------------------------------------
 # SimHash near-dup: 4-segment pigeonhole blocking for hamming <= 3.
 # ----------------------------------------------------------------------
+# Per-process token->md5 memo. BOUNDED: an open-vocabulary 100-TB corpus
+# would grow an uncapped dict without limit inside long-lived workers, so
+# on overflow the oldest half (insertion order) is evicted — cheap
+# approximate LRU without per-hit bookkeeping.
 _MD5_TOKEN_CACHE: dict[str, int] = {}
+_MD5_TOKEN_CACHE_CAP = 1_000_000
+
+
+def _md5_cached(t: str, _md5) -> int:
+    h = _MD5_TOKEN_CACHE.get(t)
+    if h is None:
+        if len(_MD5_TOKEN_CACHE) >= _MD5_TOKEN_CACHE_CAP:
+            for k in list(_MD5_TOKEN_CACHE)[: _MD5_TOKEN_CACHE_CAP // 2]:
+                del _MD5_TOKEN_CACHE[k]
+        h = _MD5_TOKEN_CACHE[t] = _md5(t)
+    return h
 
 
 def _simhash_batch(batch: pa.Table) -> pa.Table:
@@ -457,10 +472,7 @@ def _simhash_batch(batch: pa.Table) -> pa.Table:
     uniq, inv = np.unique(flat, return_inverse=True)
     hs = np.empty(len(uniq), dtype=np.uint64)
     for i, t in enumerate(uniq):
-        h = _MD5_TOKEN_CACHE.get(t)
-        if h is None:
-            h = _MD5_TOKEN_CACHE[t] = md5_hash64(t)
-        hs[i] = h
+        hs[i] = _md5_cached(t, md5_hash64)
     # (U, 64) signed bit contributions, gathered per token, summed per doc
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
             & np.uint64(1)).astype(np.int8)

@@ -398,7 +398,12 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
 
     from ..util import bucket_map_keyed
 
-    if checkpoint_dir is None:
+    # lifecycle: when WE create the checkpoint dir it is deleted after the
+    # final reduce materializes (the O(n*d) normalized-vector copy must not
+    # outlive the call); a caller-passed checkpoint_dir is caller-owned and
+    # left in place (e.g. to share blocks across multiple graph builds).
+    owned = checkpoint_dir is None
+    if owned:
         checkpoint_dir = tempfile.mkdtemp(prefix="knng_", dir="/tmp")
     else:
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
@@ -488,7 +493,13 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
             "knn_rank": (g.groupby("vec_id", sort=False).cumcount() + 1
                          ).to_numpy(dtype=np.int64)})
 
-    return bucket_map_keyed(partial, ["vec_id"], _final)
+    out = bucket_map_keyed(partial, ["vec_id"], _final)
+    if owned:
+        # the edge list is k*n rows (output-sized); materializing it lets
+        # the O(n*d) checkpoint be deleted before this call returns
+        out = out.materialize()
+        shutil.rmtree(checkpoint_dir, ignore_errors=True)
+    return out
 
 
 def emb_kmeans_train(embeddings_ds, *, iters: int = 3):

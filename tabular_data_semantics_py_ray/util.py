@@ -311,7 +311,9 @@ def bucket_join_salted(fact_ds, dim_ds, *, key: str,
     plain ``bucket_join`` lacks. A hot key in ``bucket_join`` sends every
     matching row of BOTH sides to one bucket — one straggling reduce task
     owns the whole key. Here the FACT side's shuffle key becomes
-    (key, row_hash % salts), spreading a hot key over ``salts`` buckets,
+    (key, salt) with the salt assigned round-robin by row POSITION within
+    each batch (np.arange(n) % salts — uniform and key-independent, so a
+    hot key's rows spread over ``salts`` buckets regardless of its hash),
     and each DIM row is REPLICATED to all salts (legal precisely because
     the dim side is unique per key — the many-to-one contract; a
     many-to-many join cannot be salted this way without pair
@@ -321,6 +323,8 @@ def bucket_join_salted(fact_ds, dim_ds, *, key: str,
     ``bucket_join`` on the same inputs — asserted by a differential test.
     """
     key_type = key_type or pa.int64()
+    if not 1 <= salts <= 127:  # salt column is int8
+        raise ValueError(f"salts must be in [1, 127], got {salts}")
     declared = {**fact_cols, **dim_cols}
 
     def _tag_fact(t: pa.Table) -> pa.Table:

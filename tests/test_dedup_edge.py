@@ -263,3 +263,24 @@ def test_fuzzy_edit_dp_matches_reference(ray_session):
                 expected.add((tok, uri, d))
     got = set(map(tuple, out[["token", "entity_uri", "dist"]].values.tolist()))
     assert got == expected and len(expected) >= 5
+
+
+def test_md5_token_cache_bounded():
+    """Open-vocabulary stress: the per-process token->md5 memo evicts on
+    overflow instead of growing without bound inside long-lived workers."""
+    from tabular_data_semantics_py_ray.functions.hashing import md5_hash64
+    from tabular_data_semantics_py_ray.stages import dedup
+
+    dedup._MD5_TOKEN_CACHE.clear()
+    old_cap = dedup._MD5_TOKEN_CACHE_CAP
+    dedup._MD5_TOKEN_CACHE_CAP = 100
+    try:
+        for i in range(5000):
+            assert dedup._md5_cached(f"tok{i}", md5_hash64) == md5_hash64(
+                f"tok{i}")
+        assert len(dedup._MD5_TOKEN_CACHE) <= 100
+        # re-derivation after eviction stays correct
+        assert dedup._md5_cached("tok0", md5_hash64) == md5_hash64("tok0")
+    finally:
+        dedup._MD5_TOKEN_CACHE_CAP = old_cap
+        dedup._MD5_TOKEN_CACHE.clear()

@@ -126,3 +126,26 @@ def test_doclocal_small_batches_still_exact(sf_small):
     )
     classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
     pd.testing.assert_frame_equal(classic, doclocal)
+
+
+def test_etype_auto_flip_distributed(sf_small, tmp_path):
+    """etype_shuffle=None auto-flips to the distributed distinct when the
+    pinned type table exceeds etype_driver_max — output identical to the
+    driver-collect path."""
+    out_a = str(tmp_path / "auto_small_budget")
+    triples_stream_to_parquet(read_documents(sf_small), out_a,
+                              link_batch_size=13, etype_driver_max=0)
+    # the distributed path writes >=1 ray part files, never the single
+    # driver-collected part-00000.parquet
+    import os
+
+    files = os.listdir(os.path.join(out_a, "entity_type_triples"))
+    assert files and files != ["part-00000.parquet"]
+    out_b = str(tmp_path / "auto_default")
+    triples_stream_to_parquet(read_documents(sf_small), out_b,
+                              link_batch_size=13)
+    assert os.listdir(os.path.join(out_b, "entity_type_triples")) == [
+        "part-00000.parquet"]
+    pd.testing.assert_frame_equal(
+        _canon(read_stream_result(out_a).to_pandas()),
+        _canon(read_stream_result(out_b).to_pandas()))

@@ -1,7 +1,9 @@
 """Driver-style side-by-side check: every queries() entry with an
 oracle_sql() entry must match DuckDB on row count, column names and values
-(order-insensitive), at sf0.001. This is a local replica of the driver's
-CORRECTNESS gate so mismatches surface before a round ends."""
+(order-insensitive), at BOTH sf0.001 and sf0.01 (the driver runs sf0.01, so
+the larger sweep catches scale-dependent divergence the tiny one can't).
+This is a local replica of the driver's CORRECTNESS gate so mismatches
+surface before a round ends."""
 
 from __future__ import annotations
 
@@ -18,17 +20,17 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
 
 
-def _duck(sql: str) -> pd.DataFrame:
+def _duck(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(SF_DIR, t)}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
     return con.execute(sql).fetchdf()
 
@@ -54,10 +56,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+@pytest.mark.parametrize("sf_dir", SF_DIRS,
+                         ids=[os.path.basename(d) for d in SF_DIRS])
 @pytest.mark.parametrize("name", sorted(_ORACLES.keys()))
-def test_query_matches_oracle(name):
-    ray_df = _canon(_to_pandas(_QUERIES[name](SF_DIR)))
-    duck_df = _canon(_duck(_ORACLES[name]))
+def test_query_matches_oracle(name, sf_dir):
+    ray_df = _canon(_to_pandas(_QUERIES[name](sf_dir)))
+    duck_df = _canon(_duck(_ORACLES[name], sf_dir))
     assert list(ray_df.columns) == list(duck_df.columns), (
         f"{name}: columns {list(ray_df.columns)} != {list(duck_df.columns)}"
     )
