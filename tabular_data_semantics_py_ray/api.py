@@ -881,9 +881,59 @@ def q_media_features(sf_dir: str):
     return media_features(sf_dir)
 
 
+# ---- real-KG ingestion (RDF dump -> backend tables; round 3) --------------
+
+def q_kg_ingest_lexicon(sf_dir: str):
+    """Distributed N-Triples parse of the deterministic ~1MB dump ->
+    lexical index (surface_form, entity_uri, rank). The dump is the KG,
+    corpus-independent; sf_dir is unused (uniform query signature)."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_lexicon, read_ntriples
+
+    return derive_lexicon(read_ntriples(dump_path()))
+
+
+def q_kg_ingest_types(sf_dir: str):
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_entity_types, read_ntriples
+
+    return derive_entity_types(read_ntriples(dump_path()))
+
+
+def q_kg_ingest_alias(sf_dir: str):
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_alias_edges, read_ntriples
+
+    return derive_alias_edges(read_ntriples(dump_path()))
+
+
+def q_kg_ingest_closure(sf_dir: str):
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_class_closure, read_ntriples
+
+    return derive_class_closure(read_ntriples(dump_path()))
+
+
+def q_kg_cea_link_ingested(sf_dir: str):
+    """End-to-end first mile: RDF dump -> parquet backend tables ->
+    registered KGBackend -> CEA linking over it. Output equals the
+    fixture-backend kg_cea_link (the dump serializes the fixture KG plus
+    non-colliding noise namespaces), so it shares that oracle."""
+    from .pipelines.kg_ingest import ensure_ingested_backend
+    from .pipelines.queries_kg import cea_link
+
+    ensure_ingested_backend("ingested")
+    return cea_link(sf_dir, backend="ingested")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_cea_link": q_kg_cea_link,
+        "kg_ingest_lexicon": q_kg_ingest_lexicon,
+        "kg_ingest_types": q_kg_ingest_types,
+        "kg_ingest_alias": q_kg_ingest_alias,
+        "kg_ingest_closure": q_kg_ingest_closure,
+        "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,
         "kg_cta_ancestors": q_kg_cta_ancestors,

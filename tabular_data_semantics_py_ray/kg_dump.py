@@ -1,0 +1,281 @@
+"""Deterministic N-Triples dump of a synthetic knowledge graph.
+
+The reference's first mile is a real KG file: ``ontology/onto_access.py:42-98``
+loads ``dbpedia.owl`` / ``schema.org.owl`` with owlready2 and the annotation
+registry (``ontology/annotations.py:14-103``) names the ~40 label/synonym
+predicates that feed its lexical index
+(``ontology/ontology_projection.py:1420-1470``). This module produces the
+equivalent ingestion INPUT for this engine, fully deterministically and from
+public vocabulary only: an RDF dump in N-Triples syntax containing
+
+- the complete fixture KG (``fixture_kg``) serialized with the standard
+  predicates — labels via skos:prefLabel / skos:altLabel / rdfs:label,
+  types via rdf:type, taxonomy via rdfs:subClassOf, redirects via a
+  dbo:wikiPageRedirects analogue, owl:sameAs, owl:equivalentClass — so a
+  parse + derive round-trip must reproduce the four backend tables the
+  whole engine runs on, and
+- a deterministic ~1 MB "noise" portion in separate namespaces that
+  exercises real-dump conditions: shared surface forms (rank > 1),
+  non-English labels (filtered), multi-parent class DAGs (closure dedup),
+  redirect chains, literal escapes (\\" \\n \\t \\\\ \\uXXXX), datatyped
+  literals, blank nodes, comments, blank lines and irregular whitespace.
+
+Everything is emitted twice from the SAME Python triple list — as N-Triples
+text for the Ray parser and as SQL VALUES for the DuckDB oracle — so the
+two sides can only diverge on computation, never on content.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from . import fixture_kg
+from .constants import ONT, OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, RDFS_SUBCLASSOF
+
+# --- public vocabulary (W3C standard namespaces) ---------------------------
+SKOS_PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
+SKOS_ALT = "http://www.w3.org/2004/02/skos/core#altLabel"
+OWL_EQUIV_CLASS = "http://www.w3.org/2002/07/owl#equivalentClass"
+OWL_CLASS = "http://www.w3.org/2002/07/owl#Class"
+XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DOUBLE = "http://www.w3.org/2001/XMLSchema#double"
+
+# dbo:wikiPageRedirects analogue (kg/entity.py wikiPage* family); lives in
+# the fixture ontology namespace like the reference's dbo predicates.
+REDIRECT_PRED = ONT + "wikiPageRedirects"
+
+# Predicates whose ENGLISH literal objects feed the lexical index —
+# the local analogue of annotations.py:14-103's preferred/alternative split.
+PREF_LABEL_PREDS = (SKOS_PREF, RDFS_LABEL)
+ALT_LABEL_PREDS = (SKOS_ALT,)
+LABEL_PREDS = PREF_LABEL_PREDS + ALT_LABEL_PREDS
+
+# Noise namespaces — disjoint from the fixture's so tests can split the
+# ingested tables back into "fixture portion" vs "noise portion" by prefix.
+NENT = "http://example.org/noise/"
+NONT = "http://example.org/noise-ontology/"
+
+N_NOISE_ENTITIES = 3000
+N_NOISE_CLASSES = 40
+
+# Triple tuple: (subj, pred, obj, obj_kind, lang, dtype)
+#   obj_kind in {'iri', 'literal', 'bnode'}; lang/dtype are '' when absent.
+Triple = tuple[str, str, str, str, str, str]
+
+
+def _iri(s: str, p: str, o: str) -> Triple:
+    return (s, p, o, "iri", "", "")
+
+
+def _lit(s: str, p: str, o: str, lang: str = "", dtype: str = "") -> Triple:
+    return (s, p, o, "literal", lang, dtype)
+
+
+def fixture_triples() -> list[Triple]:
+    """The fixture KG as logical triples. Rank encoding contract: rank 1 ->
+    skos:prefLabel, rank >= 2 -> skos:altLabel; re-ingestion derives rank =
+    row_number over (surface_form ORDER BY is_alt, entity_uri), which
+    round-trips exactly because the fixture has at most one pref and one alt
+    per surface form (pref-before-alt mirrors the lookup relevance order the
+    reference gets from its service, kg/lookup.py:212-219)."""
+    out: list[Triple] = []
+    for surface, ent, rank in fixture_kg.LEXICON:
+        pred = SKOS_PREF if rank == 1 else SKOS_ALT
+        out.append(_lit(ent, pred, surface, "en"))
+    for ent, types in fixture_kg.ENTITY_TYPES.items():
+        for t in types:
+            out.append(_iri(ent, RDF_TYPE, ONT + t))
+    for a, b, kind in fixture_kg.ALIAS_EDGES:
+        pred = REDIRECT_PRED if kind == "redirect" else OWL_SAMEAS
+        out.append(_iri(a, pred, b))
+    for child, parent in sorted(fixture_kg.CLASS_PARENT.items()):
+        out.append(_iri(ONT + child, RDFS_SUBCLASSOF, ONT + parent))
+        out.append(_iri(ONT + child, RDF_TYPE, OWL_CLASS))
+    for a, b in fixture_kg.CLASS_EQUIV:
+        out.append(_iri(ONT + a, OWL_EQUIV_CLASS, ONT + b))
+    return out
+
+
+def noise_triples() -> list[Triple]:
+    """~1 MB of deterministic noise (index arithmetic, no RNG): shared
+    surface forms, filtered languages, DAG taxonomy, redirect chains,
+    datatyped / escaped literals, blank nodes."""
+    out: list[Triple] = []
+
+    # --- class DAG: tree of fan-out 3 plus extra multi-parent edges -------
+    for i in range(N_NOISE_CLASSES):
+        cls = f"{NONT}NClass_{i:02d}"
+        out.append(_iri(cls, RDF_TYPE, OWL_CLASS))
+        if i == 0:
+            out.append(_iri(cls, RDFS_SUBCLASSOF, ONT + "Thing"))
+        else:
+            out.append(_iri(cls, RDFS_SUBCLASSOF, f"{NONT}NClass_{(i - 1) // 3:02d}"))
+            # second parent on some classes -> multiple paths to shared
+            # ancestors (the frontier must min-distance-distinct, not
+            # enumerate paths)
+            if i % 5 == 2 and (i - 1) // 3 != max(0, i - 7):
+                out.append(
+                    _iri(cls, RDFS_SUBCLASSOF, f"{NONT}NClass_{max(0, i - 7):02d}")
+                )
+        out.append(_lit(cls, RDFS_LABEL, f"noise class {i:02d}", "en"))
+
+    # --- entities ----------------------------------------------------------
+    for i in range(N_NOISE_ENTITIES):
+        ent = f"{NENT}Noise_{i:05d}"
+        out.append(_iri(ent, RDF_TYPE, f"{NONT}NClass_{i % N_NOISE_CLASSES:02d}"))
+        if i % 11 == 0:
+            out.append(
+                _iri(ent, RDF_TYPE, f"{NONT}NClass_{(i * 7) % N_NOISE_CLASSES:02d}")
+            )
+        out.append(_lit(ent, SKOS_PREF, f"noiseterm{i:05d}", "en"))
+        if i % 13 == 0:
+            # ~97 shared surface forms, each claimed by ~2-3 entities via
+            # altLabel -> ranks 1..k ordered by entity_uri
+            out.append(_lit(ent, SKOS_ALT, f"sharedterm{(i // 13) % 97:03d}", "en"))
+        if i % 17 == 0:  # non-English: must NOT reach the lexicon
+            out.append(_lit(ent, RDFS_LABEL, f"bruit num\u00e9ro {i}", "fr"))
+        if i % 23 == 0:  # duplicate pref via rdfs:label: dedup to one row
+            out.append(_lit(ent, RDFS_LABEL, f"noiseterm{i:05d}", "en"))
+        if i % 19 == 0 and i + 1 < N_NOISE_ENTITIES:
+            out.append(_iri(ent, REDIRECT_PRED, f"{NENT}Noise_{i + 1:05d}"))
+        if i % 29 == 0:
+            out.append(_iri(ent, OWL_SAMEAS, f"http://kg2.example.org/entity/N{i}"))
+        if i % 31 == 0:  # escaped-literal gauntlet (non-label predicate)
+            out.append(
+                _lit(
+                    ent,
+                    ONT + "comment",
+                    f'entity #{i} said "hi"\n\tpath c:\\tmp caf\u00e9 \u2603',
+                    "en",
+                )
+            )
+        if i % 37 == 0:
+            out.append(_lit(ent, ONT + "rank", str(i), dtype=XSD_INT))
+        if i % 41 == 0:
+            out.append(_lit(ent, ONT + "score", f"{i}.25", dtype=XSD_DOUBLE))
+
+    # explicit 2-hop redirect chain (the reference's 2-iteration closure)
+    out.append(_iri(f"{NENT}ChainA", REDIRECT_PRED, f"{NENT}ChainB"))
+    out.append(_iri(f"{NENT}ChainB", REDIRECT_PRED, f"{NENT}ChainC"))
+
+    # blank nodes as subject and object
+    out.append(_iri("_:bn0", RDF_TYPE, f"{NONT}NClass_00"))
+    out.append(_lit("_:bn0", RDFS_LABEL, "anonymous thing", "en"))
+    out.append(_iri(f"{NENT}Noise_00000", ONT + "linkedVia", "_:bn0"))
+    return out
+
+
+@lru_cache(maxsize=1)
+def all_triples() -> tuple[Triple, ...]:
+    return tuple(fixture_triples() + noise_triples())
+
+
+# --------------------------------------------------------------------------
+# N-Triples serialization (RDF 1.1 N-Triples grammar).
+# --------------------------------------------------------------------------
+def _escape_literal(s: str, ascii_only: bool) -> str:
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        elif ord(ch) > 127 and ascii_only:
+            out.append(f"\\u{ord(ch):04X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _term(value: str, kind: str, lang: str, dtype: str, ascii_only: bool) -> str:
+    if kind == "iri":
+        return f"<{value}>"
+    if kind == "bnode":
+        return value
+    lit = f'"{_escape_literal(value, ascii_only)}"'
+    if lang:
+        lit += f"@{lang}"
+    elif dtype:
+        lit += f"^^<{dtype}>"
+    return lit
+
+
+def to_ntriples(triples, *, quirks: bool = True) -> str:
+    """Serialize to N-Triples text. With ``quirks`` (default), inject the
+    legal syntax variation a real dump carries: comment lines, blank lines,
+    tab separators, trailing spaces, and alternating \\uXXXX vs raw UTF-8
+    encodings of non-ASCII characters (deterministic by line index)."""
+    lines: list[str] = []
+    if quirks:
+        lines.append("# synthetic KG dump (deterministic) - N-Triples")
+        lines.append("")
+    for i, (s, p, o, kind, lang, dtype) in enumerate(triples):
+        ascii_only = quirks and i % 2 == 0
+        sep = "\t" if quirks and i % 97 == 13 else " "
+        skind = "bnode" if s.startswith("_:") else "iri"
+        line = sep.join(
+            [
+                _term(s, skind, "", "", ascii_only),
+                _term(p, "iri", "", "", ascii_only),
+                _term(o, kind, lang, dtype, ascii_only),
+            ]
+        )
+        line += " ." + ("  " if quirks and i % 89 == 7 else "")
+        lines.append(line)
+        if quirks and i % 500 == 499:
+            lines.append(f"# checkpoint after {i + 1} triples")
+            lines.append("")
+    return "\n".join(lines) + "\n"
+
+
+def write_dump(path: str, *, quirks: bool = True) -> str:
+    text = to_ntriples(all_triples(), quirks=quirks)
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    return path
+
+
+@lru_cache(maxsize=1)
+def dump_path() -> str:
+    """Path of the dump file: the checked-in copy
+    (``data/kg_dump.nt``, guarded against generator drift by
+    tests/test_kg_ingest.py) when present, else staged once per process
+    under /tmp, content-addressed so concurrent sessions converge."""
+    import hashlib
+    import os
+
+    repo_copy = os.path.join(os.path.dirname(__file__), "data", "kg_dump.nt")
+    if os.path.exists(repo_copy):
+        return repo_copy
+    text = to_ntriples(all_triples(), quirks=True)
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+    path = f"/tmp/tds_kg_dump_{digest}.nt"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)  # atomic: concurrent writers converge
+    return path
+
+
+# --------------------------------------------------------------------------
+# SQL VALUES emitters (oracle side) — same logical triples.
+# --------------------------------------------------------------------------
+def _q(v: str) -> str:
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def triples_values_sql() -> str:
+    """``trip(subj, pred, obj, kind, lang)`` VALUES body for ALL dump
+    triples (dtype dropped: no derivation uses it; the parser still has to
+    parse it off the literals)."""
+    return ",\n    ".join(
+        f"({_q(s)}, {_q(p)}, {_q(o)}, {_q(k)}, {_q(lng)})"
+        for s, p, o, k, lng, _ in all_triples()
+    )

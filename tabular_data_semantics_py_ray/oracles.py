@@ -100,6 +100,65 @@ def oracle_sql() -> dict[str, str]:
 SELECT doc_id, mention, entity_uri, count(*) AS n_mentions
 FROM linked GROUP BY 1, 2, 3"""
 
+    # ---- real-KG ingestion (round 3): the oracle re-derives each backend
+    # table from the RAW LOGICAL TRIPLES (same Python list the N-Triples
+    # dump serializes), while the engine starts from the serialized TEXT —
+    # so the distributed parse itself is under test, not just derivation.
+    from .kg_dump import (
+        LABEL_PREDS,
+        OWL_CLASS,
+        REDIRECT_PRED,
+        SKOS_ALT,
+        triples_values_sql,
+    )
+    from .constants import OWL_SAMEAS, RDFS_SUBCLASSOF
+
+    _trip = f"trip(subj, pred, obj, kind, lang) AS (VALUES\n    {triples_values_sql()})"
+    _label_in = ", ".join(f"'{p}'" for p in LABEL_PREDS)
+
+    o["kg_ingest_lexicon"] = f"""WITH {_trip},
+lab AS (
+  SELECT lower(obj) AS surface_form, subj AS entity_uri,
+         CASE WHEN pred = '{SKOS_ALT}' THEN 1 ELSE 0 END AS is_alt
+  FROM trip
+  WHERE kind = 'literal' AND lang IN ('', 'en') AND pred IN ({_label_in})
+),
+d AS (SELECT surface_form, entity_uri, min(is_alt) AS is_alt
+      FROM lab GROUP BY 1, 2)
+SELECT surface_form, entity_uri,
+       cast(row_number() OVER (
+            PARTITION BY surface_form ORDER BY is_alt, entity_uri)
+            AS INTEGER) AS "rank"
+FROM d"""
+
+    o["kg_ingest_types"] = f"""WITH {_trip}
+SELECT DISTINCT subj AS entity_uri, obj AS type_uri FROM trip
+WHERE pred = '{RDF_TYPE}' AND kind = 'iri' AND obj <> '{OWL_CLASS}'"""
+
+    o["kg_ingest_alias"] = f"""WITH {_trip}
+SELECT DISTINCT subj AS uri_a, obj AS uri_b,
+       CASE WHEN pred = '{REDIRECT_PRED}' THEN 'redirect'
+            ELSE 'sameas' END AS kind
+FROM trip WHERE pred IN ('{REDIRECT_PRED}', '{OWL_SAMEAS}')"""
+
+    o["kg_ingest_closure"] = f"""WITH RECURSIVE {_trip},
+edges AS (SELECT DISTINCT subj AS cls_uri, obj AS ancestor_uri FROM trip
+          WHERE pred = '{RDFS_SUBCLASSOF}' AND kind = 'iri'),
+clo(cls_uri, ancestor_uri, distance) AS (
+  SELECT cls_uri, ancestor_uri, 1 FROM edges
+  UNION
+  SELECT c.cls_uri, e.ancestor_uri, c.distance + 1
+  FROM clo c JOIN edges e ON c.ancestor_uri = e.cls_uri
+  WHERE c.distance < 32
+)
+SELECT cls_uri, ancestor_uri, cast(min(distance) AS INTEGER) AS distance
+FROM clo GROUP BY 1, 2"""
+
+    # the ingested backend must link identically to the fixture backend
+    # (the dump serializes the fixture KG; noise namespaces cannot collide
+    # with corpus tokens) — same oracle, different engine path
+    o["kg_cea_link_ingested"] = o["kg_cea_link"]
+
     # chi-square contingency vs independence, from exact integer margins;
     # expected/contrib computed UNROUNDED then rounded 6 on output
     o["kg_type_by_source"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},

@@ -21,18 +21,35 @@ from ..stages.mention_detect import detect_mentions_flat_batch
 from .kg_pipeline import read_documents
 
 
-def _surface_resolution_df() -> pd.DataFrame:
-    """surface_form -> linked entity (lowest-rank, canonical, non-disambig).
+def resolution_from_tables(
+    lex: pd.DataFrame, alias: pd.DataFrame, types: pd.DataFrame
+) -> pd.DataFrame:
+    """surface_form -> linked entity (lowest-rank, canonical, non-disambig)
+    from any backend's three raw tables — the same cascade LinkScore
+    applies per batch (2-hop redirect closure, disambiguation drop,
+    lowest-rank winner). Backend-agnostic so ingested KGs
+    (pipelines/kg_ingest.py) resolve identically to the fixture."""
+    from ..fixture_kg import DISAMBIGUATION_CLASS as _DAB
 
-    Computed at runtime from the raw fixture tables via the same LinkScore
-    closure logic the actor pool uses.
-    """
-    scorer = LinkScore()
-    lex = fixture_kg.lexicon_df().copy()
-    lex["entity_uri"] = lex["entity_uri"].map(lambda u: scorer.canonical.get(u, u))
-    lex = lex[~lex["entity_uri"].isin(scorer.disambig)]
+    redirects = alias[alias["kind"] == "redirect"]
+    one = dict(zip(redirects["uri_a"], redirects["uri_b"]))
+    canonical = {s: one.get(one.get(s, s), one.get(s, s)) for s in one}
+    disambig = set(types.loc[types["type_uri"] == _DAB, "entity_uri"])
+    lex = lex.copy()
+    lex["entity_uri"] = lex["entity_uri"].map(lambda u: canonical.get(u, u))
+    lex = lex[~lex["entity_uri"].isin(disambig)]
     lex = lex.sort_values(["surface_form", "rank"], kind="mergesort")
     return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
+
+
+def _surface_resolution_df() -> pd.DataFrame:
+    """Fixture-backend resolution table (via the shared cascade above;
+    LinkScore applies the identical logic batch-wise in the actor pool)."""
+    return resolution_from_tables(
+        fixture_kg.lexicon_df(),
+        fixture_kg.alias_edges_df(),
+        fixture_kg.entity_types_df(),
+    )
 
 
 from functools import lru_cache
@@ -55,17 +72,40 @@ def _link_surface_batch(b: pd.DataFrame) -> pd.DataFrame:
     ).drop(columns=["surface_form"])
 
 
-def _linked_flat(sf_dir: str):
+def _linked_flat(sf_dir: str, backend: str | None = None):
     # fan the single-row-group documents file out so the stateless task
     # stages parallelize (shuffle-free repartition split)
     docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
     mentions = docs.map_batches(detect_mentions_flat_batch, batch_format="pyarrow")
-    return mentions.map_batches(_link_surface_batch, batch_format="pandas")
+    if backend is None:
+        # fixture path: tiny resolution table derived per worker process
+        # (lru_cache) — no broadcast traffic at all
+        return mentions.map_batches(_link_surface_batch, batch_format="pandas")
+    # named-backend path: the registry lives on the DRIVER (worker processes
+    # import a fresh module), so resolve the backend here, derive the
+    # resolution table once, and broadcast it (ray.put once; plasma-local
+    # reads per task thereafter)
+    from ..state.backends import get_backend
+
+    be = get_backend(backend)
+    res_ref = ray.put(
+        resolution_from_tables(be.lexicon(), be.alias_edges(), be.entity_types())
+    )
+
+    def _link(b: pd.DataFrame) -> pd.DataFrame:
+        res = ray.get(res_ref)
+        return b.merge(res, left_on="mention", right_on="surface_form").drop(
+            columns=["surface_form"]
+        )
+
+    return mentions.map_batches(_link, batch_format="pandas")
 
 
-def cea_link(sf_dir: str):
-    """CEA analogue: (doc_id, mention, entity_uri, n_mentions)."""
-    linked = _linked_flat(sf_dir)
+def cea_link(sf_dir: str, backend: str | None = None):
+    """CEA analogue: (doc_id, mention, entity_uri, n_mentions). ``backend``
+    names a registered KGBackend (e.g. one ingested from an RDF dump by
+    pipelines/kg_ingest.py); None = the in-module fixture fast path."""
+    linked = _linked_flat(sf_dir, backend)
     return rename_cols(
         partial_count(linked, ["doc_id", "mention", "entity_uri"]), {"n": "n_mentions"}
     )

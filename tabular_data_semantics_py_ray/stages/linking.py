@@ -116,12 +116,18 @@ class EntityLinker:
 
 
 def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size=4096,
-                  project=None):
+                  project=None, backend: str = "fixture"):
     """mentions -> linked (doc_id, span_idx, tok_idx, mention, entity_uri);
-    ``project`` optionally restricts the output columns at the source."""
-    lex_ref = _broadcast(fixture_kg.lexicon_df())
-    alias_ref = _broadcast(fixture_kg.alias_edges_df())
-    types_ref = _broadcast(fixture_kg.entity_types_df())
+    ``project`` optionally restricts the output columns at the source.
+    ``backend`` names a registered KGBackend (state/backends.py) — e.g. one
+    ingested from an RDF dump by pipelines/kg_ingest.py; resolved on the
+    DRIVER (the registry is driver-local) and broadcast once via ray.put."""
+    from ..state.backends import get_backend
+
+    be = get_backend(backend)
+    lex_ref = _broadcast(be.lexicon())
+    alias_ref = _broadcast(be.alias_edges())
+    types_ref = _broadcast(be.entity_types())
     return mentions_ds.map_batches(
         EntityLinker,
         fn_constructor_kwargs={
