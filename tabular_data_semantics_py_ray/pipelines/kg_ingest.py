@@ -486,13 +486,19 @@ def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
 def ensure_ingested_backend(name: str = "ingested") -> str:
     """Ingest the deterministic dump once per process into /tmp and register
     the result as a parquet KGBackend. Returns the backend directory."""
+    import hashlib
     import os
 
     from ..kg_dump import dump_path
     from ..state.backends import parquet_backend, register_backend
 
     nt = dump_path()
-    out_dir = nt[: -len(".nt")] + "_backend"
+    # scratch output lives under /tmp, content-addressed by the dump file
+    # (the dump itself may be the checked-in repo copy — never write next
+    # to it)
+    with open(nt, "rb") as f:
+        digest = hashlib.md5(f.read()).hexdigest()[:16]
+    out_dir = f"/tmp/tds_kg_backend_{digest}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
         ingest_backend_tables(nt, out_dir)
