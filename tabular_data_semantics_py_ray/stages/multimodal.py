@@ -1,12 +1,13 @@
 """Multimodal span processing: media spans as opaque refs/bytes with typed
 metadata, decoded / feature-extracted on an actor pool.
 
-The container ships no image/audio codecs, so the decode kernel is STUBBED:
-``MediaFeaturizer(real_decode=True)`` raises NotImplementedError at the
-exact seam where PIL/torchaudio decoding would plug in, and the default
-deterministic fake derives a fixed-size feature vector from the media_ref
-bytes. Everything around the stub — schema, actor signature, batch sizing,
-zero-copy extraction of media spans, output layout — is real and tested.
+Codec handling is IMPORT-GUARDED: ``real_decode=True`` loads PIL (images)
+or pyav (frames) once per actor in ``__init__`` and runs a real decode over
+a ``media_bytes`` binary column; when the library is absent (this container
+ships no codecs) construction raises NotImplementedError at the exact seam,
+so the operator is real wherever codecs exist and an honest stub where they
+don't. The default (``real_decode=False``) is the deterministic md5 fake —
+the oracle-checkable path, with identical output schemas to the real one.
 
 Scale notes: media batches are kept SMALL (``batch_size`` default 256) so a
 batch x concurrency of decoded frames fits a worker heap; decoded features
@@ -23,6 +24,32 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 FEATURE_DIM = 16
+
+
+def _import_codec(module: str, seam: str):
+    """Import-guard for the per-actor codec load: returns the module or
+    raises NotImplementedError naming the seam (the honest-stub contract)."""
+    import importlib
+
+    try:
+        return importlib.import_module(module)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"real {seam} requires {module}, which is not installed in this "
+            f"environment; install it or use real_decode=False (the "
+            f"deterministic, oracle-checkable fake)"
+        ) from e
+
+
+def _media_bytes(batch: pa.Table) -> list[bytes]:
+    """Real-decode input contract: the batch must carry the raw payload in
+    a ``media_bytes`` binary column (media_ref stays the identifier)."""
+    if "media_bytes" not in batch.column_names:
+        raise ValueError(
+            "real_decode=True requires a 'media_bytes' binary column "
+            "holding the encoded payload (media_ref is only an identifier)"
+        )
+    return batch.column("media_bytes").to_pylist()
 
 
 def extract_media_spans_batch(t: pa.Table) -> pa.Table:
@@ -63,7 +90,9 @@ class MediaFeaturizer:
     def __init__(self, real_decode: bool = False, feature_dim: int = FEATURE_DIM):
         self.real_decode = real_decode
         self.feature_dim = feature_dim
-        # real path would do: self.model = load_image_encoder(...); etc.
+        if real_decode:
+            # once-per-actor codec load (import-guarded seam)
+            self._pil = _import_codec("PIL.Image", "media decode")
 
     def _fake_feature(self, media_ref: str, kind: str) -> np.ndarray:
         # deterministic fake: md5(kind:ref) bytes -> [0,1] floats. md5 (16
@@ -74,15 +103,25 @@ class MediaFeaturizer:
         return (np.frombuffer(digest, dtype=np.uint8)[: self.feature_dim]
                 .astype(np.float32) / 255.0)
 
+    def _real_feature(self, data: bytes) -> np.ndarray:
+        # real decode: 4x4 grayscale thumbnail -> 16 floats in [0,1]
+        # (same shape/range as the fake, so output schemas are identical)
+        import io
+
+        img = self._pil.open(io.BytesIO(data)).convert("L").resize((4, 4))
+        return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)[
+            : self.feature_dim
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_decode:
-            raise NotImplementedError(
-                "real media decode requires image/audio codecs not present "
-                "in this environment; plug PIL/torchaudio decoding in here"
-            )
-        refs = batch.column("media_ref").to_pylist()
-        kinds = batch.column("kind").to_pylist()
-        feats = [self._fake_feature(r, k).tolist() for r, k in zip(refs, kinds)]
+            feats = [self._real_feature(b).tolist() for b in _media_bytes(batch)]
+        else:
+            refs = batch.column("media_ref").to_pylist()
+            kinds = batch.column("kind").to_pylist()
+            feats = [
+                self._fake_feature(r, k).tolist() for r, k in zip(refs, kinds)
+            ]
         return batch.append_column(
             "feature", pa.array(feats, type=pa.list_(pa.float32()))
         )
@@ -118,20 +157,53 @@ class FrameSampler:
     constant factor of input blocks and the stage streams.
     """
 
+    MAX_FRAMES = 4  # bounded expansion: real and fake paths both cap here
+
     def __init__(self, real_decode: bool = False, stride_ms: int = 250):
         self.real_decode = real_decode
         self.stride_ms = stride_ms
-        # real path would do: self.container = av.open(...) per item; etc.
+        if real_decode:
+            self._av = _import_codec("av", "frame sampling")
+
+    def _real_frames(self, data: bytes) -> list[str]:
+        """Decode up to MAX_FRAMES video frames; md5 of raw frame pixels
+        stands in the frame_md5 column exactly like the fake path."""
+        import io
+
+        with self._av.open(io.BytesIO(data)) as container:
+            out = []
+            for frame in container.decode(video=0):
+                out.append(
+                    hashlib.md5(frame.to_ndarray().tobytes()).hexdigest()
+                )
+                if len(out) >= self.MAX_FRAMES:
+                    break
+            return out or [hashlib.md5(b"").hexdigest()]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.real_decode:
-            raise NotImplementedError(
-                "real frame sampling requires video/audio codecs not "
-                "present in this environment; plug pyav/torchaudio here"
-            )
         refs = batch.column("media_ref").to_pylist()
+        if self.real_decode:
+            per_row = [self._real_frames(b) for b in _media_bytes(batch)]
+            n_frames = np.array([len(f) for f in per_row], dtype=np.int64)
+            rep = np.repeat(np.arange(len(refs), dtype=np.int64), n_frames)
+            starts = np.zeros(len(refs), dtype=np.int64)
+            np.cumsum(n_frames[:-1], out=starts[1:])
+            frame_idx = np.arange(rep.size, dtype=np.int64) - starts[rep]
+            frame_md5 = pa.array(
+                [per_row[r][f] for r, f in zip(rep, frame_idx)],
+                type=pa.string(),
+            )
+            cols = [batch.column(c).take(pa.array(rep))
+                    for c in batch.column_names]
+            return pa.Table.from_arrays(
+                cols + [pa.array(frame_idx),
+                        pa.array(frame_idx * self.stride_ms),
+                        frame_md5],
+                names=batch.column_names + ["frame_idx", "ts_ms", "frame_md5"],
+            )
         digests = [hashlib.md5(r.encode()).digest() for r in refs]
-        n_frames = np.array([1 + d[0] % 4 for d in digests], dtype=np.int64)
+        n_frames = np.array(
+            [1 + d[0] % self.MAX_FRAMES for d in digests], dtype=np.int64)
         rep = np.repeat(np.arange(len(refs), dtype=np.int64), n_frames)
         # frame_idx = position within each row's run
         starts = np.zeros(len(refs), dtype=np.int64)
@@ -165,22 +237,47 @@ class ImageResizer:
     def __init__(self, real_decode: bool = False, max_side: int = 64):
         self.real_decode = real_decode
         self.max_side = max_side
-        # real path would do: from PIL import Image  (once per actor)
+        if real_decode:
+            self._pil = _import_codec("PIL.Image", "image resize")
+
+    def _plan(self, src_w: np.ndarray, src_h: np.ndarray):
+        """Aspect-preserving integer scaling of the long side to max_side —
+        shared by the real and fake paths."""
+        wide = src_w >= src_h
+        m = self.max_side
+        out_w = np.where(wide, m, np.maximum(1, (src_w * m) // src_h))
+        out_h = np.where(wide, np.maximum(1, (src_h * m) // src_w), m)
+        return out_w, out_h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_decode:
-            raise NotImplementedError(
-                "real image resize requires PIL/opencv not present in this "
-                "environment; plug Image.open(...).resize(...) in here"
+            import io
+
+            imgs = [self._pil.open(io.BytesIO(b)) for b in _media_bytes(batch)]
+            src_w = np.array([im.size[0] for im in imgs], dtype=np.int64)
+            src_h = np.array([im.size[1] for im in imgs], dtype=np.int64)
+            out_w, out_h = self._plan(src_w, src_h)
+            data_md5 = pa.array(
+                [
+                    hashlib.md5(
+                        im.resize((int(w), int(h))).convert("RGB").tobytes()
+                    ).hexdigest()
+                    for im, w, h in zip(imgs, out_w, out_h)
+                ],
+                type=pa.string(),
+            )
+            return pa.Table.from_arrays(
+                [batch.column(c) for c in batch.column_names]
+                + [pa.array(src_w), pa.array(src_h),
+                   pa.array(out_w), pa.array(out_h), data_md5],
+                names=batch.column_names
+                + ["src_w", "src_h", "out_w", "out_h", "data_md5"],
             )
         refs = batch.column("media_ref").to_pylist()
         digests = [hashlib.md5(r.encode()).digest() for r in refs]
         src_w = np.array([32 + d[0] for d in digests], dtype=np.int64)
         src_h = np.array([32 + d[1] for d in digests], dtype=np.int64)
-        wide = src_w >= src_h
-        m = self.max_side
-        out_w = np.where(wide, m, np.maximum(1, (src_w * m) // src_h))
-        out_h = np.where(wide, np.maximum(1, (src_h * m) // src_w), m)
+        out_w, out_h = self._plan(src_w, src_h)
         data_md5 = pa.array(
             [hashlib.md5(f"{r}:{w}x{h}".encode()).hexdigest()
              for r, w, h in zip(refs, out_w, out_h)],

@@ -26,14 +26,24 @@ def test_featurize_media_end_to_end(sf_small):
     assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
 
 
-def test_real_decode_is_explicit_stub():
-    feat = MediaFeaturizer(real_decode=True)
-    batch = pa.Table.from_pydict(
-        {"doc_id": ["d"], "span_idx": [0], "kind": ["image"],
-         "media_ref": ["media://1/0"]}
-    )
-    with pytest.raises(NotImplementedError):
-        feat(batch)
+def _has(mod: str) -> bool:
+    import importlib
+
+    try:
+        importlib.import_module(mod)
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_decode_guard_raises_without_codec():
+    """real_decode=True must fail AT CONSTRUCTION (the per-actor codec
+    load) with a NotImplementedError naming the seam, when the codec
+    library is absent."""
+    if _has("PIL.Image"):
+        pytest.skip("PIL present: the real path is live, guard not hit")
+    with pytest.raises(NotImplementedError, match="real media decode"):
+        MediaFeaturizer(real_decode=True)
 
 
 def test_frame_sampler_expansion():
@@ -79,14 +89,90 @@ def test_image_resizer_aspect_invariants():
     assert (df.loc[tall, "out_h"] == 64).all()
 
 
-def test_frame_and_resize_real_decode_stubs():
+def test_frame_and_resize_real_decode_guards():
     from tabular_data_semantics_py_ray.stages.multimodal import (
         FrameSampler,
         ImageResizer,
     )
 
-    batch = pa.Table.from_pydict({"media_ref": ["media://1/0"]})
-    with pytest.raises(NotImplementedError):
-        FrameSampler(real_decode=True)(batch)
-    with pytest.raises(NotImplementedError):
-        ImageResizer(real_decode=True)(batch)
+    if not _has("av"):
+        with pytest.raises(NotImplementedError, match="frame sampling"):
+            FrameSampler(real_decode=True)
+    if not _has("PIL.Image"):
+        with pytest.raises(NotImplementedError, match="image resize"):
+            ImageResizer(real_decode=True)
+
+
+def test_real_decode_runs_when_pil_present():
+    """When PIL exists, real_decode=True actually decodes: same output
+    schema as the fake path, features in [0,1]. Skipped where the codec is
+    absent (this sandbox) — runs in any environment that ships PIL."""
+    pytest.importorskip("PIL.Image")
+    import io
+
+    from PIL import Image
+    from tabular_data_semantics_py_ray.stages.multimodal import ImageResizer
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (10, 20, 30)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    batch = pa.Table.from_pydict(
+        {"doc_id": ["a", "b"], "media_ref": ["m://1", "m://2"],
+         "media_bytes": [png(128, 64), png(50, 100)]}
+    )
+    feat = MediaFeaturizer(real_decode=True)(batch).to_pandas()
+    assert all(len(f) == FEATURE_DIM for f in feat["feature"])
+    assert all(0.0 <= v <= 1.0 for f in feat["feature"] for v in f)
+    rs = ImageResizer(real_decode=True)(batch).to_pandas()
+    assert list(rs["src_w"]) == [128, 50] and list(rs["src_h"]) == [64, 100]
+    assert list(rs["out_w"]) == [64, 32] and list(rs["out_h"]) == [32, 64]
+
+
+def test_real_path_plumbing_with_stub_codec(monkeypatch):
+    """Exercise the real-decode CODE PATH without the codec: a minimal
+    in-memory PIL.Image stand-in proves the plumbing (bytes column
+    contract, plan sharing, schema) independent of the library."""
+    import sys
+    import types
+
+    class _FakeImg:
+        def __init__(self, w, h):
+            self.size = (w, h)
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return _FakeImg(*wh)
+
+        def tobytes(self):
+            return b"%dx%d" % self.size
+
+        def __array__(self, dtype=None):
+            return np.zeros((4, 4), dtype=dtype or np.float32)
+
+    fake = types.ModuleType("PIL.Image")
+    fake.open = lambda buf: _FakeImg(200, 100)
+    pil_pkg = types.ModuleType("PIL")
+    pil_pkg.Image = fake
+    monkeypatch.setitem(sys.modules, "PIL", pil_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake)
+
+    from tabular_data_semantics_py_ray.stages.multimodal import ImageResizer
+
+    batch = pa.Table.from_pydict(
+        {"media_ref": ["m://1"], "media_bytes": [b"payload"]}
+    )
+    df = ImageResizer(real_decode=True)(batch).to_pandas()
+    assert list(df["src_w"]) == [200] and list(df["out_w"]) == [64]
+    assert list(df["out_h"]) == [32]
+    # featurizer real path over the same stub
+    feat = MediaFeaturizer(real_decode=True)(batch).to_pandas()
+    assert len(feat["feature"][0]) == FEATURE_DIM
+    # bytes-column contract is enforced
+    with pytest.raises(ValueError, match="media_bytes"):
+        MediaFeaturizer(real_decode=True)(
+            pa.Table.from_pydict({"media_ref": ["m://1"]})
+        )
