@@ -172,3 +172,29 @@ def test_ingested_backend_links_like_fixture(ray_session, sf_small):
     a = link_entities(_mentions(), backend="fixture").to_pandas()
     b = link_entities(_mentions(), backend="ingested").to_pandas()
     pd.testing.assert_frame_equal(_canon(a), _canon(b))
+
+
+def test_flagship_stream_over_ingested_backend(ray_session, sf_small, tmp_path):
+    """The complete first-mile story at the FLAGSHIP scale path: KG file ->
+    ingested parquet backend -> zero-all-to-all streaming sink, emitting
+    the identical triple set the fixture backend emits (the ingested KG's
+    noise namespaces never occur in the corpus, so only linkable entities
+    produce triples)."""
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        ensure_ingested_backend,
+    )
+    from tabular_data_semantics_py_ray.pipelines.kg_pipeline import (
+        read_documents,
+        read_stream_result,
+        triples_from_documents,
+        triples_stream_to_parquet,
+    )
+
+    ensure_ingested_backend("ingested")
+    out = str(tmp_path / "stream_ingested")
+    triples_stream_to_parquet(
+        read_documents(sf_small), out, backend="ingested", link_batch_size=97
+    )
+    streamed = _canon(read_stream_result(out).to_pandas())
+    classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
+    pd.testing.assert_frame_equal(classic, streamed)
