@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "kg_cta_doc_type",
     "kg_typed_repair",
     "kg_class_confirm",
+    "kg_ingest_lexicon",
+    "kg_cea_link_ingested",
     "dedup_near_pairs",
     "dedup_simhash",
     "dedup_exact",
@@ -341,6 +343,73 @@ def run_flagship_once():
     }))
 
 
+def run_ingest_scale():
+    """KG-ingestion scale stress: the ~1 MB dump replicated into N shard
+    files with REWRITTEN noise namespaces (distinct entities/classes per
+    shard; labels shared across shards, so lexicon rank windows run over
+    N-entity hot groups), then the full parse -> four-table derivation
+    timed end-to-end at this process's cpu count.
+
+    ``GRAFT_INGEST_SHARDS`` (default 200): ~200 MB / ~1.5M triples.
+    """
+    shards = int(os.environ.get("GRAFT_INGEST_SHARDS", "200"))
+    stage_dir = f"/tmp/graft_ingest_shards_{shards}"
+    marker = os.path.join(stage_dir, "_STAGED")
+    if not os.path.exists(marker):
+        import shutil as _sh
+
+        _sh.rmtree(stage_dir, ignore_errors=True)
+        os.makedirs(stage_dir, exist_ok=True)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tabular_data_semantics_py_ray.kg_dump import dump_path
+
+        with open(dump_path(), encoding="utf-8") as f:
+            text = f.read()
+        for s in range(shards):
+            t = text.replace(
+                "example.org/noise/", f"example.org/noise{s:04d}/"
+            ).replace(
+                "example.org/noise-ontology/", f"example.org/noise-ont{s:04d}/"
+            )
+            with open(os.path.join(stage_dir, f"shard_{s:04d}.nt"), "w",
+                      encoding="utf-8") as f:
+                f.write(t)
+        open(marker, "w").write(str(shards))
+
+    probe = _cpu_probe_sec()
+    steal0 = _steal_jiffies()
+    _init_ray()
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        ingest_backend_tables,
+    )
+
+    nt_files = [os.path.join(stage_dir, f) for f in sorted(os.listdir(stage_dir))
+                if f.endswith(".nt")]
+    total_bytes = sum(os.path.getsize(f) for f in nt_files)
+    out_dir = f"/tmp/graft_ingest_out_{NCPU}"
+    t0 = time.time()
+    paths = ingest_backend_tables(nt_files, out_dir)
+    dt = time.time() - t0
+    import pyarrow.parquet as pq
+
+    rows = {k: pq.read_metadata(p).num_rows for k, p in paths.items()}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "kg_ingest_end_to_end",
+        "sec": round(dt, 3),
+        "shards": shards,
+        "input_mb": round(total_bytes / 1e6, 1),
+        "mb_per_sec": round(total_bytes / 1e6 / dt, 1),
+        "num_cpus": NCPU,
+        "table_rows": rows,
+        "cpu_probe_sec": probe,
+        "steal_jiffies_delta": _steal_jiffies() - steal0,
+    }))
+
+
 def run_scaling():
     """N vs 4N parallelism in fresh processes on the same input.
 
@@ -412,5 +481,7 @@ if __name__ == "__main__":
         run_scaling()
     elif "--flagship-once" in sys.argv:
         run_flagship_once()
+    elif "--ingest-scale" in sys.argv:
+        run_ingest_scale()
     else:
         run_default()

@@ -914,6 +914,16 @@ def q_kg_ingest_closure(sf_dir: str):
     return derive_class_closure(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_closure_equiv(sf_dir: str):
+    """Equivalence-merged ancestor closure: owl:equivalentClass components
+    canonicalized (single numpy task; ontology-bounded) before the
+    distributed frontier loop, then expanded back to members."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_class_closure_equiv, read_ntriples
+
+    return derive_class_closure_equiv(read_ntriples(dump_path()))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_types": q_kg_ingest_types,
         "kg_ingest_alias": q_kg_ingest_alias,
         "kg_ingest_closure": q_kg_ingest_closure,
+        "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,

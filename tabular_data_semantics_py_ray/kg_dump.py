@@ -119,6 +119,16 @@ def noise_triples() -> list[Triple]:
                 )
         out.append(_lit(cls, RDFS_LABEL, f"noise class {i:02d}", "en"))
 
+    # equivalence axioms (for the equivalence-merged closure): a 3-class
+    # component where only one member holds a taxonomy position, with the
+    # second axiom declared in the REVERSED direction (symmetry must not
+    # matter), and a merge of two mid-taxonomy nodes (their ancestor sets
+    # must union in the merged closure)
+    out.append(_iri(f"{NONT}NEq_B", RDFS_SUBCLASSOF, f"{NONT}NClass_02"))
+    out.append(_iri(f"{NONT}NEq_A", OWL_EQUIV_CLASS, f"{NONT}NEq_B"))
+    out.append(_iri(f"{NONT}NEq_C", OWL_EQUIV_CLASS, f"{NONT}NEq_B"))
+    out.append(_iri(f"{NONT}NClass_33", OWL_EQUIV_CLASS, f"{NONT}NClass_17"))
+
     # --- entities ----------------------------------------------------------
     for i in range(N_NOISE_ENTITIES):
         ent = f"{NENT}Noise_{i:05d}"

@@ -154,6 +154,59 @@ clo(cls_uri, ancestor_uri, distance) AS (
 SELECT cls_uri, ancestor_uri, cast(min(distance) AS INTEGER) AS distance
 FROM clo GROUP BY 1, 2"""
 
+    from .kg_dump import OWL_EQUIV_CLASS
+
+    o["kg_ingest_closure_equiv"] = f"""WITH RECURSIVE {_trip},
+eq AS (
+  SELECT subj AS a, obj AS b FROM trip
+  WHERE pred = '{OWL_EQUIV_CLASS}' AND kind = 'iri'
+  UNION
+  SELECT obj, subj FROM trip
+  WHERE pred = '{OWL_EQUIV_CLASS}' AND kind = 'iri'
+),
+reach(src, dst) AS (
+  SELECT a, b FROM eq
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN eq e ON r.dst = e.a
+),
+rep0 AS (SELECT src AS cls, least(src, min(dst)) AS rep
+         FROM reach GROUP BY src),
+edges AS (SELECT DISTINCT subj AS cls_uri, obj AS ancestor_uri FROM trip
+          WHERE pred = '{RDFS_SUBCLASSOF}' AND kind = 'iri'),
+redges AS (
+  SELECT DISTINCT coalesce(rc.rep, e.cls_uri) AS cls_uri,
+         coalesce(ra.rep, e.ancestor_uri) AS ancestor_uri
+  FROM edges e
+  LEFT JOIN rep0 rc ON e.cls_uri = rc.cls
+  LEFT JOIN rep0 ra ON e.ancestor_uri = ra.cls
+),
+redges2 AS (SELECT * FROM redges WHERE cls_uri <> ancestor_uri),
+clo(cls_uri, ancestor_uri, distance) AS (
+  SELECT cls_uri, ancestor_uri, 1 FROM redges2
+  UNION
+  SELECT c.cls_uri, e.ancestor_uri, c.distance + 1
+  FROM clo c JOIN redges2 e ON c.ancestor_uri = e.cls_uri
+  WHERE c.distance < 32
+),
+univ AS (SELECT cls_uri AS cls FROM redges2
+         UNION SELECT ancestor_uri FROM redges2),
+mem AS (
+  SELECT rep, cls AS member FROM rep0
+  UNION
+  SELECT cls, cls FROM univ
+)
+SELECT cls_uri, ancestor_uri, cast(distance AS INTEGER) AS distance FROM (
+  SELECT mc.member AS cls_uri, ma.member AS ancestor_uri,
+         min(c.distance) AS distance
+  FROM clo c
+  JOIN mem mc ON mc.rep = c.cls_uri
+  JOIN mem ma ON ma.rep = c.ancestor_uri
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT a.cls, b.cls, 0
+  FROM rep0 a JOIN rep0 b ON a.rep = b.rep AND a.cls <> b.cls
+)"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path

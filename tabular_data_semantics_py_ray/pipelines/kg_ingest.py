@@ -128,7 +128,9 @@ def read_ntriples(path, *, blocks: int | None = None):
     # parallelizes (shuffle-free). Multi-file dumps (the corpus-scale
     # layout) keep their natural per-file blocks — repartitioning DOWN
     # would coalesce (see util.guarded_fanout).
-    if os.path.isdir(path):
+    if isinstance(path, (list, tuple)):
+        nfiles = len(path)
+    elif os.path.isdir(path):
         nfiles = len([f for f in os.listdir(path) if not f.startswith(".")])
     else:
         nfiles = 1
@@ -353,13 +355,9 @@ def derive_alias_edges(triples_ds):
     )
 
 
-def derive_class_closure(triples_ds, *, max_depth: int = 32):
-    """rdfs:subClassOf edges -> strict-ancestor closure with MIN distance
-    (cls_uri, ancestor_uri, distance int32), via the same distributed
-    frontier-relaxation loop as queries_kg.class_closure_compute: one
-    hash-partitioned join per hierarchy LEVEL, frontier min-distance-
-    distincted each iteration (multi-parent DAGs stay bounded by |closure|,
-    not path count). ~ onto_access.py:189-204's in-memory ancestor walk."""
+def _subclass_edges(triples_ds):
+    """Distinct rdfs:subClassOf (cls_uri, ancestor_uri) edges, materialized
+    (the closure loop re-scans them every iteration)."""
 
     def _edges(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -374,10 +372,29 @@ def derive_class_closure(triples_ds, *, max_depth: int = 32):
             [f.column("subj"), f.column("obj")], names=["cls_uri", "ancestor_uri"]
         )
 
-    edges_ds = bucket_distinct(
-        triples_ds.map_batches(_edges, batch_format="pyarrow"),
-        ["cls_uri", "ancestor_uri"],
-    ).materialize()  # reused every iteration: pin the (KG-bounded) edge set
+    from ..util import coalesce_blocks
+
+    return coalesce_blocks(
+        bucket_distinct(
+            triples_ds.map_batches(_edges, batch_format="pyarrow"),
+            ["cls_uri", "ancestor_uri"],
+        ).materialize()
+    )
+
+
+def derive_class_closure(triples_ds, *, max_depth: int = 32):
+    """rdfs:subClassOf edges -> strict-ancestor closure with MIN distance
+    (cls_uri, ancestor_uri, distance int32), via the same distributed
+    frontier-relaxation loop as queries_kg.class_closure_compute: one
+    hash-partitioned join per hierarchy LEVEL, frontier min-distance-
+    distincted each iteration (multi-parent DAGs stay bounded by |closure|,
+    not path count). ~ onto_access.py:189-204's in-memory ancestor walk."""
+    return _closure_from_edges(_subclass_edges(triples_ds), max_depth=max_depth)
+
+
+def _closure_from_edges(edges_ds, *, max_depth: int = 32):
+    """Frontier-relaxation closure over a materialized distinct
+    (cls_uri, ancestor_uri) edge Dataset; see derive_class_closure."""
 
     def _with_d1(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(
@@ -414,9 +431,17 @@ def derive_class_closure(triples_ds, *, max_depth: int = 32):
                 }
             ),
         )
-        nxt = bucket_aggregate(
-            joined, ["cls_uri", "ancestor_uri"], {"distance": ("distance", "min")}
-        ).materialize()
+        from ..util import coalesce_blocks
+
+        # coalesce between iterations: the bucket groupby otherwise adds
+        # one block per group per round, and the per-block fixed shuffle
+        # cost makes iteration N cost O(N) (see util.coalesce_blocks)
+        nxt = coalesce_blocks(
+            bucket_aggregate(
+                joined, ["cls_uri", "ancestor_uri"],
+                {"distance": ("distance", "min")},
+            ).materialize()
+        )
         if nxt.count() == 0:
             exhausted = True
             break
@@ -441,6 +466,192 @@ def derive_class_closure(triples_ds, *, max_depth: int = 32):
             "distance",
             t.column("distance").cast(pa.int32()),
         ),
+        batch_format="pyarrow",
+    )
+
+
+def _string_components(edges_ds):
+    """Undirected string-keyed connected components -> (cls, rep) where
+    ``rep`` is the lexicographically smallest member. ONE task of numpy
+    hash-to-min over the coalesced edge block — equivalence axioms are
+    ONTOLOGY-bounded (thousands, not corpus-scale), the same justification
+    as dedup_components' single-task regime; np.unique sorts, so index-min
+    label propagation IS lexicographic-min."""
+
+    def _cc(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_pylist()
+        b = t.column("b").to_pylist()
+        if not a:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.string()), pa.array([], type=pa.string())],
+                names=["cls", "rep"],
+            )
+        nodes, inv = np.unique(np.array(a + b, dtype=object), return_inverse=True)
+        eu, ev = inv[: len(a)], inv[len(a):]
+        label = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            label = label[label]
+            new = label.copy()
+            np.minimum.at(new, eu, label[ev])
+            np.minimum.at(new, ev, label[eu])
+            if np.array_equal(new, label):
+                break
+            label = new
+        return pa.Table.from_arrays(
+            [pa.array(list(nodes), type=pa.string()),
+             pa.array(list(nodes[label]), type=pa.string())],
+            names=["cls", "rep"],
+        )
+
+    return edges_ds.repartition(1).map_batches(
+        _cc, batch_format="pyarrow", batch_size=None
+    )
+
+
+def derive_class_closure_equiv(triples_ds, *, max_depth: int = 32):
+    """Equivalence-MERGED ancestor closure: owl:equivalentClass components
+    are canonicalized to one representative BEFORE the closure loop, so
+    mutual-subsumption cycles (the reference projects each equivalence as
+    two subsumptions, ontology_projection.py:341-347) never enter the
+    frontier — the scalable alternative to iterating over a cyclic graph.
+
+    Output contract (cls_uri, ancestor_uri, distance int32):
+    - distance >= 1: strict ancestry between the MEMBERS' components,
+      expanded back so every member of component X gains every member of
+      each ancestor component at the component-level min distance;
+    - distance = 0: intra-component pairs (c, c') for c != c' — the
+      equivalence itself, kept distinguishable from strict ancestry.
+
+    Shapes: equivalence components are a single numpy task
+    (ontology-bounded); edge rewrite, expansion and the closure loop are
+    hash-partitioned bucket joins.
+    """
+    from ..kg_dump import OWL_EQUIV_CLASS
+
+    def _equiv_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        f = t.filter(
+            pc.and_(
+                pc.equal(t.column("pred"), OWL_EQUIV_CLASS),
+                pc.equal(t.column("kind"), "iri"),
+            )
+        )
+        return pa.Table.from_arrays(
+            [f.column("subj"), f.column("obj")], names=["a", "b"]
+        )
+
+    rep = _string_components(
+        triples_ds.map_batches(_equiv_edges, batch_format="pyarrow")
+    ).materialize()  # (cls, rep) for classes IN some equivalence component
+
+    edges = _subclass_edges(triples_ds)
+
+    # rewrite both endpoints onto representatives (left join: classes not
+    # in any component keep themselves), drop self-edges the merge creates
+    half = bucket_join(
+        edges, rep, key="cls_uri", right_key="cls",
+        left_cols={"ancestor_uri": pa.string()},
+        right_cols={"rep": pa.string()},
+        key_type=pa.string(), how="left",
+        post=lambda df: pd.DataFrame({
+            "cls_r": df["rep"].fillna(df["cls_uri"]),
+            "ancestor_uri": df["ancestor_uri"]}),
+    )
+    redges = bucket_join(
+        half, rep, key="ancestor_uri", right_key="cls",
+        left_cols={"cls_r": pa.string()},
+        right_cols={"rep": pa.string()},
+        key_type=pa.string(), how="left",
+        post=lambda df: pd.DataFrame({
+            "cls_uri": df["cls_r"],
+            "ancestor_uri": df["rep"].fillna(df["ancestor_uri"])}),
+    )
+    def _drop_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.invert(pc.equal(t.column("cls_uri"), t.column("ancestor_uri")))
+        )
+
+    redges = bucket_distinct(redges, ["cls_uri", "ancestor_uri"]).map_batches(
+        _drop_self, batch_format="pyarrow"
+    ).materialize()
+
+    clo = _closure_from_edges(redges, max_depth=max_depth)
+
+    # expansion map: component members (rep -> member) PLUS identity rows
+    # for every class that appears in the rewritten closure universe
+    def _ids(t: pa.Table) -> pa.Table:
+        arrs = []
+        for c in ("cls_uri", "ancestor_uri"):
+            col = t.column(c)
+            arrs += col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        both = pa.concat_arrays(arrs) if arrs else pa.array([], type=pa.string())
+        return pa.Table.from_arrays([both, both], names=["rep", "member"])
+
+    mem = rep.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("rep"), t.column("cls")], names=["rep", "member"]),
+        batch_format="pyarrow",
+    ).union(redges.map_batches(_ids, batch_format="pyarrow"))
+    mem = bucket_distinct(mem, ["rep", "member"]).materialize()
+
+    exp1 = bucket_join(
+        clo, mem, key="cls_uri", right_key="rep",
+        left_cols={"ancestor_uri": pa.string(), "distance": pa.int32()},
+        right_cols={"member": pa.string()},
+        key_type=pa.string(),
+        post=lambda df: pd.DataFrame({
+            "cls_m": df["member"], "ancestor_uri": df["ancestor_uri"],
+            "distance": df["distance"]}),
+    )
+    expanded = bucket_join(
+        exp1, mem, key="ancestor_uri", right_key="rep",
+        left_cols={"cls_m": pa.string(), "distance": pa.int32()},
+        right_cols={"member": pa.string()},
+        key_type=pa.string(),
+        post=lambda df: pd.DataFrame({
+            "cls_uri": df["cls_m"], "ancestor_uri": df["member"],
+            "distance": df["distance"]}),
+    )
+    expanded = bucket_aggregate(
+        expanded, ["cls_uri", "ancestor_uri"], {"distance": ("distance", "min")}
+    )
+
+    # intra-component equivalence pairs at distance 0 (c != c')
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in g.groupby("rep", sort=False):
+            m = grp["member"].to_numpy()
+            if len(m) < 2:
+                continue
+            i, j = np.meshgrid(np.arange(len(m)), np.arange(len(m)))
+            keep = i.ravel() != j.ravel()
+            outs.append(pd.DataFrame({
+                "cls_uri": m[i.ravel()[keep]],
+                "ancestor_uri": m[j.ravel()[keep]],
+                "distance": 0}))
+        if not outs:
+            return pd.DataFrame(
+                {"cls_uri": pd.Series(dtype=object),
+                 "ancestor_uri": pd.Series(dtype=object),
+                 "distance": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    intra = bucket_map_keyed(
+        rep.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("rep"), t.column("cls")], names=["rep", "member"]),
+            batch_format="pyarrow"),
+        ["rep"], _pairs)
+
+    out = expanded.union(intra)
+    return out.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("cls_uri"), t.column("ancestor_uri"),
+             t.column("distance").cast(pa.int32())],
+            names=["cls_uri", "ancestor_uri", "distance"]),
         batch_format="pyarrow",
     )
 

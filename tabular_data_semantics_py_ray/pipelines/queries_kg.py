@@ -1295,9 +1295,14 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
         # multi-parent DAG the raw join output carries one row per distinct
         # PATH (exponential on dense ontologies); the distinct keeps the
         # frontier bounded by |closure pairs|
-        nxt = bucket_aggregate(
+        from ..util import coalesce_blocks
+
+        # coalesce between iterations: the bucket groupby otherwise grows
+        # the block count every round, making iteration N cost O(N) in
+        # fixed per-block shuffle overhead (util.coalesce_blocks)
+        nxt = coalesce_blocks(bucket_aggregate(
             joined, ["cls_uri", "ancestor_uri"],
-            {"distance": ("distance", "min")}).materialize()
+            {"distance": ("distance", "min")}).materialize())
         if nxt.count() == 0:
             break
         acc.append(nxt)

@@ -154,6 +154,23 @@ def fanout_blocks(frac: float = 1.0, lo: int = 4, hi: int = 4096) -> int:
     return min(hi, max(lo, int(cpus * frac)))
 
 
+def coalesce_blocks(ds, cap: int | None = None):
+    """Coalesce a MATERIALIZED dataset down to ``cap`` blocks (default:
+    ~cluster CPUs) when it exceeds it. Iterative shuffle loops (frontier
+    relaxation, label propagation) otherwise accumulate blocks each round —
+    a bucket groupby emits one block per group per input block lineage, so
+    round N's shuffle carries N x the fixed per-block cost (measured on the
+    closure loop: 182 -> 364 -> 546 blocks of ~30 rows, 16.8 s -> 32.7 s
+    per iteration). Tiny-row block counts are pure overhead; coalescing is
+    a shuffle-free split/merge."""
+    cap = cap or fanout_blocks()
+    try:
+        n = ds.num_blocks()
+    except Exception:  # not materialized: caller's responsibility
+        return ds
+    return ds.repartition(cap).materialize() if n > cap else ds
+
+
 def list_column_matrix(col) -> np.ndarray:
     """Fixed-length ``list<float>`` column -> (n, d) float64 matrix via the
     flattened Arrow values buffer — no per-row Python lists (the

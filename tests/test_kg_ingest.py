@@ -130,6 +130,45 @@ def test_noise_portion_exercises_scale_conditions(parsed_triples):
     assert nclo.distance.max() >= 3  # real depth, not just direct edges
 
 
+def test_closure_equiv_merges_components(parsed_triples):
+    """Equivalence-merged closure semantics: intra-component pairs at
+    distance 0; every member inherits the component's taxonomy position;
+    merged mid-taxonomy nodes union their ancestor sets."""
+    clo = kg_ingest.derive_class_closure_equiv(parsed_triples).to_pandas()
+    pairs = {
+        (r.cls_uri, r.ancestor_uri): r.distance for r in clo.itertuples()
+    }
+    N = kg_dump.NONT
+    # 3-class component NEq_A=NEq_B=NEq_C (one axiom reversed): pairwise 0
+    for x in "ABC":
+        for y in "ABC":
+            if x != y:
+                assert pairs[(f"{N}NEq_{x}", f"{N}NEq_{y}")] == 0
+    # only NEq_B holds the taxonomy position (subClassOf NClass_02), but
+    # ALL members inherit it: NClass_02 at 1, its parent NClass_00 at 2
+    for x in "ABC":
+        assert pairs[(f"{N}NEq_{x}", f"{N}NClass_02")] == 1
+        assert pairs[(f"{N}NEq_{x}", f"{N}NClass_00")] == 2
+    # merged mid-taxonomy nodes NClass_33 = NClass_17: ancestor sets union —
+    # NClass_33's tree parent is NClass_10, NClass_17's is NClass_05 (plus
+    # its extra DAG parent NClass_10); both members now see both at 1
+    assert pairs[(f"{N}NClass_33", f"{N}NClass_05")] == 1
+    assert pairs[(f"{N}NClass_33", f"{N}NClass_10")] == 1
+    assert pairs[(f"{N}NClass_17", f"{N}NClass_10")] == 1
+    assert pairs[(f"{N}NClass_17", f"{N}NClass_33")] == 0
+    # fixture equivalence DataStructure = Collection: members equivalent at
+    # 0, Collection inherits Artifact at 1, and DataStructure's children
+    # gain Collection as an ancestor at their DataStructure-distance
+    assert pairs[(ONT + "DataStructure", ONT + "Collection")] == 0
+    assert pairs[(ONT + "Collection", ONT + "Artifact")] == 1
+    assert pairs[(ONT + "Relation", ONT + "Collection")] == 1
+    # plain strict ancestry is unchanged for untouched classes
+    assert pairs[(ONT + "Customer", ONT + "Party")] == 1
+    assert pairs[(ONT + "Customer", ONT + "Thing")] == 3
+    # no self pairs anywhere
+    assert not (clo.cls_uri == clo.ancestor_uri).any()
+
+
 def test_closure_truncation_warns(parsed_triples):
     with pytest.warns(UserWarning, match="truncated"):
         kg_ingest.derive_class_closure(parsed_triples, max_depth=1).to_pandas()
