@@ -924,6 +924,16 @@ def q_kg_ingest_closure_equiv(sf_dir: str):
     return derive_class_closure_equiv(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_pred_census(sf_dir: str):
+    """Dump profiling census: per-predicate triple counts and object-shape
+    indicators — the curation input behind the reference's avoid_predicates
+    registry (kg/entity.py:37-60)."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import pred_census, read_ntriples
+
+    return pred_census(read_ntriples(dump_path()))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -943,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_types": q_kg_ingest_types,
         "kg_ingest_alias": q_kg_ingest_alias,
         "kg_ingest_closure": q_kg_ingest_closure,
+        "kg_ingest_pred_census": q_kg_ingest_pred_census,
         "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,

@@ -207,6 +207,15 @@ SELECT cls_uri, ancestor_uri, cast(distance AS INTEGER) AS distance FROM (
   FROM rep0 a JOIN rep0 b ON a.rep = b.rep AND a.cls <> b.cls
 )"""
 
+    o["kg_ingest_pred_census"] = f"""WITH {_trip}
+SELECT pred, cast(count(*) AS BIGINT) AS n_triples,
+       cast(sum(CASE WHEN kind = 'iri' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_iri_obj,
+       cast(sum(CASE WHEN kind = 'literal' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_literal_obj,
+       cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM trip GROUP BY 1"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path

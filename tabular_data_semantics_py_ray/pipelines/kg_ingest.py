@@ -470,6 +470,38 @@ def _closure_from_edges(edges_ds, *, max_depth: int = 32):
     )
 
 
+def pred_census(triples_ds):
+    """Dump profiling: (pred, n_triples, n_iri_obj, n_literal_obj, n_en) —
+    the first query a user runs on an unknown dump (which predicates exist,
+    what shape their objects take), the curation input behind the
+    reference's avoid_predicates registry (kg/entity.py:37-60).
+    Combiner-first: indicators computed per batch, ONE predicate-sized
+    bucket shuffle."""
+
+    def _ind(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "pred": b["pred"],
+                "one": np.ones(len(b), dtype=np.int64),
+                "iri": (b["kind"] == "iri").to_numpy(dtype=np.int64),
+                "lit": (b["kind"] == "literal").to_numpy(dtype=np.int64),
+                "en": (b["lang"] == "en").to_numpy(dtype=np.int64),
+            }
+        )
+
+    ind = triples_ds.map_batches(_ind, batch_format="pandas")
+    return bucket_aggregate(
+        ind,
+        ["pred"],
+        {
+            "n_triples": ("one", "sum"),
+            "n_iri_obj": ("iri", "sum"),
+            "n_literal_obj": ("lit", "sum"),
+            "n_en": ("en", "sum"),
+        },
+    )
+
+
 def _string_components(edges_ds):
     """Undirected string-keyed connected components -> (cls, rep) where
     ``rep`` is the lexicographically smallest member. ONE task of numpy
