@@ -393,9 +393,9 @@ def run_ingest_scale():
     t0 = time.time()
     paths = ingest_backend_tables(nt_files, out_dir)
     dt = time.time() - t0
-    import pyarrow.parquet as pq
+    from tabular_data_semantics_py_ray.util import parquet_num_rows
 
-    rows = {k: pq.read_metadata(p).num_rows for k, p in paths.items()}
+    rows = {k: parquet_num_rows(p) for k, p in paths.items()}
     ray.shutdown()
     print(json.dumps({
         "metric": "kg_ingest_end_to_end",

@@ -702,10 +702,14 @@ BACKEND_FILES = {
 def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
     """Parse ``nt_path`` once (materialized: four derivations share it) and
     write the four backend tables as parquet under ``out_dir`` in the
-    ``state.backends.parquet_backend`` layout. Returns table -> path."""
-    import os
+    ``state.backends.parquet_backend`` layout. Returns table -> path.
 
-    import pyarrow.parquet as pq
+    Each table is written as a DIRECTORY of part files straight from the
+    workers (``Dataset.write_parquet``) — the Wikidata-truthy lexicon is
+    ~400M label rows, far past what a driver-side pandas round-trip could
+    hold; ``parquet_backend``'s loader reads file-or-directory."""
+    import os
+    import shutil
 
     os.makedirs(out_dir, exist_ok=True)
     triples = read_ntriples(nt_path).materialize()
@@ -717,11 +721,14 @@ def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
     }
     paths = {}
     for name, ds in derived.items():
-        # backend tables are KG-bounded; single-file parquet matches the
-        # parquet_backend loader layout (it reads one file per table)
-        table = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
         path = os.path.join(out_dir, BACKEND_FILES[name])
-        pq.write_table(table, path)
+        # re-ingest = fresh output (prior run may have left a dir of part
+        # files, or a single file from the pre-directory layout)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        ds.write_parquet(path)
         paths[name] = path
     return paths
 

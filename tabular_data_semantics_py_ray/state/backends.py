@@ -46,8 +46,11 @@ def get_backend(name: str) -> KGBackend:
 
 
 def parquet_backend(name: str, base_dir: str) -> KGBackend:
-    """Backend whose four tables live as parquet files under ``base_dir``
-    (the offline-prep layout written by pipelines/prep.py)."""
+    """Backend whose four tables live as parquet under ``base_dir`` —
+    either one file per table (the offline-prep layout of
+    pipelines/prep.py) or one DIRECTORY of part files per table (the
+    distributed-write layout of pipelines/kg_ingest.ingest_backend_tables);
+    ``pq.read_table`` handles both."""
     import os
 
     import pyarrow.parquet as pq
