@@ -934,6 +934,16 @@ def q_kg_ingest_pred_census(sf_dir: str):
     return pred_census(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_dangling(sf_dir: str):
+    """Dump QA census: object IRIs never seen as subjects, per namespace —
+    the unresolved references a linker would chase into empty candidate
+    sets (reference kg/lookup.py empty-result paths)."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import dangling_census, read_ntriples
+
+    return dangling_census(read_ntriples(dump_path()))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -954,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_alias": q_kg_ingest_alias,
         "kg_ingest_closure": q_kg_ingest_closure,
         "kg_ingest_pred_census": q_kg_ingest_pred_census,
+        "kg_ingest_dangling": q_kg_ingest_dangling,
         "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,

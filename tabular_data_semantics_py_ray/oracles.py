@@ -216,6 +216,14 @@ SELECT pred, cast(count(*) AS BIGINT) AS n_triples,
        cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
 FROM trip GROUP BY 1"""
 
+    o["kg_ingest_dangling"] = f"""WITH {_trip},
+objs AS (SELECT DISTINCT obj AS uri FROM trip WHERE kind = 'iri'),
+subs AS (SELECT DISTINCT subj AS uri FROM trip),
+d AS (SELECT uri FROM objs WHERE uri NOT IN (SELECT uri FROM subs))
+SELECT coalesce(regexp_extract(uri, '^(.*[/#])', 1), '') AS namespace,
+       cast(count(*) AS BIGINT) AS n_dangling
+FROM d GROUP BY 1"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path

@@ -36,6 +36,7 @@ from ..constants import OWL_SAMEAS, RDF_TYPE, RDFS_SUBCLASSOF
 from ..kg_dump import LABEL_PREDS, OWL_CLASS, PREF_LABEL_PREDS, REDIRECT_PRED
 from ..util import (
     bucket_aggregate,
+    bucket_anti_join,
     bucket_distinct,
     bucket_join,
     bucket_map_keyed,
@@ -499,6 +500,47 @@ def pred_census(triples_ds):
             "n_literal_obj": ("lit", "sum"),
             "n_en": ("en", "sum"),
         },
+    )
+
+
+def dangling_census(triples_ds):
+    """Dump QA: object IRIs that never appear as a subject — unresolved
+    references a linker would chase into nothing — counted per namespace
+    (prefix through the last '/' or '#'). The reference hits these at
+    lookup time as empty candidate sets (kg/lookup.py retry/empty paths);
+    ingesting lets the engine surface them BEFORE a 100-TB linking run.
+
+    Shape: two column-pruned distincts + a hash-partitioned anti-join +
+    one namespace-sized aggregate; the dump crosses the wire twice
+    (distinct obj, distinct subj), never the driver."""
+    import pyarrow.compute as pc
+
+    objs = bucket_distinct(
+        triples_ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("kind"), "iri"))
+                       .select(["obj"]).rename_columns(["uri"]),
+            batch_format="pyarrow",
+        ),
+        ["uri"],
+    )
+    subs = bucket_distinct(
+        triples_ds.map_batches(
+            lambda t: t.select(["subj"]).rename_columns(["uri"]),
+            batch_format="pyarrow",
+        ),
+        ["uri"],
+    )
+    dangling = bucket_anti_join(objs, subs, key="uri", key_type=pa.string())
+
+    def _ns(b: pd.DataFrame) -> pd.DataFrame:
+        ns = b["uri"].str.extract(r"^(.*[/#])", expand=False).fillna("")
+        return pd.DataFrame({"namespace": ns,
+                             "one": np.ones(len(b), dtype=np.int64)})
+
+    return bucket_aggregate(
+        dangling.map_batches(_ns, batch_format="pandas"),
+        ["namespace"],
+        {"n_dangling": ("one", "sum")},
     )
 
 
