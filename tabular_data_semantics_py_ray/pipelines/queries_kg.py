@@ -21,6 +21,17 @@ from ..stages.mention_detect import detect_mentions_flat_batch
 from .kg_pipeline import read_documents
 
 
+def _bk(backend: str | None):
+    """Resolve a named KGBackend; None = the registered fixture backend.
+    Queries that pin one of the four backend-protocol tables route
+    through this, so a backend ingested from an RDF dump
+    (pipelines/kg_ingest.py) is usable engine-wide, not just in the
+    flagship linking path."""
+    from ..state.backends import get_backend
+
+    return get_backend(backend or "fixture")
+
+
 def resolution_from_tables(
     lex: pd.DataFrame, alias: pd.DataFrame, types: pd.DataFrame
 ) -> pd.DataFrame:
@@ -117,11 +128,11 @@ def cta_doc_type(sf_dir: str):
     return vote_types(_linked_flat(sf_dir), key="doc_id")
 
 
-def cta_type_ancestors(sf_dir: str):
+def cta_type_ancestors(sf_dir: str, backend: str | None = None):
     """winner type expanded with ontology-closure ancestors (G3):
     (doc_id, type_uri, ancestor_uri, distance)."""
     winners = cta_doc_type(sf_dir)
-    closure = fixture_kg.class_closure_df()
+    closure = _bk(backend).class_closure()
 
     def _expand(b: pd.DataFrame) -> pd.DataFrame:
         out = b.merge(closure, left_on="type_uri", right_on="cls_uri", how="inner")
@@ -215,7 +226,8 @@ def cpa_relation(sf_dir: str):
     return counts.map_batches(_winner, batch_format="pandas")
 
 
-def fuzzy_entity_match(sf_dir: str, threshold: float = 0.2):
+def fuzzy_entity_match(sf_dir: str, threshold: float = 0.2,
+                       backend: str | None = None):
     """Fuzzy string-similarity join: corpus vocabulary x entity names by
     character-trigram Jaccard — the client-side analogue of the fuzzy
     matching the reference delegates to the lookup service
@@ -248,7 +260,7 @@ def fuzzy_entity_match(sf_dir: str, threshold: float = 0.2):
         docs.map_batches(_toks, batch_format="pyarrow", batch_size=None),
         ["token"])
 
-    lex = fixture_kg.lexicon_df()
+    lex = _bk(backend).lexicon()
     uris = sorted(set(lex["entity_uri"]))
 
     def _grams(s: str) -> set[str]:
@@ -296,7 +308,7 @@ def fuzzy_entity_match(sf_dir: str, threshold: float = 0.2):
     return toks.map_batches(_match, batch_format="pandas")
 
 
-def alias_canonical_map(sf_dir: str):
+def alias_canonical_map(sf_dir: str, backend: str | None = None):
     """Canonicalization map from raw alias edges (J3/D2): (uri, canonical).
 
     Input-independent of sf_dir (fixture edges), computed by the runtime
@@ -304,7 +316,7 @@ def alias_canonical_map(sf_dir: str):
     """
     from ..stages.canonicalize import resolve_alias_closure
 
-    return resolve_alias_closure(fixture_kg.alias_edges_df())
+    return resolve_alias_closure(_bk(backend).alias_edges())
 
 
 def media_manifest(sf_dir: str):
@@ -515,13 +527,13 @@ def prop_kind(sf_dir: str):
     return agg.map_batches(_verdict, batch_format="pandas")
 
 
-def depth_stats(sf_dir: str):
+def depth_stats(sf_dir: str, backend: str | None = None):
     """G7 depth statistics (~ sem_tab/CTA_Wikidata_Statistic.py:1-27): over
     all per-doc winning types, the count / mean / max of the winner's
     taxonomy depth (max ancestor distance) -> one row."""
     from ..util import bucket_aggregate
 
-    closure = fixture_kg.class_closure_df()
+    closure = _bk(backend).class_closure()
     depth = closure.groupby("cls_uri")["distance"].max().astype("int64")
     depth_map = dict(depth)
 
@@ -549,21 +561,21 @@ def depth_stats(sf_dir: str):
     return agg.map_batches(_final, batch_format="pandas")
 
 
-def class_sample(sf_dir: str, k: int = 3):
+def class_sample(sf_dir: str, k: int = 3, backend: str | None = None):
     """J7/T4 per-class member sampling, made deterministic: per class up to
     k linked corpus entities ordered by md5(entity_uri) — a hash-ordered
     sample replacing the reference's ORDER BY RAND() paging
     (kg/endpoints.py:413-425), reproducible on any cluster and in SQL ->
     (type_uri, entity_uri, sample_rank)."""
-    return _class_sample_from(_linked_flat(sf_dir), k)
+    return _class_sample_from(_linked_flat(sf_dir, backend), k, backend)
 
 
-def _class_sample_from(linked, k: int = 3):
+def _class_sample_from(linked, k: int = 3, backend: str | None = None):
     import hashlib
 
     from ..util import bucket_distinct, bucket_map_keyed
 
-    types = fixture_kg.entity_types_df()
+    types = _bk(backend).entity_types()
     ents = bucket_distinct(linked, ["entity_uri"], num_buckets=8)
 
     def _join_types(b: pd.DataFrame) -> pd.DataFrame:
@@ -648,7 +660,7 @@ def class_confirm(sf_dir: str, k: int = 3):
     return bucket_map_keyed(tagged, ["entity_uri"], _confirm, num_buckets=8)
 
 
-def doc_most_specific_types(sf_dir: str):
+def doc_most_specific_types(sf_dir: str, backend: str | None = None):
     """G2 per doc: distinct direct types of its linked entities, reduced to
     the most-specific set (Agent removed; strict ancestors of another member
     removed) -> (doc_id, type_uri) rows."""
@@ -656,7 +668,7 @@ def doc_most_specific_types(sf_dir: str):
     from ..stages.canonicalize import join_types_batches
     from ..util import bucket_distinct, bucket_map_keyed
 
-    closure = fixture_kg.class_closure_df()
+    closure = _bk(backend).class_closure()
     anc: dict[str, set] = {}
     for r in closure.itertuples(index=False):
         anc.setdefault(r.cls_uri, set()).add(r.ancestor_uri)
@@ -1173,7 +1185,8 @@ def levenshtein_to_word(tokens, word: str):
     return prev[np.arange(n), tlen]
 
 
-def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
+def fuzzy_match_edit(sf_dir: str, max_dist: int = 2,
+                     backend: str | None = None):
     """Edit-distance fuzzy join: corpus vocabulary x entity names by exact
     Levenshtein distance <= max_dist — the typo-tolerant complement of the
     trigram-Jaccard matcher (ref analogue: the lookup service's fuzzy
@@ -1208,7 +1221,7 @@ def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
         docs.map_batches(_toks, batch_format="pyarrow", batch_size=None),
         ["token"])
 
-    lex = fixture_kg.lexicon_df()
+    lex = _bk(backend).lexicon()
     names = sorted({(u, u.rsplit("/", 1)[-1].lower())
                     for u in set(lex["entity_uri"])})
 
@@ -1239,7 +1252,8 @@ def fuzzy_match_edit(sf_dir: str, max_dist: int = 2):
     return toks.map_batches(_match, batch_format="pandas")
 
 
-def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
+def class_closure_compute(sf_dir: str, *, max_depth: int = 32,
+                          backend: str | None = None):
     """COMPUTE the ancestor closure with distances from the DIRECT
     subclass edges by iterative distributed joins — the ontology-
     projection step the rest of the engine consumes as a pinned artifact
@@ -1262,7 +1276,7 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32):
 
     from ..util import bucket_aggregate, bucket_join
 
-    closure = fixture_kg.class_closure_df()
+    closure = _bk(backend).class_closure()
     edges = closure[closure["distance"] == 1][
         ["cls_uri", "ancestor_uri"]].reset_index(drop=True)
     edges_ds = rd.from_pandas(edges)

@@ -237,3 +237,24 @@ def test_flagship_stream_over_ingested_backend(ray_session, sf_small, tmp_path):
     streamed = _canon(read_stream_result(out).to_pandas())
     classic = _canon(triples_from_documents(read_documents(sf_small)).to_pandas())
     pd.testing.assert_frame_equal(classic, streamed)
+
+
+@pytest.mark.parametrize("qname", [
+    "cta_type_ancestors", "depth_stats", "doc_most_specific_types",
+    "class_sample",
+])
+def test_backend_routed_queries_match_fixture(ray_session, sf_small, qname):
+    """Engine-wide backend routing: non-flagship kg_* queries accept a
+    registered backend name, and an INGESTED backend (dump -> parquet ->
+    registry) produces byte-identical results to the fixture backend on
+    corpus-linked entities (the dump's noise namespaces never link)."""
+    from tabular_data_semantics_py_ray.pipelines import queries_kg
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        ensure_ingested_backend,
+    )
+
+    ensure_ingested_backend("ingested")
+    fn = getattr(queries_kg, qname)
+    a = _canon(fn(sf_small).to_pandas())
+    b = _canon(fn(sf_small, backend="ingested").to_pandas())
+    pd.testing.assert_frame_equal(a, b)
