@@ -944,6 +944,17 @@ def q_kg_ingest_dangling(sf_dir: str):
     return dangling_census(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_rdfs(sf_dir: str):
+    """RDFS entailment materialization (rho-df rules rdfs2/3/5/7/9/11) over
+    the parsed dump: schema closed driver-side and broadcast, instance data
+    expanded in ONE corpus scan, one final distinct. The Ray-native stand-in
+    for the reference's reasoner seam (ontology/onto_access.py:56-88)."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import rdfs_materialize, read_ntriples
+
+    return rdfs_materialize(read_ntriples(dump_path()))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -966,6 +977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_pred_census": q_kg_ingest_pred_census,
         "kg_ingest_dangling": q_kg_ingest_dangling,
         "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
+        "kg_ingest_rdfs": q_kg_ingest_rdfs,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,

@@ -17,6 +17,9 @@ TAB = "http://example.org/table/"  # minted per-table-row subjects (tabular2rdf)
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
 RDFS_SUBCLASSOF = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
+RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
 
 # Predicate minted for "document mentions entity" triples.

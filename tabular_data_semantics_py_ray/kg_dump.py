@@ -30,7 +30,16 @@ from __future__ import annotations
 from functools import lru_cache
 
 from . import fixture_kg
-from .constants import ONT, OWL_SAMEAS, RDF_TYPE, RDFS_LABEL, RDFS_SUBCLASSOF
+from .constants import (
+    ONT,
+    OWL_SAMEAS,
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_LABEL,
+    RDFS_RANGE,
+    RDFS_SUBCLASSOF,
+    RDFS_SUBPROPERTYOF,
+)
 
 # --- public vocabulary (W3C standard namespaces) ---------------------------
 SKOS_PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
@@ -57,6 +66,7 @@ NONT = "http://example.org/noise-ontology/"
 
 N_NOISE_ENTITIES = 3000
 N_NOISE_CLASSES = 40
+N_NOISE_PROPS = 12
 
 # Triple tuple: (subj, pred, obj, obj_kind, lang, dtype)
 #   obj_kind in {'iri', 'literal', 'bnode'}; lang/dtype are '' when absent.
@@ -167,6 +177,32 @@ def noise_triples() -> list[Triple]:
     # explicit 2-hop redirect chain (the reference's 2-iteration closure)
     out.append(_iri(f"{NENT}ChainA", REDIRECT_PRED, f"{NENT}ChainB"))
     out.append(_iri(f"{NENT}ChainB", REDIRECT_PRED, f"{NENT}ChainC"))
+
+    # --- property schema (RDFS materialization exercise) -------------------
+    # Binary subPropertyOf tree of depth 3 (NProp_k under NProp_{(k-1)//2}),
+    # domain/range axioms on interior AND leaf properties, and instance
+    # triples using only the DEEP properties — so rdfs7 inheritance, rdfs2/3
+    # through INHERITED domains/ranges, and rdfs9 over the inferred types
+    # all fire on real rows. Literal objects exercise range-not-applied.
+    for k in range(N_NOISE_PROPS):
+        p = f"{NONT}NProp_{k:02d}"
+        if k > 0:
+            out.append(_iri(p, RDFS_SUBPROPERTYOF, f"{NONT}NProp_{(k - 1) // 2:02d}"))
+        if k % 3 == 0:
+            out.append(_iri(p, RDFS_DOMAIN, f"{NONT}NClass_{k % N_NOISE_CLASSES:02d}"))
+        if k % 4 == 1:
+            out.append(
+                _iri(p, RDFS_RANGE, f"{NONT}NClass_{(k * 3) % N_NOISE_CLASSES:02d}")
+            )
+        out.append(_lit(p, RDFS_LABEL, f"noise property {k:02d}", "en"))
+    for i in range(0, N_NOISE_ENTITIES, 7):
+        k = 5 + (i // 7) % (N_NOISE_PROPS - 5)
+        p = f"{NONT}NProp_{k:02d}"
+        subj = f"{NENT}Noise_{i:05d}"
+        if i % 3 == 0:
+            out.append(_lit(subj, p, f"prop value {i}", "en"))
+        else:
+            out.append(_iri(subj, p, f"{NENT}Noise_{(i * 13 + 1) % N_NOISE_ENTITIES:05d}"))
 
     # blank nodes as subject and object
     out.append(_iri("_:bn0", RDF_TYPE, f"{NONT}NClass_00"))

@@ -224,6 +224,52 @@ SELECT coalesce(regexp_extract(uri, '^(.*[/#])', 1), '') AS namespace,
        cast(count(*) AS BIGINT) AS n_dangling
 FROM d GROUP BY 1"""
 
+    from .constants import RDFS_DOMAIN, RDFS_RANGE, RDFS_SUBPROPERTYOF
+
+    # rho-df RDFS materialization: recursive CTEs recompute every rule from
+    # the raw dump (closure, inheritance, domain/range, type expansion)
+    o["kg_ingest_rdfs"] = f"""WITH RECURSIVE {_trip},
+spe AS (SELECT DISTINCT subj AS p, obj AS q FROM trip
+        WHERE pred = '{RDFS_SUBPROPERTYOF}' AND kind = 'iri'),
+spc(p, q) AS (
+  SELECT p, q FROM spe
+  UNION
+  SELECT s.p, e.q FROM spc s JOIN spe e ON s.q = e.p
+),
+sce AS (SELECT DISTINCT subj AS c, obj AS d FROM trip
+        WHERE pred = '{RDFS_SUBCLASSOF}' AND kind = 'iri'),
+scc(c, d) AS (
+  SELECT c, d FROM sce
+  UNION
+  SELECT s.c, e.d FROM scc s JOIN sce e ON s.d = e.c
+),
+dom AS (SELECT DISTINCT subj AS p, obj AS c FROM trip
+        WHERE pred = '{RDFS_DOMAIN}' AND kind = 'iri'),
+ran AS (SELECT DISTINCT subj AS p, obj AS c FROM trip
+        WHERE pred = '{RDFS_RANGE}' AND kind = 'iri'),
+effdom AS (SELECT p, c FROM dom
+           UNION SELECT s.p, d.c FROM spc s JOIN dom d ON s.q = d.p),
+effran AS (SELECT p, c FROM ran
+           UNION SELECT s.p, r.c FROM spc s JOIN ran r ON s.q = r.p),
+sup AS (SELECT t.subj, s.q AS pred, t.obj, t.kind, t.lang
+        FROM trip t JOIN spc s ON t.pred = s.p),
+types0 AS (
+  SELECT subj AS ent, obj AS cls FROM trip
+  WHERE pred = '{RDF_TYPE}' AND kind = 'iri'
+  UNION SELECT t.subj, d.c FROM trip t JOIN effdom d ON t.pred = d.p
+  UNION SELECT t.obj, r.c FROM trip t JOIN effran r
+        ON t.pred = r.p AND t.kind = 'iri'
+),
+typesx AS (SELECT ent, cls FROM types0
+           UNION SELECT t.ent, s.d FROM types0 t JOIN scc s ON t.cls = s.c)
+SELECT DISTINCT subj, pred, obj, kind, lang FROM (
+  SELECT subj, pred, obj, kind, lang FROM trip
+  UNION ALL SELECT subj, pred, obj, kind, lang FROM sup
+  UNION ALL SELECT p, '{RDFS_SUBPROPERTYOF}', q, 'iri', '' FROM spc
+  UNION ALL SELECT c, '{RDFS_SUBCLASSOF}', d, 'iri', '' FROM scc
+  UNION ALL SELECT ent, '{RDF_TYPE}', cls, 'iri', '' FROM typesx
+)"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path

@@ -32,7 +32,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..constants import OWL_SAMEAS, RDF_TYPE, RDFS_SUBCLASSOF
+from ..constants import (
+    OWL_SAMEAS,
+    RDF_TYPE,
+    RDFS_DOMAIN,
+    RDFS_RANGE,
+    RDFS_SUBCLASSOF,
+    RDFS_SUBPROPERTYOF,
+)
 from ..kg_dump import LABEL_PREDS, OWL_CLASS, PREF_LABEL_PREDS, REDIRECT_PRED
 from ..util import (
     bucket_aggregate,
@@ -542,6 +549,209 @@ def dangling_census(triples_ds):
         ["namespace"],
         {"n_dangling": ("one", "sum")},
     )
+
+
+def _schema_pairs(triples_ds, pred_uri: str) -> pd.DataFrame:
+    """Distinct (a, b) IRI->IRI pairs of one schema predicate, collected to
+    the driver. Property/domain/range axioms are ONTOLOGY-bounded (Wikidata
+    declares ~12k properties, DBpedia ~3k) — result-sized, the same collect
+    regime as _string_components."""
+    import pyarrow.compute as pc
+
+    def _f(t: pa.Table) -> pa.Table:
+        f = t.filter(
+            pc.and_(
+                pc.equal(t.column("pred"), pred_uri),
+                pc.equal(t.column("kind"), "iri"),
+            )
+        )
+        return pa.Table.from_arrays(
+            [f.column("subj"), f.column("obj")], names=["a", "b"]
+        )
+
+    df = bucket_distinct(
+        triples_ds.map_batches(_f, batch_format="pyarrow"), ["a", "b"]
+    ).to_pandas()
+    if df.empty:  # an empty Dataset collects without column names
+        return pd.DataFrame({"a": pd.Series(dtype=object),
+                             "b": pd.Series(dtype=object)})
+    return df
+
+
+def _close_pairs_local(edges: pd.DataFrame) -> pd.DataFrame:
+    """Strict transitive closure of an ONTOLOGY-bounded (a, b) edge frame —
+    driver-side semi-naive loop (each round merges only the NEW pairs
+    against the base edges, so work is O(|closure|), not O(rounds x all))."""
+    clo = edges.drop_duplicates()
+    frontier = clo
+    while not frontier.empty:
+        nxt = frontier.merge(edges, left_on="b", right_on="a",
+                             suffixes=("", "_r"))[["a", "b_r"]]
+        nxt.columns = ["a", "b"]
+        nxt = nxt.drop_duplicates().merge(clo, how="left", indicator=True)
+        nxt = nxt.loc[nxt["_merge"] == "left_only", ["a", "b"]]
+        clo = pd.concat([clo, nxt], ignore_index=True)
+        frontier = nxt
+    return clo.reset_index(drop=True)
+
+
+def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
+    """RDFS entailment materialization: original triples UNION inferred,
+    distinct on (subj, pred, obj, kind, lang).
+
+    Implements the minimal-RDFS rho-df fragment (Munoz, Perez & Gutierrez,
+    "Simple and Efficient Minimal RDFS", JWS 2009) — the same entailments
+    the reference delegates to owlready2's reasoner seam
+    (ontology/onto_access.py:56-88, Pellet/HermiT), restricted to the rules
+    that matter for instance classification:
+
+      rdfs5   subPropertyOf transitivity
+      rdfs7   (s p o),    p subPropertyOf q  ->  (s q o)
+      rdfs2   (s p o),    domain(p) = c      ->  (s rdf:type c)
+      rdfs3   (s p o:iri), range(p) = c      ->  (o rdf:type c)
+      rdfs11  subClassOf transitivity
+      rdfs9   (s rdf:type c), c subClassOf d ->  (s rdf:type d)
+
+    Meta-level axioms over the reserved vocabulary itself (e.g. declaring a
+    subPropertyOf of rdf:type) are out of scope, as in rho-df.
+
+    Scale shape: the property schema (subPropertyOf / domain / range) is
+    ONTOLOGY-bounded -> closed driver-side, broadcast ONCE via ray.put.
+    The class closure is computed DISTRIBUTED (frontier loop); when its
+    row count fits ``sc_broadcast_max`` it is broadcast too and every rule
+    fuses into a SINGLE corpus scan; above the cap, rdfs9 runs instead as a
+    hash-partitioned bucket_join of the type rows against the closure (one
+    extra all-to-all — the price of a schema too large to replicate).
+    The final distinct is ONE bucket shuffle. Effective domain/range are
+    pre-composed through the property closure driver-side, so inherited
+    axioms cost nothing per batch."""
+    import ray
+
+    spc = _close_pairs_local(_schema_pairs(triples_ds, RDFS_SUBPROPERTYOF))
+    dom = _schema_pairs(triples_ds, RDFS_DOMAIN)
+    ran = _schema_pairs(triples_ds, RDFS_RANGE)
+
+    def _inherit(ax: pd.DataFrame) -> pd.DataFrame:
+        # axiom on q applies to every p subPropertyOf q
+        inh = spc.merge(ax, left_on="b", right_on="a", suffixes=("", "_x"))
+        inh = inh[["a", "b_x"]].set_axis(["a", "b"], axis=1)
+        return pd.concat([ax, inh], ignore_index=True).drop_duplicates()
+
+    eff_dom, eff_ran = _inherit(dom), _inherit(ran)
+
+    sc_clo = derive_class_closure(triples_ds).materialize()
+    if sc_clo.count() <= sc_broadcast_max:
+        raw = sc_clo.to_pandas()
+        sc_df = (
+            raw[["cls_uri", "ancestor_uri"]]
+            if not raw.empty
+            else pd.DataFrame({"cls_uri": pd.Series(dtype=object),
+                               "ancestor_uri": pd.Series(dtype=object)})
+        )
+    else:
+        sc_df = None
+    schema_ref = ray.put((spc, eff_dom, eff_ran, sc_df))
+
+    cols = ["subj", "pred", "obj", "kind", "lang"]
+
+    def _expand(b: pd.DataFrame) -> pd.DataFrame:
+        spc_g, dom_g, ran_g, sc_g = ray.get(schema_ref)
+        base = b[cols]
+        sup = base.merge(spc_g, left_on="pred", right_on="a")
+        sup = sup[["subj", "b", "obj", "kind", "lang"]].set_axis(cols, axis=1)
+        t0 = base.loc[
+            (base["pred"] == RDF_TYPE) & (base["kind"] == "iri"),
+            ["subj", "obj"],
+        ].set_axis(["ent", "cls"], axis=1)
+        td = base.merge(dom_g, left_on="pred", right_on="a")[
+            ["subj", "b"]
+        ].set_axis(["ent", "cls"], axis=1)
+        tr = base.loc[base["kind"] == "iri"].merge(
+            ran_g, left_on="pred", right_on="a"
+        )[["obj", "b"]].set_axis(["ent", "cls"], axis=1)
+        types = pd.concat([t0, td, tr], ignore_index=True).drop_duplicates()
+        if sc_g is not None:
+            texp = types.merge(sc_g, left_on="cls", right_on="cls_uri")
+            texp = texp[["ent", "ancestor_uri"]].set_axis(["ent", "cls"], axis=1)
+            types = pd.concat([types, texp], ignore_index=True)
+        trows = pd.DataFrame(
+            {
+                "subj": types["ent"],
+                "pred": np.full(len(types), RDF_TYPE, dtype=object),
+                "obj": types["cls"],
+                "kind": np.full(len(types), "iri", dtype=object),
+                "lang": np.full(len(types), "", dtype=object),
+            }
+        )
+        return pd.concat([base, sup, trows], ignore_index=True)
+
+    out = triples_ds.map_batches(_expand, batch_format="pandas")
+
+    if sc_df is None:
+        # distributed rdfs9: hash-partition type rows and the closure on the
+        # class key; closure is transitive, so ONE join round is complete
+        out = out.materialize()
+
+        def _typerows(b: pd.DataFrame) -> pd.DataFrame:
+            f = b.loc[(b["pred"] == RDF_TYPE) & (b["kind"] == "iri")]
+            return pd.DataFrame({"cls": f["obj"], "ent": f["subj"]})
+
+        left = out.map_batches(_typerows, batch_format="pandas")
+        right = sc_clo.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("cls_uri"), t.column("ancestor_uri")],
+                names=["cls", "anc"],
+            ),
+            batch_format="pyarrow",
+        )
+        extra = bucket_join(
+            left,
+            right,
+            key="cls",
+            left_cols={"ent": pa.string()},
+            right_cols={"anc": pa.string()},
+            key_type=pa.string(),
+            post=lambda df: pd.DataFrame(
+                {
+                    "subj": df["ent"],
+                    "pred": np.full(len(df), RDF_TYPE, dtype=object),
+                    "obj": df["anc"],
+                    "kind": np.full(len(df), "iri", dtype=object),
+                    "lang": np.full(len(df), "", dtype=object),
+                }
+            ),
+        )
+        out = out.union(extra)
+
+    # axiom-closure rows are part of the entailed graph too
+    sc_trip = sc_clo.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("cls_uri"),
+                pa.array([RDFS_SUBCLASSOF] * t.num_rows, type=pa.string()),
+                t.column("ancestor_uri"),
+                pa.array(["iri"] * t.num_rows, type=pa.string()),
+                pa.array([""] * t.num_rows, type=pa.string()),
+            ],
+            names=cols,
+        ),
+        batch_format="pyarrow",
+    )
+    out = out.union(sc_trip)
+    if not spc.empty:
+        import ray.data as rd
+
+        sp_trip = pd.DataFrame(
+            {
+                "subj": spc["a"],
+                "pred": np.full(len(spc), RDFS_SUBPROPERTYOF, dtype=object),
+                "obj": spc["b"],
+                "kind": np.full(len(spc), "iri", dtype=object),
+                "lang": np.full(len(spc), "", dtype=object),
+            }
+        )
+        out = out.union(rd.from_pandas(sp_trip))
+    return bucket_distinct(out, cols)
 
 
 def _string_components(edges_ds):
