@@ -192,6 +192,15 @@ def q_dedup_near_pairs(sf_dir: str):
     return near_dup_pairs_minhash(_documents(sf_dir))
 
 
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """n-gram Jaccard near-dup: rare-shingle inverted-index candidates
+    (df <= 64 stop-shingle cap), exact-Jaccard verification over the full
+    shingle sets. Deterministic recall (no MinHash probability bound)."""
+    from .stages.dedup import near_dup_pairs_ngram
+
+    return near_dup_pairs_ngram(_documents(sf_dir))
+
+
 def q_dedup_components(sf_dir: str):
     """Dup-cluster assignment: connected components over the verified
     near-dup pair graph; component_id = min reachable doc_id."""
@@ -1000,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact": q_dedup_exact,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,

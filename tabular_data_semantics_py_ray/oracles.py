@@ -910,6 +910,36 @@ j AS (
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
 
+    # n-gram Jaccard near-dup: candidates restricted to pairs sharing at
+    # least one RARE shingle (df <= 64, the engine's stop-shingle cap),
+    # jaccard computed over the FULL shingle sets
+    o["dedup_ngram_jaccard"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (SELECT doc_id, toks, unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 64),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN rare r ON a.shingle = r.shingle
+            JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT doc_a, doc_b, cast(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
+
     # closure recomputed from the distance-1 edges — must equal the pinned
     # fixture closure the other kg_* oracles consume
     o["kg_closure_compute"] = f"""WITH RECURSIVE

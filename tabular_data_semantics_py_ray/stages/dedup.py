@@ -427,6 +427,96 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
     return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
 
 
+def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
+    """docs -> exploded inverted-index rows (shingle:uint64, doc_id).
+    The shingle binary column is our own dense little-endian u8 layout
+    (shingle_signatures_batch), so the explode is two zero-copy
+    np.frombuffer views + one repeat — no per-doc Python."""
+    s = shingle_signatures_batch(t, ngram=ngram, with_sig=False)
+    counts = s.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc = s.column("doc_id").to_numpy(zero_copy_only=False)
+    if int(counts.sum()) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.uint64()), pa.array([], type=pa.int64())],
+            names=["shingle", "doc_id"],
+        )
+    b = s.column("shingles")
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    off = np.frombuffer(b.buffers()[1], dtype=np.int32)
+    off = off[b.offset : b.offset + len(b) + 1]
+    data = np.frombuffer(b.buffers()[2], dtype="<u8")
+    vals = data[off[0] // 8 : off[-1] // 8]
+    return pa.Table.from_arrays(
+        [pa.array(vals), pa.array(np.repeat(doc, counts).astype(np.int64))],
+        names=["shingle", "doc_id"],
+    )
+
+
+def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
+                         ngram: int = 3, max_df: int = 64,
+                         broadcast_max_pairs: int = 5_000_000):
+    """documents -> (doc_a, doc_b, jaccard): n-gram Jaccard near-dup via
+    the inverted shingle index — the DETERMINISTIC alternative to MinHash
+    (no signature-probability recall bound) for the high-threshold regime.
+
+    Candidates = pairs co-occurring under a RARE shingle (global document
+    frequency <= ``max_df``); verification = exact Jaccard over the FULL
+    shingle sets (the same verify join MinHash uses). Recall argument: a
+    pair at jaccard >= t shares >= t/(1+t) of its shingle union; missing
+    it requires EVERY shared shingle to occur in > max_df documents —
+    i.e. the overlap is entirely boilerplate, which is exactly the
+    non-duplicate signal. The df cap is simultaneously the hot-key guard:
+    a shingle appearing in df docs would otherwise emit O(df^2) pairs, so
+    groups over the cap emit NOTHING (stop-shingles), bounding both skew
+    and candidate volume.
+
+    Scale shape mirrors near_dup_pairs_minhash: the shingle stream
+    shuffles ONCE into the inverted index (complete groups per bucket, so
+    df is global); candidate pairs are near-dup-bounded; the verify pass
+    recomputes shingles from raw text with candidate-doc-id pushdown.
+    ZERO derived-corpus storage."""
+
+    def _rows(t: pa.Table) -> pa.Table:
+        return _shingle_doc_rows(t, ngram=ngram)
+
+    def _pairs_capped(b: pd.DataFrame) -> pd.DataFrame:
+        df = b.groupby("shingle", sort=False)["doc_id"].transform("size")
+        return _pairs_from_keyed(b[df <= max_df], ["shingle"])
+
+    idx_rows = documents_ds.map_batches(_rows, batch_format="pyarrow")
+    cands = bucket_map_keyed(idx_rows, ["shingle"], _pairs_capped).materialize()
+    # a pair sharing several rare shingles is emitted several times; all
+    # copies co-locate in verify stage 1 and dedupe for free there
+
+    def _shingles_only(t: pa.Table) -> pa.Table:
+        return shingle_signatures_batch(t, ngram=ngram, with_sig=False)
+
+    if cands.count() <= broadcast_max_pairs:
+        import ray as _ray
+
+        parts = [np.empty(0, np.int64)]
+        for b in cands.iter_batches(batch_format="pandas"):
+            if "doc_a" in b:
+                parts.append(b["doc_a"].to_numpy())
+                parts.append(b["doc_b"].to_numpy())
+        ids_ref = _ray.put(np.unique(np.concatenate(parts)))
+
+        def _filtered_shingles(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                _ray.get(ids_ref),
+            )
+            return _shingles_only(t.filter(pa.array(keep)))
+
+        shingle_cols = documents_ds.map_batches(
+            _filtered_shingles, batch_format="pyarrow")
+    else:
+        shingle_cols = documents_ds.map_batches(
+            _shingles_only, batch_format="pyarrow")
+    return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
+
+
 # ----------------------------------------------------------------------
 # SimHash near-dup: 4-segment pigeonhole blocking for hamming <= 3.
 # ----------------------------------------------------------------------
