@@ -964,6 +964,18 @@ def q_kg_ingest_rdfs(sf_dir: str):
     return rdfs_materialize(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_owl_horst(sf_dir: str):
+    """OWL-Horst-lite materialization: the RDFS rules plus owl:inverseOf /
+    SymmetricProperty / TransitiveProperty — the distributed stand-in for
+    the reference's complex-axiom projection (ontology_projection.py:
+    797-935). Property structure closed to fixpoint driver-side; one
+    corpus scan + per-transitive-property frontier closures."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import owl_horst_materialize, read_ntriples
+
+    return owl_horst_materialize(read_ntriples(dump_path()))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -987,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_dangling": q_kg_ingest_dangling,
         "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
         "kg_ingest_rdfs": q_kg_ingest_rdfs,
+        "kg_ingest_owl_horst": q_kg_ingest_owl_horst,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,

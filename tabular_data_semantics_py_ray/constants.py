@@ -21,6 +21,9 @@ RDFS_SUBPROPERTYOF = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
 RDFS_DOMAIN = "http://www.w3.org/2000/01/rdf-schema#domain"
 RDFS_RANGE = "http://www.w3.org/2000/01/rdf-schema#range"
 OWL_SAMEAS = "http://www.w3.org/2002/07/owl#sameAs"
+OWL_INVERSEOF = "http://www.w3.org/2002/07/owl#inverseOf"
+OWL_SYMMETRIC = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+OWL_TRANSITIVE = "http://www.w3.org/2002/07/owl#TransitiveProperty"
 
 # Predicate minted for "document mentions entity" triples.
 MENTIONS_PRED = ONT + "mentions"

@@ -32,7 +32,10 @@ from functools import lru_cache
 from . import fixture_kg
 from .constants import (
     ONT,
+    OWL_INVERSEOF,
     OWL_SAMEAS,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
     RDF_TYPE,
     RDFS_DOMAIN,
     RDFS_LABEL,
@@ -203,6 +206,39 @@ def noise_triples() -> list[Triple]:
             out.append(_lit(subj, p, f"prop value {i}", "en"))
         else:
             out.append(_iri(subj, p, f"{NENT}Noise_{(i * 13 + 1) % N_NOISE_ENTITIES:05d}"))
+
+    # --- OWL-Horst property axioms (inverse / symmetric / transitive) ------
+    # inverse pair with domain+range on ONE side (cross-typing must reach
+    # the other side's endpoints through the inverse map)
+    p_inv_a, p_inv_b = f"{NONT}NProp_invHas", f"{NONT}NProp_invOf"
+    out.append(_iri(p_inv_a, OWL_INVERSEOF, p_inv_b))
+    out.append(_iri(p_inv_a, RDFS_DOMAIN, f"{NONT}NClass_05"))
+    out.append(_iri(p_inv_a, RDFS_RANGE, f"{NONT}NClass_06"))
+    # symmetric property that is also a subproperty (reversed copies must
+    # inherit upward too)
+    p_sym = f"{NONT}NProp_sym"
+    out.append(_iri(p_sym, RDF_TYPE, OWL_SYMMETRIC))
+    out.append(_iri(p_sym, RDFS_SUBPROPERTYOF, f"{NONT}NProp_00"))
+    # transitive property with a NON-transitive super and a feeding
+    # subproperty (closure edges must include sub-uses; closure pairs must
+    # propagate to the super)
+    p_trn = f"{NONT}NProp_trans"
+    out.append(_iri(p_trn, RDF_TYPE, OWL_TRANSITIVE))
+    out.append(_iri(p_trn, RDFS_SUBPROPERTYOF, f"{NONT}NProp_transSup"))
+    out.append(_iri(f"{NONT}NProp_transSub", RDFS_SUBPROPERTYOF, p_trn))
+    for i in range(60):  # ten 5-edge chains, alternating direct/sub uses
+        if i % 6 != 5:
+            pred = p_trn if i % 2 == 0 else f"{NONT}NProp_transSub"
+            out.append(_iri(f"{NENT}Noise_{i:05d}", pred, f"{NENT}Noise_{i + 1:05d}"))
+    for i in range(0, N_NOISE_ENTITIES, 97):
+        out.append(
+            _iri(f"{NENT}Noise_{i:05d}", p_inv_a,
+                 f"{NENT}Noise_{(i + 3) % N_NOISE_ENTITIES:05d}")
+        )
+        out.append(
+            _iri(f"{NENT}Noise_{(i * 7) % N_NOISE_ENTITIES:05d}", p_sym,
+                 f"{NENT}Noise_{(i * 7 + 11) % N_NOISE_ENTITIES:05d}")
+        )
 
     # blank nodes as subject and object
     out.append(_iri("_:bn0", RDF_TYPE, f"{NONT}NClass_00"))

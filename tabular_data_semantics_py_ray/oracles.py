@@ -270,6 +270,103 @@ SELECT DISTINCT subj, pred, obj, kind, lang FROM (
   UNION ALL SELECT ent, '{RDF_TYPE}', cls, 'iri', '' FROM typesx
 )"""
 
+    from .constants import OWL_INVERSEOF, OWL_SYMMETRIC, OWL_TRANSITIVE
+
+    # OWL-Horst-lite: the property-level fixpoint (fwd/bwd emission maps)
+    # is ONE recursive CTE over a static "hops" edge table (sp preserves
+    # direction, inverse/symmetric flip it); transitive closure per
+    # property is a second recursive CTE over the expanded edge set
+    o["kg_ingest_owl_horst"] = f"""WITH RECURSIVE {_trip},
+spe AS (SELECT DISTINCT subj AS a, obj AS b FROM trip
+        WHERE pred = '{RDFS_SUBPROPERTYOF}' AND kind = 'iri'),
+spc(a, b) AS (SELECT a, b FROM spe UNION
+              SELECT s.a, e.b FROM spc s JOIN spe e ON s.b = e.a),
+inv AS (SELECT DISTINCT subj AS a, obj AS b FROM trip
+        WHERE pred = '{OWL_INVERSEOF}' AND kind = 'iri'),
+sym AS (SELECT DISTINCT subj AS p FROM trip
+        WHERE pred = '{RDF_TYPE}' AND obj = '{OWL_SYMMETRIC}'),
+tprops AS (SELECT DISTINCT subj AS p FROM trip
+           WHERE pred = '{RDF_TYPE}' AND obj = '{OWL_TRANSITIVE}'),
+hops AS (
+  SELECT a AS q, b AS r, 0 AS flip FROM spe
+  UNION ALL SELECT a, b, 1 FROM inv
+  UNION ALL SELECT b, a, 1 FROM inv
+  UNION ALL SELECT p, p, 1 FROM sym
+),
+u AS (SELECT q AS p FROM hops UNION SELECT r FROM hops
+      UNION SELECT p FROM tprops),
+fb(p, q, dir) AS (
+  SELECT p, p, 0 FROM u
+  UNION
+  SELECT f.p, h.r, (f.dir + h.flip) % 2 FROM fb f JOIN hops h ON f.q = h.q
+),
+fwd AS (SELECT p, q FROM fb WHERE dir = 0),
+bwd AS (SELECT p, q FROM fb WHERE dir = 1),
+sce AS (SELECT DISTINCT subj AS c, obj AS d FROM trip
+        WHERE pred = '{RDFS_SUBCLASSOF}' AND kind = 'iri'),
+scc(c, d) AS (SELECT c, d FROM sce UNION
+              SELECT s.c, e.d FROM scc s JOIN sce e ON s.d = e.c),
+dom AS (SELECT DISTINCT subj AS p, obj AS c FROM trip
+        WHERE pred = '{RDFS_DOMAIN}' AND kind = 'iri'),
+ran AS (SELECT DISTINCT subj AS p, obj AS c FROM trip
+        WHERE pred = '{RDFS_RANGE}' AND kind = 'iri'),
+domsp AS (SELECT p, c FROM dom UNION
+          SELECT s.a, d.c FROM spc s JOIN dom d ON s.b = d.p),
+domf AS (SELECT f.p, d.c FROM fwd f JOIN dom d ON f.q = d.p
+         UNION SELECT b.p, r.c FROM bwd b JOIN ran r ON b.q = r.p
+         UNION SELECT p, c FROM dom),
+ranf AS (SELECT f.p, r.c FROM fwd f JOIN ran r ON f.q = r.p
+         UNION SELECT b.p, d.c FROM bwd b JOIN dom d ON b.q = d.p
+         UNION SELECT p, c FROM ran),
+sup_rest AS (SELECT t.subj, s.b AS pred, t.obj, t.kind, t.lang
+             FROM trip t JOIN spc s ON t.pred = s.a WHERE t.kind <> 'iri'),
+sup_iri AS (SELECT t.subj, f.q AS pred, t.obj, t.kind, t.lang
+            FROM trip t JOIN fwd f ON t.pred = f.p AND f.q <> f.p
+            WHERE t.kind = 'iri'),
+rev AS (SELECT t.obj AS subj, b.q AS pred, t.subj AS obj,
+               'iri' AS kind, '' AS lang
+        FROM trip t JOIN bwd b ON t.pred = b.p WHERE t.kind = 'iri'),
+tedges AS (
+  SELECT tt.p AS t, tr.subj AS s, tr.obj AS o
+  FROM trip tr JOIN fwd f ON tr.pred = f.p JOIN tprops tt ON f.q = tt.p
+  WHERE tr.kind = 'iri'
+  UNION
+  SELECT tt.p, tr.obj, tr.subj
+  FROM trip tr JOIN bwd b ON tr.pred = b.p JOIN tprops tt ON b.q = tt.p
+  WHERE tr.kind = 'iri'
+),
+tclo(t, s, o) AS (SELECT t, s, o FROM tedges UNION
+                  SELECT c.t, c.s, e.o FROM tclo c
+                  JOIN tedges e ON c.t = e.t AND c.o = e.s),
+tprop AS (
+  SELECT c.s AS subj, f.q AS pred, c.o AS obj FROM tclo c
+  JOIN fwd f ON c.t = f.p
+  UNION
+  SELECT c.o, b.q, c.s FROM tclo c JOIN bwd b ON c.t = b.p
+),
+ty AS (
+  SELECT subj AS ent, obj AS cls FROM trip
+  WHERE pred = '{RDF_TYPE}' AND kind = 'iri'
+  UNION SELECT t.subj, d.c FROM trip t JOIN domsp d ON t.pred = d.p
+        WHERE t.kind <> 'iri'
+  UNION SELECT t.subj, d.c FROM trip t JOIN domf d ON t.pred = d.p
+        WHERE t.kind = 'iri'
+  UNION SELECT t.obj, r.c FROM trip t JOIN ranf r ON t.pred = r.p
+        WHERE t.kind = 'iri'
+),
+tyx AS (SELECT ent, cls FROM ty UNION
+        SELECT t.ent, s.d FROM ty t JOIN scc s ON t.cls = s.c)
+SELECT DISTINCT subj, pred, obj, kind, lang FROM (
+  SELECT subj, pred, obj, kind, lang FROM trip
+  UNION ALL SELECT subj, pred, obj, kind, lang FROM sup_rest
+  UNION ALL SELECT subj, pred, obj, kind, lang FROM sup_iri
+  UNION ALL SELECT subj, pred, obj, kind, lang FROM rev
+  UNION ALL SELECT subj, pred, obj, 'iri', '' FROM tprop
+  UNION ALL SELECT a, '{RDFS_SUBPROPERTYOF}', b, 'iri', '' FROM spc
+  UNION ALL SELECT c, '{RDFS_SUBCLASSOF}', d, 'iri', '' FROM scc
+  UNION ALL SELECT ent, '{RDF_TYPE}', cls, 'iri', '' FROM tyx
+)"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path

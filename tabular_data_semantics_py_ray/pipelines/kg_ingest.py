@@ -33,7 +33,10 @@ import pandas as pd
 import pyarrow as pa
 
 from ..constants import (
+    OWL_INVERSEOF,
     OWL_SAMEAS,
+    OWL_SYMMETRIC,
+    OWL_TRANSITIVE,
     RDF_TYPE,
     RDFS_DOMAIN,
     RDFS_RANGE,
@@ -259,6 +262,51 @@ def read_turtle(path: str, *, blocks: int | None = None):
     # driver-expanded lines are one (or few) blocks; always fan out
     ds = ds.repartition(blocks if blocks is not None else fanout_blocks())
     return ds.map_batches(_parse_batch, batch_format="pyarrow")
+
+
+def read_turtle_dir(paths, *, blocks: int | None = None):
+    """Multi-file Turtle -> parsed triples Dataset with PER-FILE
+    parallelism: each .ttl file is tokenized + expanded + parsed inside its
+    own read task (Turtle's prefix declarations make the format
+    file-splittable only at file boundaries — unlike N-Triples, a byte
+    range cannot be parsed without the header, so the file IS the natural
+    partition). Real multi-file exports (Wikidata per-entity-class splits,
+    DBpedia per-chapter dumps) ship thousands of such files; one task per
+    file saturates the cluster without any driver-side text handling.
+
+    ``paths``: a directory (every ``*.ttl``/``*.turtle`` inside) or an
+    explicit list of files. For a SINGLE large .ttl file use
+    ``read_turtle`` (driver expansion + line fan-out) — per-file
+    parallelism degenerates to one task there."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        paths = [
+            os.path.join(paths, f)
+            for f in sorted(os.listdir(paths))
+            if f.endswith((".ttl", ".turtle"))
+        ]
+    if not paths:
+        raise ValueError("read_turtle_dir: no .ttl files found")
+
+    def _parse_file(row: dict) -> pa.Table:
+        text = row["bytes"].decode("utf-8")
+        return _parse_batch(
+            pa.table({"text": pa.array(turtle_to_nt_lines(text))})
+        )
+
+    # one block per file from the binary read; flat_map-style expansion via
+    # map_batches over single-row batches keeps the task:file mapping 1:1
+    ds = rd.read_binary_files(paths, override_num_blocks=len(paths))
+    return ds.map_batches(
+        lambda t: pa.concat_tables(
+            [_parse_file({"bytes": b.as_py()}) for b in t.column("bytes")]
+        ),
+        batch_format="pyarrow",
+        batch_size=1,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -748,6 +796,336 @@ def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
                 "obj": spc["b"],
                 "kind": np.full(len(spc), "iri", dtype=object),
                 "lang": np.full(len(spc), "", dtype=object),
+            }
+        )
+        out = out.union(rd.from_pandas(sp_trip))
+    return bucket_distinct(out, cols)
+
+
+def _prop_fixpoint(spc: pd.DataFrame, inv: pd.DataFrame, sym: set):
+    """Property-level emission maps, computed to FIXPOINT driver-side
+    (property schemas are ontology-bounded).
+
+    fwd(p) = properties q such that (s p o) entails (s q o);
+    bwd(p) = properties q such that (s p o:resource) entails (o q s).
+    Closed under: subPropertyOf hops (direction-preserving), inverseOf hops
+    (direction-flipping, both declaration orders), symmetric self-hops
+    (direction-flipping). Identity seeds only for properties touched by an
+    axiom — untouched predicates have trivial maps and never enter."""
+    hops: dict[str, list[tuple[str, int]]] = {}
+
+    def _hop(q, r, flip):
+        hops.setdefault(q, []).append((r, flip))
+
+    for a, b in spc.itertuples(index=False):
+        _hop(a, b, 0)
+    for a, b in inv.itertuples(index=False):
+        _hop(a, b, 1)
+        _hop(b, a, 1)
+    for p in sym:
+        _hop(p, p, 1)
+    universe = set(hops)
+    universe.update(r for hs in hops.values() for r, _ in hs)
+    state = {(p, p, 0) for p in universe}
+    frontier = state
+    while frontier:
+        new = {
+            (p, r, d ^ flip)
+            for (p, q, d) in frontier
+            for (r, flip) in hops.get(q, ())
+        } - state
+        state |= new
+        frontier = new
+    fwd = {(p, q) for p, q, d in state if d == 0}
+    bwd = {(p, q) for p, q, d in state if d == 1}
+    return fwd, bwd
+
+
+def _pairs_df(pairs, cols=("a", "b")) -> pd.DataFrame:
+    ordered = sorted(pairs)
+    return pd.DataFrame(
+        {
+            cols[0]: pd.Series([x for x, _ in ordered], dtype=object),
+            cols[1]: pd.Series([y for _, y in ordered], dtype=object),
+        }
+    )
+
+
+def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
+                          max_depth: int = 32):
+    """OWL-Horst-lite materialization: every rdfs_materialize rule PLUS the
+    object-property axioms the reference's ontology projection extracts
+    from complex OWL (ontology_projection.py:797-935):
+
+      rdfp8   (p owl:inverseOf q): (s p o) -> (o q s) and (s q o) -> (o p s)
+      rdfp3   (p a owl:SymmetricProperty), (s p o) -> (o p s)
+      rdfp4   (p a owl:TransitiveProperty): transitive closure of p-edges
+
+    Stratification (exact for this rule set; the oracle mirrors it):
+    1. the property-level structure is closed to FIXPOINT driver-side
+       (fwd/bwd emission maps — mutual recursion of subPropertyOf,
+       inverseOf and symmetric hops; ontology-bounded);
+    2. ONE corpus scan emits sup/reversed/type rows from the composed
+       maps (domain/range pre-composed through fwd AND bwd, so inverse
+       cross-typing costs nothing per batch);
+    3. per transitive property, a distributed frontier closure over its
+       expanded edge set (one filtered scan + depth-bounded loop each —
+       real ontologies declare a handful; a single multi-property keyed
+       closure is the documented variant if that ever grows);
+    4. closure pairs re-expanded through the property maps (fwd supers,
+       bwd reverses), then ONE global distinct.
+
+    Object-position rules fire on kind='iri' objects only (OWL object
+    properties; bnode objects would need subject-kind bookkeeping and real
+    dumps skolemize). owl:sameAs substitution (rdfp11) is deliberately NOT
+    materialized — alias canonicalization (derive_alias_edges + the
+    canonical-rep join) is the scale-correct alternative to quadratic
+    sameAs row cloning."""
+    import ray
+
+    spc = _close_pairs_local(_schema_pairs(triples_ds, RDFS_SUBPROPERTYOF))
+    inv = _schema_pairs(triples_ds, OWL_INVERSEOF)
+    dom = _schema_pairs(triples_ds, RDFS_DOMAIN)
+    ran = _schema_pairs(triples_ds, RDFS_RANGE)
+
+    def _typed_props(flag_cls: str) -> set:
+        import pyarrow.compute as pc
+
+        def _f(t: pa.Table) -> pa.Table:
+            f = t.filter(
+                pc.and_(
+                    pc.equal(t.column("pred"), RDF_TYPE),
+                    pc.equal(t.column("obj"), flag_cls),
+                )
+            )
+            return pa.Table.from_arrays([f.column("subj")], names=["p"])
+
+        return set(
+            bucket_distinct(
+                triples_ds.map_batches(_f, batch_format="pyarrow"), ["p"]
+            ).to_pandas().get("p", pd.Series(dtype=object))
+        )
+
+    sym = _typed_props(OWL_SYMMETRIC)
+    trans = _typed_props(OWL_TRANSITIVE)
+
+    fwd, bwd = _prop_fixpoint(spc, inv, sym)
+    # a transitive property with no OTHER axiom never enters the fixpoint
+    # universe; it still needs its identity pair so its own edges are found
+    fwd |= {(t, t) for t in trans}
+    fwd_extra = {(p, q) for p, q in fwd if p != q}
+    dom_pairs = set(dom.itertuples(index=False, name=None))
+    ran_pairs = set(ran.itertuples(index=False, name=None))
+    spc_pairs = set(spc.itertuples(index=False, name=None))
+    # effective typing maps, pre-composed through the property structure
+    dom_sp = dom_pairs | {(p, c) for p, q in spc_pairs for pp, c in dom_pairs
+                          if pp == q}
+    dom_full = ({(p, c) for p, q in fwd for pp, c in dom_pairs if pp == q}
+                | {(p, c) for p, q in bwd for pp, c in ran_pairs if pp == q}
+                | dom_pairs)
+    ran_full = ({(p, c) for p, q in fwd for pp, c in ran_pairs if pp == q}
+                | {(p, c) for p, q in bwd for pp, c in dom_pairs if pp == q}
+                | ran_pairs)
+
+    sc_clo = derive_class_closure(triples_ds, max_depth=max_depth).materialize()
+    if sc_clo.count() <= sc_broadcast_max:
+        raw = sc_clo.to_pandas()
+        sc_df = (
+            raw[["cls_uri", "ancestor_uri"]]
+            if not raw.empty
+            else pd.DataFrame({"cls_uri": pd.Series(dtype=object),
+                               "ancestor_uri": pd.Series(dtype=object)})
+        )
+    else:
+        sc_df = None
+    schema_ref = ray.put(
+        (
+            _pairs_df(spc_pairs),
+            _pairs_df(fwd_extra),
+            _pairs_df(bwd),
+            _pairs_df(dom_sp),
+            _pairs_df(dom_full),
+            _pairs_df(ran_full),
+            sc_df,
+        )
+    )
+
+    cols = ["subj", "pred", "obj", "kind", "lang"]
+
+    def _trows(types: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "subj": types["ent"],
+                "pred": np.full(len(types), RDF_TYPE, dtype=object),
+                "obj": types["cls"],
+                "kind": np.full(len(types), "iri", dtype=object),
+                "lang": np.full(len(types), "", dtype=object),
+            }
+        )
+
+    def _expand(b: pd.DataFrame) -> pd.DataFrame:
+        spc_g, fwdx_g, bwd_g, domsp_g, domf_g, ranf_g, sc_g = ray.get(schema_ref)
+        base = b[cols]
+        is_iri = (base["kind"] == "iri").to_numpy()
+        iri, rest = base.loc[is_iri], base.loc[~is_iri]
+        # rule rdfs7 (+ inverse-composed variants on resource objects)
+        sup_rest = rest.merge(spc_g, left_on="pred", right_on="a")
+        sup_rest = sup_rest[["subj", "b", "obj", "kind", "lang"]].set_axis(
+            cols, axis=1)
+        sup_iri = iri.merge(fwdx_g, left_on="pred", right_on="a")
+        sup_iri = sup_iri[["subj", "b", "obj", "kind", "lang"]].set_axis(
+            cols, axis=1)
+        rev = iri.merge(bwd_g, left_on="pred", right_on="a")
+        rev = pd.DataFrame(
+            {
+                "subj": rev["obj"],
+                "pred": rev["b"],
+                "obj": rev["subj"],
+                "kind": np.full(len(rev), "iri", dtype=object),
+                "lang": np.full(len(rev), "", dtype=object),
+            }
+        )
+        # typing rules (rdfs2/3 through the composed maps)
+        t0 = base.loc[
+            (base["pred"] == RDF_TYPE) & is_iri, ["subj", "obj"]
+        ].set_axis(["ent", "cls"], axis=1)
+        td_rest = rest.merge(domsp_g, left_on="pred", right_on="a")[
+            ["subj", "b"]].set_axis(["ent", "cls"], axis=1)
+        td_iri = iri.merge(domf_g, left_on="pred", right_on="a")[
+            ["subj", "b"]].set_axis(["ent", "cls"], axis=1)
+        tr_iri = iri.merge(ranf_g, left_on="pred", right_on="a")[
+            ["obj", "b"]].set_axis(["ent", "cls"], axis=1)
+        types = pd.concat([t0, td_rest, td_iri, tr_iri],
+                          ignore_index=True).drop_duplicates()
+        if sc_g is not None:
+            texp = types.merge(sc_g, left_on="cls", right_on="cls_uri")
+            texp = texp[["ent", "ancestor_uri"]].set_axis(["ent", "cls"], axis=1)
+            types = pd.concat([types, texp], ignore_index=True)
+        return pd.concat([base, sup_rest, sup_iri, rev, _trows(types)],
+                         ignore_index=True)
+
+    out = triples_ds.map_batches(_expand, batch_format="pandas")
+
+    if sc_df is None:
+        out = out.materialize()
+
+        def _typerows(b: pd.DataFrame) -> pd.DataFrame:
+            f = b.loc[(b["pred"] == RDF_TYPE) & (b["kind"] == "iri")]
+            return pd.DataFrame({"cls": f["obj"], "ent": f["subj"]})
+
+        extra = bucket_join(
+            out.map_batches(_typerows, batch_format="pandas"),
+            sc_clo.map_batches(
+                lambda t: pa.Table.from_arrays(
+                    [t.column("cls_uri"), t.column("ancestor_uri")],
+                    names=["cls", "anc"],
+                ),
+                batch_format="pyarrow",
+            ),
+            key="cls",
+            left_cols={"ent": pa.string()},
+            right_cols={"anc": pa.string()},
+            key_type=pa.string(),
+            post=lambda df: pd.DataFrame(
+                {
+                    "subj": df["ent"],
+                    "pred": np.full(len(df), RDF_TYPE, dtype=object),
+                    "obj": df["anc"],
+                    "kind": np.full(len(df), "iri", dtype=object),
+                    "lang": np.full(len(df), "", dtype=object),
+                }
+            ),
+        )
+        out = out.union(extra)
+
+    # rdfp4: per-transitive-property distributed closure over the EXPANDED
+    # edge set, then re-expansion of new pairs through the property maps
+    from ..util import coalesce_blocks
+
+    for t in sorted(trans):
+        fwd_to_t = sorted(p for p, q in fwd if q == t)
+        bwd_to_t = sorted(p for p, q in bwd if q == t)
+
+        def _edges(tbl: pa.Table, _f=fwd_to_t, _b=bwd_to_t) -> pa.Table:
+            import pyarrow.compute as pc
+
+            res = tbl.filter(pc.equal(tbl.column("kind"), "iri"))
+            fw = res.filter(pc.is_in(res.column("pred"),
+                                     value_set=pa.array(_f, type=pa.string())))
+            bw = res.filter(pc.is_in(res.column("pred"),
+                                     value_set=pa.array(_b, type=pa.string())))
+            return pa.Table.from_arrays(
+                [
+                    pa.concat_arrays(
+                        [fw.column("subj").combine_chunks(),
+                         bw.column("obj").combine_chunks()]
+                    ),
+                    pa.concat_arrays(
+                        [fw.column("obj").combine_chunks(),
+                         bw.column("subj").combine_chunks()]
+                    ),
+                ],
+                names=["cls_uri", "ancestor_uri"],
+            )
+
+        ed = coalesce_blocks(
+            bucket_distinct(
+                triples_ds.map_batches(_edges, batch_format="pyarrow"),
+                ["cls_uri", "ancestor_uri"],
+            ).materialize()
+        )
+        clo = _closure_from_edges(ed, max_depth=max_depth)
+        exp = ([(t, 0)] + [(q, 0) for q in sorted({q for p, q in fwd_extra
+                                                   if p == t})]
+               + [(q, 1) for q in sorted({q for p, q in bwd if p == t})])
+
+        def _clo_rows(tbl: pa.Table, _exp=tuple(exp)) -> pa.Table:
+            s = tbl.column("cls_uri").to_pandas()
+            o = tbl.column("ancestor_uri").to_pandas()
+            frames = []
+            for q, flipped in _exp:
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "subj": o if flipped else s,
+                            "pred": np.full(len(s), q, dtype=object),
+                            "obj": s if flipped else o,
+                            "kind": np.full(len(s), "iri", dtype=object),
+                            "lang": np.full(len(s), "", dtype=object),
+                        }
+                    )
+                )
+            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                        preserve_index=False)
+
+        out = out.union(clo.map_batches(_clo_rows, batch_format="pyarrow"))
+
+    # axiom-closure rows (inferred subClassOf / subPropertyOf pairs)
+    sc_trip = sc_clo.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("cls_uri"),
+                pa.array([RDFS_SUBCLASSOF] * t.num_rows, type=pa.string()),
+                t.column("ancestor_uri"),
+                pa.array(["iri"] * t.num_rows, type=pa.string()),
+                pa.array([""] * t.num_rows, type=pa.string()),
+            ],
+            names=cols,
+        ),
+        batch_format="pyarrow",
+    )
+    out = out.union(sc_trip)
+    if spc_pairs:
+        import ray.data as rd
+
+        spx = _pairs_df(spc_pairs)
+        sp_trip = pd.DataFrame(
+            {
+                "subj": spx["a"],
+                "pred": np.full(len(spx), RDFS_SUBPROPERTYOF, dtype=object),
+                "obj": spx["b"],
+                "kind": np.full(len(spx), "iri", dtype=object),
+                "lang": np.full(len(spx), "", dtype=object),
             }
         )
         out = out.union(rd.from_pandas(sp_trip))

@@ -258,3 +258,41 @@ def test_backend_routed_queries_match_fixture(ray_session, sf_small, qname):
     a = _canon(fn(sf_small).to_pandas())
     b = _canon(fn(sf_small, backend="ingested").to_pandas())
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_turtle_dir_matches_single(ray_session, tmp_path):
+    """Per-file-parallel multi-file Turtle read == the union of per-file
+    single reads (each file carries its own prefix header, as real
+    multi-file exports do)."""
+    ttl_a = tmp_path / "a.ttl"
+    ttl_a.write_text(
+        "@prefix ex: <http://example.org/resource/> .\n"
+        "@prefix ont: <http://example.org/ontology/> .\n"
+        "ex:A a ont:Customer ; ont:name \"Alpha\"@en .\n"
+    )
+    ttl_b = tmp_path / "b.ttl"
+    ttl_b.write_text(
+        "@prefix ex: <http://example.org/resource/> .\n"
+        "ex:B <http://example.org/ontology/rank> "
+        "\"7\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+    )
+    (tmp_path / "ignored.txt").write_text("not turtle\n")
+
+    got = kg_ingest.read_turtle_dir(str(tmp_path)).to_pandas()
+    want = pd.concat(
+        [
+            kg_ingest.read_turtle(str(ttl_a)).to_pandas(),
+            kg_ingest.read_turtle(str(ttl_b)).to_pandas(),
+        ],
+        ignore_index=True,
+    )
+    cols = list(got.columns)
+    pd.testing.assert_frame_equal(
+        got.sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_read_turtle_dir_empty_raises(tmp_path):
+    with pytest.raises(ValueError, match="no .ttl files"):
+        kg_ingest.read_turtle_dir(str(tmp_path))

@@ -115,3 +115,67 @@ def test_rdfs_no_schema_is_identity(ray_session):
     ds = rd.from_arrow(tbl)
     got = _as_set(rdfs_materialize(ds))
     assert got == {("x", "q", "y", "iri", ""), ("y", "q", "z", "iri", "")}
+
+
+def test_owl_horst_exact(ray_session):
+    """OWL-Horst-lite: inverse cross-typing, symmetric-with-super,
+    transitive closure over sub-uses with super propagation."""
+    from tabular_data_semantics_py_ray.constants import (
+        OWL_INVERSEOF,
+        OWL_SYMMETRIC,
+        OWL_TRANSITIVE,
+    )
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        owl_horst_materialize,
+    )
+
+    INV = OWL_INVERSEOF
+    rows = [
+        ("p", INV, "q", "iri", ""),
+        ("p", DOM, "D", "iri", ""),
+        ("p", RAN, "R", "iri", ""),
+        ("s0", TY, OWL_SYMMETRIC, "iri", ""),
+        ("s0", SP, "r0", "iri", ""),
+        ("t", TY, OWL_TRANSITIVE, "iri", ""),
+        ("t", SP, "tsup", "iri", ""),
+        ("tsub", SP, "t", "iri", ""),
+        ("a", "p", "b", "iri", ""),
+        ("x", "q", "y", "iri", ""),
+        ("m", "s0", "n", "iri", ""),
+        ("c1", "tsub", "c2", "iri", ""),
+        ("c2", "t", "c3", "iri", ""),
+    ]
+    tbl = pa.table(
+        {
+            "subj": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj": [r[2] for r in rows],
+            "kind": [r[3] for r in rows],
+            "lang": [r[4] for r in rows],
+            "dtype": ["" for _ in rows],
+        }
+    )
+    got = _as_set(owl_horst_materialize(rd.from_arrow(tbl)))
+    inferred = {
+        # rdfp8: inverse both ways, with cross-typing from p's domain/range
+        ("b", "q", "a", "iri", ""),
+        ("a", TY, "D", "iri", ""),
+        ("b", TY, "R", "iri", ""),
+        ("y", "p", "x", "iri", ""),
+        ("y", TY, "D", "iri", ""),
+        ("x", TY, "R", "iri", ""),
+        # rdfp3: symmetric + its superproperty (both directions)
+        ("m", "r0", "n", "iri", ""),
+        ("n", "s0", "m", "iri", ""),
+        ("n", "r0", "m", "iri", ""),
+        # rdfs7 over the transitive family
+        ("c1", "t", "c2", "iri", ""),
+        ("c1", "tsup", "c2", "iri", ""),
+        ("c2", "tsup", "c3", "iri", ""),
+        # rdfp4: closure pair, propagated to the non-transitive super
+        ("c1", "t", "c3", "iri", ""),
+        ("c1", "tsup", "c3", "iri", ""),
+        # subPropertyOf transitivity as axiom rows
+        ("tsub", SP, "tsup", "iri", ""),
+    }
+    assert got == {(s, p, o, k, lg) for s, p, o, k, lg in rows} | inferred
