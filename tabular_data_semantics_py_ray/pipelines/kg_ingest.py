@@ -448,9 +448,78 @@ def derive_class_closure(triples_ds, *, max_depth: int = 32):
     return _closure_from_edges(_subclass_edges(triples_ds), max_depth=max_depth)
 
 
-def _closure_from_edges(edges_ds, *, max_depth: int = 32):
+def _bfs_closure_df(edges: pd.DataFrame, max_depth: int) -> pd.DataFrame:
+    """Min-distance strict-ancestor closure of a (cls_uri, ancestor_uri)
+    edge frame via level-order BFS (first discovery IS the min distance).
+    Warns on max_depth truncation, matching the distributed loop."""
+    clo = edges.assign(distance=np.int64(1))
+    frontier = clo
+    exhausted = False
+    for _ in range(max_depth):
+        if frontier.empty:
+            exhausted = True
+            break
+        nxt = frontier.merge(
+            edges, left_on="ancestor_uri", right_on="cls_uri",
+            suffixes=("", "_e"),
+        )
+        nxt = pd.DataFrame(
+            {
+                "cls_uri": nxt["cls_uri"],
+                "ancestor_uri": nxt["ancestor_uri_e"],
+                "distance": nxt["distance"] + 1,
+            }
+        ).drop_duplicates(["cls_uri", "ancestor_uri"])
+        nxt = nxt.merge(
+            clo[["cls_uri", "ancestor_uri"]], how="left", indicator=True
+        )
+        frontier = nxt.loc[
+            nxt["_merge"] == "left_only",
+            ["cls_uri", "ancestor_uri", "distance"],
+        ]
+        clo = pd.concat([clo, frontier], ignore_index=True)
+    if not exhausted and not frontier.empty:
+        import warnings
+
+        warnings.warn(
+            f"class closure truncated at max_depth={max_depth}", stacklevel=3
+        )
+    return clo
+
+
+def _closure_from_edges(edges_ds, *, max_depth: int = 32,
+                        driver_max_edges: int = 500_000):
     """Frontier-relaxation closure over a materialized distinct
-    (cls_uri, ancestor_uri) edge Dataset; see derive_class_closure."""
+    (cls_uri, ancestor_uri) edge Dataset; see derive_class_closure.
+
+    Edge sets up to ``driver_max_edges`` take a DRIVER-SIDE level-order
+    BFS instead (one collect, zero shuffles) — real class taxonomies are
+    ontology-bounded (DBpedia ~800 classes, Wikidata ~3M subclass edges),
+    and the distributed loop's ~depth x (join + aggregate + materialize)
+    barrier cost is pure overhead at that size (measured: the loop was
+    ~30 s of the 46 s ingest-scale run at 16 CPUs). The per-level
+    distributed loop remains the path for edge sets past the cap
+    (owl_horst transitive INSTANCE edges can be corpus-scale)."""
+    n_edges = edges_ds.count()
+    if n_edges <= driver_max_edges:
+        import ray.data as rd
+
+        edges = edges_ds.to_pandas()
+        if edges.empty:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "cls_uri": pa.array([], type=pa.string()),
+                        "ancestor_uri": pa.array([], type=pa.string()),
+                        "distance": pa.array([], type=pa.int32()),
+                    }
+                )
+            )
+        clo = _bfs_closure_df(edges[["cls_uri", "ancestor_uri"]], max_depth)
+        clo["distance"] = clo["distance"].astype(np.int32)
+        return rd.from_arrow(
+            pa.Table.from_pandas(clo, preserve_index=False)
+        )
 
     def _with_d1(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

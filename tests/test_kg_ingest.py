@@ -296,3 +296,22 @@ def test_read_turtle_dir_matches_single(ray_session, tmp_path):
 def test_read_turtle_dir_empty_raises(tmp_path):
     with pytest.raises(ValueError, match="no .ttl files"):
         kg_ingest.read_turtle_dir(str(tmp_path))
+
+
+def test_closure_driver_path_equals_distributed(ray_session, parsed_triples):
+    """The driver-side BFS closure (bounded edge sets) is bit-identical to
+    the distributed frontier loop."""
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        _closure_from_edges,
+        _subclass_edges,
+    )
+
+    edges = _subclass_edges(parsed_triples)
+    a = _closure_from_edges(edges).to_pandas()
+    b = _closure_from_edges(edges, driver_max_edges=0).to_pandas()
+    cols = ["cls_uri", "ancestor_uri", "distance"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].astype(a[cols].dtypes.to_dict())
+               .sort_values(cols).reset_index(drop=True),
+    )
