@@ -733,6 +733,15 @@ def q_doc_shuffle_rank(sf_dir: str):
     return doc_shuffle_rank(sf_dir)
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional sample without replacement (A-ES keys over
+    deterministic md5 uniforms, weight = n_chars): zero-shuffle
+    per-block partial top-k + one tiny final reduce."""
+    from .pipelines.relational import weighted_sample
+
+    return weighted_sample(sf_dir)
+
+
 def q_dedup_prefix_contain(sf_dir: str):
     from .stages.dedup import prefix_contain_pairs
 
@@ -1100,6 +1109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_fuzzy_edit": q_kg_fuzzy_edit,
         "doc_len_norm": q_doc_len_norm,
         "doc_shuffle_rank": q_doc_shuffle_rank,
+        "weighted_sample": q_weighted_sample,
         "ann_topk_pq": q_ann_topk_pq,
         "events_attribution": q_events_attribution,
         "contamination_near_dup": q_contamination_near_dup,

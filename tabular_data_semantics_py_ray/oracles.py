@@ -2374,6 +2374,23 @@ SELECT doc_id,
             AS BIGINT) AS "rank"
 FROM documents"""
 
+    # A-ES weighted sample without replacement: k largest ln(u)/w keys,
+    # u a 60-bit md5 uniform — identical arithmetic to the engine
+    o["weighted_sample"] = """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (cast(('0x' || substr(md5(cast(doc_id AS VARCHAR) || ':ws'), 1, 15))
+               AS BIGINT) + 1.0) / 1152921504606846977.0 AS u
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY ln(u) / n_chars DESC, doc_id) AS rank
+  FROM u
+)
+SELECT doc_id, n_chars, cast(rank AS BIGINT) AS "rank"
+FROM r WHERE rank <= 100"""
+
     # strict containment: equal texts are exact dups (dedup_exact's job)
     o["dedup_prefix_contain"] = """
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

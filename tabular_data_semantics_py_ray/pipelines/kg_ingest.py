@@ -1418,8 +1418,9 @@ def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
         "alias_edges": derive_alias_edges(triples),
         "class_closure": derive_class_closure(triples),
     }
-    paths = {}
-    for name, ds in derived.items():
+
+    def _write(item):
+        name, ds = item
         path = os.path.join(out_dir, BACKEND_FILES[name])
         # re-ingest = fresh output (prior run may have left a dir of part
         # files, or a single file from the pre-directory layout)
@@ -1428,8 +1429,16 @@ def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
         elif os.path.exists(path):
             os.remove(path)
         ds.write_parquet(path)
-        paths[name] = path
-    return paths
+        return name, path
+
+    # the four derivations are independent pipelines over the SAME pinned
+    # parse; executing them concurrently overlaps their shuffle barriers
+    # (Ray core arbitrates the shared CPU pool), instead of paying four
+    # sequential ramp-up/drain phases
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(derived)) as ex:
+        return dict(ex.map(_write, derived.items()))
 
 
 def ensure_ingested_backend(name: str = "ingested") -> str:

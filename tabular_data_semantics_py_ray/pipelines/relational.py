@@ -3032,6 +3032,61 @@ def doc_len_norm(sf_dir: str):
     return docs.map_batches(_score, batch_format="pyarrow")
 
 
+def weighted_sample(sf_dir: str, *, k: int = 100):
+    """Weight-proportional sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES, Inf. Process. Lett. 2006): doc i gets key
+    ln(u_i)/w_i with u_i a deterministic 60-bit md5 uniform and
+    w_i = n_chars; the k LARGEST keys are exactly a weighted sample
+    without replacement. Deterministic uniforms make the draw
+    reproducible across epochs AND oracle-checkable (DuckDB derives the
+    same md5 arithmetic). Zero-weight docs are excluded — they can never
+    be drawn. -> (doc_id, n_chars, rank) for the k winners.
+
+    Scale shape: ZERO shuffles — per-block partial top-k (argpartition),
+    then ONE final top-k over <= blocks x k candidate rows. Only the
+    ordering of keys matters, so ln()-rounding differences between numpy
+    and DuckDB cannot flip distinct md5-derived keys."""
+    import hashlib
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+
+    def _keys(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        h = np.array(
+            [int(hashlib.md5(f"{i}:ws".encode()).hexdigest()[:15], 16)
+             for i in ids], dtype=np.float64)
+        u = (h + 1.0) / 1152921504606846977.0  # (0, 1], 2^60 + 1
+        key = np.log(u) / w
+        if len(ids) > k:
+            keep = np.argpartition(-key, k - 1)[:k]
+            ids, w, key = ids[keep], w[keep], key[keep]
+        return pa.Table.from_arrays(
+            [pa.array(ids), pa.array(w), pa.array(key)],
+            names=["doc_id", "n_chars", "key"])
+
+    from ..util import coalesce_blocks
+
+    partial = coalesce_blocks(
+        docs.map_batches(_keys, batch_format="pyarrow").materialize(), cap=1)
+
+    def _final(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column("n_chars").to_numpy(zero_copy_only=False)
+        key = t.column("key").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -key))[:k]
+        return pa.Table.from_arrays(
+            [pa.array(ids[order]), pa.array(w[order]),
+             pa.array(np.arange(1, len(order) + 1, dtype=np.int64))],
+            names=["doc_id", "n_chars", "rank"])
+
+    return partial.map_batches(_final, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def doc_shuffle_rank(sf_dir: str):
     """Deterministic global training order: every doc gets a unique dense
     rank 0..N-1 in md5-key order — the seeded-epoch-shuffle op (training
