@@ -32,7 +32,11 @@ BENCH_QUERIES = [
     "kg_class_confirm",
     "kg_ingest_lexicon",
     "kg_cea_link_ingested",
+    "kg_ingest_rdfs",
+    "kg_ingest_owl_horst",
     "dedup_near_pairs",
+    "dedup_ngram_jaccard",
+    "weighted_sample",
     "dedup_simhash",
     "dedup_exact",
     "ann_topk",
