@@ -201,6 +201,15 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return near_dup_pairs_ngram(_documents(sf_dir))
 
 
+def q_dedup_span_frac(sf_dir: str):
+    """Cross-doc duplicated-span coverage (exact-substring-dedup signal):
+    per doc, the fraction of 8-gram positions whose gram occurs in >= 2
+    distinct documents."""
+    from .stages.dedup import dup_span_census
+
+    return dup_span_census(_documents(sf_dir))
+
+
 def q_dedup_components(sf_dir: str):
     """Dup-cluster assignment: connected components over the verified
     near-dup pair graph; component_id = min reachable doc_id."""
@@ -1032,6 +1041,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_span_frac": q_dedup_span_frac,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,

@@ -1037,6 +1037,31 @@ j AS (
 )
 SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.8"""
 
+    # cross-doc duplicated-span coverage: positional 8-grams, a gram is
+    # "duplicated" when >= 2 distinct docs carry it
+    o["dedup_span_frac"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+         || ' ' || toks[i+7] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM w) t
+),
+dupg AS (SELECT gram FROM g GROUP BY gram
+         HAVING count(DISTINCT doc_id) >= 2),
+per AS (SELECT doc_id, count(*) AS n_dup_pos
+        FROM g JOIN dupg USING (gram) GROUP BY doc_id),
+tot AS (SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 7, 0) AS n_grams
+        FROM documents)
+SELECT t.doc_id, cast(t.n_grams AS BIGINT) AS n_grams,
+       cast(coalesce(p.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+       round(coalesce(p.n_dup_pos, 0) * 1.0 / t.n_grams, 6) AS dup_frac
+FROM tot t LEFT JOIN per p USING (doc_id)
+WHERE t.n_grams > 0"""
+
     # closure recomputed from the distance-1 edges — must equal the pinned
     # fixture closure the other kg_* oracles consume
     o["kg_closure_compute"] = f"""WITH RECURSIVE

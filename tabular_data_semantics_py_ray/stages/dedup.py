@@ -517,6 +517,114 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
     return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
 
 
+def _gram_doc_rows(batch: pa.Table, *, ngram: int) -> pa.Table:
+    """docs -> POSITIONAL gram rows (gram:uint64, doc_id), one row per
+    token position (no per-doc dedup — multiplicity matters for span
+    coverage). Same vectorized token-hash + chained-splitmix kernel as
+    shingle_signatures_batch."""
+    from ..functions.hashing import _splitmix64
+
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = offsets[1:] - offsets[:-1]
+    ns = np.maximum(lens - (ngram - 1), 0)
+    total = int(ns.sum())
+    if total == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.uint64()), pa.array([], type=pa.int64())],
+            names=["gram", "doc_id"],
+        )
+    tok_hash = pd.util.hash_pandas_object(
+        pd.Series(toks.flatten().to_pandas()), index=False
+    ).to_numpy().astype(np.uint64)
+    base = np.repeat(offsets[:-1], ns)
+    cum = np.cumsum(ns) - ns
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, ns)
+    starts = base + within
+    sh = _splitmix64(tok_hash[starts])
+    for j in range(1, ngram):
+        sh = _splitmix64(sh ^ tok_hash[starts + j])
+    return pa.Table.from_arrays(
+        [pa.array(sh), pa.array(np.repeat(doc, ns).astype(np.int64))],
+        names=["gram", "doc_id"],
+    )
+
+
+def dup_span_census(documents_ds, *, ngram: int = 8):
+    """Cross-document duplicated-span coverage (the MassiveText/Gopher
+    exact-substring-dedup SIGNAL): per doc, how many of its n-gram
+    positions carry a gram that also occurs in >= 2 DISTINCT documents ->
+    (doc_id, n_grams, n_dup_pos, dup_frac). A doc with dup_frac ~ 1 is a
+    verbatim copy; mid-range fractions localize boilerplate spans that
+    near-dup (whole-doc Jaccard) misses entirely.
+
+    Scale shape: positional grams shuffle ONCE into gram-complete buckets
+    (per-gram distinct-doc count decides duplication; only positions of
+    DUPLICATED grams — near-dup-bounded — leave the bucket), one doc-keyed
+    count, one doc-sized left join against the per-doc totals (computed in
+    a separate cheap token-count scan, so gram positions never travel
+    twice)."""
+    from ..util import bucket_aggregate, bucket_join
+
+    grams = documents_ds.map_batches(
+        lambda t: _gram_doc_rows(t, ngram=ngram), batch_format="pyarrow")
+
+    def _dup_positions(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("gram", sort=False)["doc_id"]
+        nd = g.transform("nunique")
+        f = b.loc[nd.to_numpy() >= 2]
+        return pd.DataFrame({"doc_id": f["doc_id"]})
+
+    from ..util import bucket_map_keyed
+
+    dup_pos = bucket_map_keyed(grams, ["gram"], _dup_positions)
+    per_doc = bucket_aggregate(
+        dup_pos.map_batches(
+            lambda b: pd.DataFrame(
+                {"doc_id": b["doc_id"],
+                 "one": np.ones(len(b), dtype=np.int64)}),
+            batch_format="pandas"),
+        ["doc_id"], {"n_dup_pos": ("one", "sum")})
+
+    import pyarrow.compute as pc
+
+    def _totals(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t.column("text"), " ")).cast(pa.int64())
+        tot = pc.max_element_wise(
+            pc.subtract(n, pa.scalar(ngram - 1, type=pa.int64())),
+            pa.scalar(0, type=pa.int64()))
+        out = pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), tot],
+            names=["doc_id", "n_grams"])
+        return out.filter(pc.greater(out.column("n_grams"), 0))
+
+    totals = documents_ds.map_batches(_totals, batch_format="pyarrow")
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_dup_pos"].fillna(0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_grams": df["n_grams"].astype(np.int64),
+                "n_dup_pos": nd,
+                "dup_frac": np.round(nd / df["n_grams"].to_numpy(), 6),
+            }
+        )
+
+    return bucket_join(
+        totals, per_doc, key="doc_id",
+        left_cols={"n_grams": pa.int64()},
+        right_cols={"n_dup_pos": pa.int64()},
+        how="left", post=_finish)
+
+
 # ----------------------------------------------------------------------
 # SimHash near-dup: 4-segment pigeonhole blocking for hamming <= 3.
 # ----------------------------------------------------------------------
