@@ -210,6 +210,15 @@ def q_dedup_span_frac(sf_dir: str):
     return dup_span_census(_documents(sf_dir))
 
 
+def q_dedup_span_remove(sf_dir: str):
+    """Exact substring dedup with span removal (Lee et al. 2022): rewrite
+    every document with its cross-document duplicated 8-gram spans
+    dropped."""
+    from .stages.dedup import remove_dup_spans
+
+    return remove_dup_spans(_documents(sf_dir))
+
+
 def q_dedup_components(sf_dir: str):
     """Dup-cluster assignment: connected components over the verified
     near-dup pair graph; component_id = min reachable doc_id."""
@@ -1042,6 +1051,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_span_frac": q_dedup_span_frac,
+        "dedup_span_remove": q_dedup_span_remove,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
         "dedup_keep": q_dedup_keep,

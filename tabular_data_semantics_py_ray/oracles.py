@@ -1062,6 +1062,32 @@ SELECT t.doc_id, cast(t.n_grams AS BIGINT) AS n_grams,
 FROM tot t LEFT JOIN per p USING (doc_id)
 WHERE t.n_grams > 0"""
 
+    # span REMOVAL: drop every token covered by a cross-doc duplicated
+    # 8-gram (interval [i, i+7] per duplicated start i), rebuild the text
+    o["dedup_span_remove"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, i,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+         || ' ' || toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6]
+         || ' ' || toks[i+7] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 6, 1))) AS i FROM w) t
+),
+dupg AS (SELECT gram FROM g GROUP BY gram
+         HAVING count(DISTINCT doc_id) >= 2),
+starts AS (SELECT DISTINCT g.doc_id, g.i FROM g JOIN dupg USING (gram)),
+tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                  unnest(range(1, len(toks) + 1)) AS p FROM w),
+covered AS (SELECT DISTINCT t.doc_id, t.p
+            FROM tokpos t JOIN starts s
+              ON s.doc_id = t.doc_id AND t.p BETWEEN s.i AND s.i + 7)
+SELECT t.doc_id,
+       coalesce(string_agg(t.tok, ' ' ORDER BY t.p)
+                FILTER (WHERE c.p IS NULL), '') AS clean_text
+FROM tokpos t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.p = t.p
+GROUP BY t.doc_id"""
+
     # closure recomputed from the distance-1 edges — must equal the pinned
     # fixture closure the other kg_* oracles consume
     o["kg_closure_compute"] = f"""WITH RECURSIVE

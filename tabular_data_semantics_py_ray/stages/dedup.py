@@ -556,6 +556,118 @@ def _gram_doc_rows(batch: pa.Table, *, ngram: int) -> pa.Table:
     )
 
 
+def _gram_doc_pos_rows(batch: pa.Table, *, ngram: int) -> pa.Table:
+    """Like _gram_doc_rows but with the gram's 0-based start token index
+    (span removal needs positions, not just multiplicity)."""
+    from ..functions.hashing import _splitmix64
+
+    import pyarrow.compute as pc
+
+    toks = pc.split_pattern(batch.column("text"), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = offsets - offsets[0]
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    lens = offsets[1:] - offsets[:-1]
+    ns = np.maximum(lens - (ngram - 1), 0)
+    total = int(ns.sum())
+    if total == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], type=pa.uint64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.int64())],
+            names=["gram", "doc_id", "pos"],
+        )
+    tok_hash = pd.util.hash_pandas_object(
+        pd.Series(toks.flatten().to_pandas()), index=False
+    ).to_numpy().astype(np.uint64)
+    base = np.repeat(offsets[:-1], ns)
+    cum = np.cumsum(ns) - ns
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, ns)
+    starts = base + within
+    sh = _splitmix64(tok_hash[starts])
+    for j in range(1, ngram):
+        sh = _splitmix64(sh ^ tok_hash[starts + j])
+    return pa.Table.from_arrays(
+        [pa.array(sh), pa.array(np.repeat(doc, ns).astype(np.int64)),
+         pa.array(within)],
+        names=["gram", "doc_id", "pos"],
+    )
+
+
+def remove_dup_spans(documents_ds, *, ngram: int = 8):
+    """EXACT substring dedup with span REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): every token
+    covered by an n-gram that also occurs in another document is dropped,
+    and the doc is rewritten from the surviving tokens ->
+    (doc_id, clean_text). Unlike keep-one dedup this removes BOILERPLATE
+    SPANS from otherwise-unique documents.
+
+    Scale shape: positional grams shuffle ONCE into gram-complete buckets
+    (duplicated-gram start positions — near-dup-bounded — come back out);
+    the rebuild co-locates each doc's text row with its removal starts in
+    ONE doc-keyed bucket shuffle (the verify_pairs_exact union-tag trick),
+    and the coverage mask per doc is a vectorized interval-overlay
+    (prefix-sum of +-1 deltas), not a per-token loop."""
+    from ..util import bucket_map_keyed
+
+    grams = documents_ds.map_batches(
+        lambda t: _gram_doc_pos_rows(t, ngram=ngram), batch_format="pyarrow")
+
+    def _dup_starts(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("gram", sort=False)["doc_id"]
+        nd = g.transform("nunique")
+        f = b.loc[nd.to_numpy() >= 2]
+        return pd.DataFrame({"doc_id": f["doc_id"], "pos": f["pos"]})
+
+    starts = bucket_map_keyed(grams, ["gram"], _dup_starts)
+
+    def _tag_starts(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()),
+             t.column("pos").cast(pa.int64()),
+             pa.array([""] * n, type=pa.string())],
+            names=["doc_id", "pos", "text"],
+        )
+
+    def _tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()),
+             pa.array(np.full(n, -1, dtype=np.int64)),
+             t.column("text")],
+            names=["doc_id", "pos", "text"],
+        )
+
+    tagged = starts.map_batches(_tag_starts, batch_format="pyarrow").union(
+        documents_ds.map_batches(_tag_text, batch_format="pyarrow"))
+
+    def _rebuild(b: pd.DataFrame) -> pd.DataFrame:
+        out_ids, out_txt = [], []
+        for doc_id, g in b.groupby("doc_id", sort=False):
+            texts = g.loc[g["pos"] < 0, "text"]
+            if texts.empty:  # starts for a doc outside this corpus slice
+                continue
+            toks = texts.iloc[0].split(" ")
+            n = len(toks)
+            st = g.loc[g["pos"] >= 0, "pos"].to_numpy()
+            if len(st):
+                delta = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(delta, st, 1)
+                np.add.at(delta, np.minimum(st + ngram, n), -1)
+                covered = np.cumsum(delta[:n]) > 0
+                toks = [t for t, c in zip(toks, covered) if not c]
+            out_ids.append(doc_id)
+            out_txt.append(" ".join(toks))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_ids, dtype="int64"),
+            "clean_text": pd.Series(out_txt, dtype=object),
+        })
+
+    return bucket_map_keyed(tagged, ["doc_id"], _rebuild)
+
+
 def dup_span_census(documents_ds, *, ngram: int = 8):
     """Cross-document duplicated-span coverage (the MassiveText/Gopher
     exact-substring-dedup SIGNAL): per doc, how many of its n-gram

@@ -284,3 +284,27 @@ def test_md5_token_cache_bounded():
     finally:
         dedup._MD5_TOKEN_CACHE_CAP = old_cap
         dedup._MD5_TOKEN_CACHE.clear()
+
+
+def test_remove_dup_spans_planted(ray_session):
+    """Span removal drops exactly the duplicated 8-gram's tokens: two docs
+    share one 8-token run mid-text; overlapping spans merge; a doc that IS
+    the shared run comes back empty; unique docs are untouched."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from tabular_data_semantics_py_ray.stages.dedup import remove_dup_spans
+
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    docs = {
+        1: f"a1 a2 {shared} a3 a4",        # shared run mid-text
+        2: f"b1 {shared} b2 b3 b4 b5",     # same run elsewhere
+        3: shared,                          # doc IS the run -> empty
+        4: "u1 u2 u3 u4 u5 u6 u7 u8 u9",   # unique -> untouched
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": list(docs), "text": list(docs.values())}))
+    got = dict(remove_dup_spans(ds).to_pandas()
+               [["doc_id", "clean_text"]].itertuples(index=False, name=None))
+    assert got == {1: "a1 a2 a3 a4", 2: "b1 b2 b3 b4 b5", 3: "",
+                   4: docs[4]}
