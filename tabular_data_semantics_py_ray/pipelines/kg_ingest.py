@@ -312,44 +312,41 @@ def read_turtle_dir(paths, *, blocks: int | None = None):
 # --------------------------------------------------------------------------
 # Derivations: triples Dataset -> the four backend tables.
 # --------------------------------------------------------------------------
-def derive_lexicon(triples_ds):
-    """Label triples -> (surface_form, entity_uri, rank int32).
+def _label_rows_batch(t: pa.Table) -> pa.Table:
+    """triples batch -> raw (surface_form, entity_uri, is_alt) label rows."""
+    import pyarrow.compute as pc
 
-    surface_form = lowercased English (or untagged) label literal; pref
-    labels (skos:prefLabel / rdfs:label) outrank alt labels (skos:altLabel);
-    rank = row_number within surface_form ordered by (is_alt, entity_uri) —
-    the deterministic stand-in for the lookup service's relevance order.
-    One bucket shuffle on surface_form (complete groups per bucket); the
-    lexicon is KG-bounded, not corpus-bounded."""
-    pref = set(PREF_LABEL_PREDS)
-
-    def _labels(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.and_(
-            pc.and_(
-                pc.is_in(t.column("pred"), value_set=pa.array(LABEL_PREDS)),
-                pc.equal(t.column("kind"), "literal"),
-            ),
-            pc.is_in(t.column("lang"), value_set=pa.array(["", "en"])),
-        )
-        f = t.filter(mask)
-        return pa.Table.from_arrays(
-            [
-                pc.utf8_lower(f.column("obj")),
-                f.column("subj"),
-                pc.cast(
-                    pc.invert(pc.is_in(f.column("pred"), value_set=pa.array(list(pref)))),
-                    pa.int8(),
+    mask = pc.and_(
+        pc.and_(
+            pc.is_in(t.column("pred"), value_set=pa.array(LABEL_PREDS)),
+            pc.equal(t.column("kind"), "literal"),
+        ),
+        pc.is_in(t.column("lang"), value_set=pa.array(["", "en"])),
+    )
+    f = t.filter(mask)
+    return pa.Table.from_arrays(
+        [
+            pc.utf8_lower(f.column("obj")),
+            f.column("subj"),
+            pc.cast(
+                pc.invert(
+                    pc.is_in(f.column("pred"),
+                             value_set=pa.array(list(PREF_LABEL_PREDS)))
                 ),
-            ],
-            names=["surface_form", "entity_uri", "is_alt"],
-        )
+                pa.int8(),
+            ),
+        ],
+        names=["surface_form", "entity_uri", "is_alt"],
+    )
 
-    labels = triples_ds.map_batches(_labels, batch_format="pyarrow")
+
+def lexicon_from_labels(labels_ds):
+    """Global finishing step: raw label rows -> ranked lexicon (the
+    dedup + rank window; separated so the resumable two-stage ingest can
+    re-enter with stage-A partial rows)."""
     # a (surface, entity) pair labeled both pref and alt counts as pref
     dedup = bucket_aggregate(
-        labels, ["surface_form", "entity_uri"], {"is_alt": ("is_alt", "min")}
+        labels_ds, ["surface_form", "entity_uri"], {"is_alt": ("is_alt", "min")}
     )
 
     def _rank(g: pd.DataFrame) -> pd.DataFrame:
@@ -360,81 +357,98 @@ def derive_lexicon(triples_ds):
     return bucket_map_keyed(dedup, ["surface_form"], _rank)
 
 
+def derive_lexicon(triples_ds):
+    """Label triples -> (surface_form, entity_uri, rank int32).
+
+    surface_form = lowercased English (or untagged) label literal; pref
+    labels (skos:prefLabel / rdfs:label) outrank alt labels (skos:altLabel);
+    rank = row_number within surface_form ordered by (is_alt, entity_uri) —
+    the deterministic stand-in for the lookup service's relevance order.
+    One bucket shuffle on surface_form (complete groups per bucket); the
+    lexicon is KG-bounded, not corpus-bounded."""
+    return lexicon_from_labels(
+        triples_ds.map_batches(_label_rows_batch, batch_format="pyarrow")
+    )
+
+
+def _type_rows_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = pc.and_(
+        pc.and_(
+            pc.equal(t.column("pred"), RDF_TYPE),
+            pc.equal(t.column("kind"), "iri"),
+        ),
+        pc.not_equal(t.column("obj"), OWL_CLASS),
+    )
+    f = t.filter(mask)
+    return pa.Table.from_arrays(
+        [f.column("subj"), f.column("obj")], names=["entity_uri", "type_uri"]
+    )
+
+
 def derive_entity_types(triples_ds):
     """rdf:type assertions with IRI objects, minus owl:Class bookkeeping
     rows -> distinct (entity_uri, type_uri)."""
-
-    def _types(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.and_(
-            pc.and_(
-                pc.equal(t.column("pred"), RDF_TYPE),
-                pc.equal(t.column("kind"), "iri"),
-            ),
-            pc.not_equal(t.column("obj"), OWL_CLASS),
-        )
-        f = t.filter(mask)
-        return pa.Table.from_arrays(
-            [f.column("subj"), f.column("obj")], names=["entity_uri", "type_uri"]
-        )
-
     return bucket_distinct(
-        triples_ds.map_batches(_types, batch_format="pyarrow"),
+        triples_ds.map_batches(_type_rows_batch, batch_format="pyarrow"),
         ["entity_uri", "type_uri"],
+    )
+
+
+def _alias_rows_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(
+        t.column("pred"), value_set=pa.array([REDIRECT_PRED, OWL_SAMEAS])
+    )
+    f = t.filter(mask)
+    kind = pc.if_else(
+        pc.equal(f.column("pred"), REDIRECT_PRED),
+        pa.scalar("redirect"),
+        pa.scalar("sameas"),
+    )
+    return pa.Table.from_arrays(
+        [f.column("subj"), f.column("obj"), kind],
+        names=["uri_a", "uri_b", "kind"],
     )
 
 
 def derive_alias_edges(triples_ds):
     """Redirect / owl:sameAs triples -> distinct (uri_a, uri_b, kind)."""
-
-    def _alias(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(
-            t.column("pred"), value_set=pa.array([REDIRECT_PRED, OWL_SAMEAS])
-        )
-        f = t.filter(mask)
-        kind = pc.if_else(
-            pc.equal(f.column("pred"), REDIRECT_PRED),
-            pa.scalar("redirect"),
-            pa.scalar("sameas"),
-        )
-        return pa.Table.from_arrays(
-            [f.column("subj"), f.column("obj"), kind],
-            names=["uri_a", "uri_b", "kind"],
-        )
-
     return bucket_distinct(
-        triples_ds.map_batches(_alias, batch_format="pyarrow"),
+        triples_ds.map_batches(_alias_rows_batch, batch_format="pyarrow"),
         ["uri_a", "uri_b", "kind"],
+    )
+
+
+def _subclass_rows_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    f = t.filter(
+        pc.and_(
+            pc.equal(t.column("pred"), RDFS_SUBCLASSOF),
+            pc.equal(t.column("kind"), "iri"),
+        )
+    )
+    return pa.Table.from_arrays(
+        [f.column("subj"), f.column("obj")], names=["cls_uri", "ancestor_uri"]
+    )
+
+
+def _edges_from_rows(rows_ds):
+    from ..util import coalesce_blocks
+
+    return coalesce_blocks(
+        bucket_distinct(rows_ds, ["cls_uri", "ancestor_uri"]).materialize()
     )
 
 
 def _subclass_edges(triples_ds):
     """Distinct rdfs:subClassOf (cls_uri, ancestor_uri) edges, materialized
     (the closure loop re-scans them every iteration)."""
-
-    def _edges(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        f = t.filter(
-            pc.and_(
-                pc.equal(t.column("pred"), RDFS_SUBCLASSOF),
-                pc.equal(t.column("kind"), "iri"),
-            )
-        )
-        return pa.Table.from_arrays(
-            [f.column("subj"), f.column("obj")], names=["cls_uri", "ancestor_uri"]
-        )
-
-    from ..util import coalesce_blocks
-
-    return coalesce_blocks(
-        bucket_distinct(
-            triples_ds.map_batches(_edges, batch_format="pyarrow"),
-            ["cls_uri", "ancestor_uri"],
-        ).materialize()
+    return _edges_from_rows(
+        triples_ds.map_batches(_subclass_rows_batch, batch_format="pyarrow")
     )
 
 
@@ -1437,6 +1451,148 @@ def ingest_backend_tables(nt_path: str, out_dir: str) -> dict[str, str]:
     # sequential ramp-up/drain phases
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..util import seed_fsspec_http_stub
+
+    seed_fsspec_http_stub()  # threaded writers race Ray's fsspec probe
+    with ThreadPoolExecutor(max_workers=len(derived)) as ex:
+        return dict(ex.map(_write, derived.items()))
+
+
+_STAGE_TABLES = ("labels", "types", "alias", "edges")
+_STAGE_BATCHES = {
+    "labels": _label_rows_batch,
+    "types": _type_rows_batch,
+    "alias": _alias_rows_batch,
+    "edges": _subclass_rows_batch,
+}
+
+
+def _stage_a_partition(files: list[str], stage_dir: str, p: int) -> None:
+    """Stage A of the resumable ingest: parse ONE macro-partition of input
+    files and write its four raw derived-row tables atomically (tmp dir +
+    rename), then commit the partition manifest. A partition is committed
+    iff its manifest exists — a killed run can never leave a half-written
+    partition that looks complete (state/manifest.py contract)."""
+    import os
+    import shutil
+
+    from ..state import manifest
+
+    pdir = manifest.partition_dir(stage_dir, p)
+    tmp = f"{pdir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    triples = read_ntriples(files).materialize()
+    rows = {}
+    for name in _STAGE_TABLES:
+        ds = triples.map_batches(_STAGE_BATCHES[name], batch_format="pyarrow")
+        ds.write_parquet(os.path.join(tmp, name))
+        rows[name] = ds.count()
+    shutil.rmtree(pdir, ignore_errors=True)
+    os.replace(tmp, pdir)
+    manifest.commit(
+        stage_dir, p,
+        rows=sum(rows.values()),
+        content_hash=manifest.rows_hash_update(
+            0, (f"{k}:{v}" for k, v in sorted(rows.items()))),
+        lineage={"files": [os.path.basename(f) for f in files],
+                 "partition": p, "per_table_rows": rows},
+    )
+
+
+def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
+                                    stage_dir: str | None = None,
+                                    partitions: int | None = None) -> dict:
+    """Resumable two-stage variant of ingest_backend_tables for dumps too
+    large to re-parse after a failure (the north rule's per-partition
+    lineage + resume applied to the FIRST MILE):
+
+    Stage A — input files are grouped into ``partitions`` contiguous
+    macro-partitions; each parses independently and writes its RAW derived
+    rows (labels/types/alias/subclass edges — far smaller than the dump)
+    under ``stage_dir`` with an atomic rename + manifest commit. A rerun
+    SKIPS committed partitions: killing a 100-TB ingest costs only the
+    in-flight partition.
+
+    Stage B — the global finishing steps (lexicon rank window, distincts,
+    closure) run over ALL partitions' staged rows — a cheap, stateless
+    recomputation from stage-A output, never from the dump — and write the
+    four backend tables exactly like ingest_backend_tables."""
+    import os
+    import shutil
+
+    from ..state import manifest
+
+    if isinstance(nt_files, str):
+        nt_files = [
+            os.path.join(nt_files, f)
+            for f in sorted(os.listdir(nt_files))
+            if f.endswith(".nt")
+        ]
+    nt_files = sorted(nt_files)
+    stage_dir = stage_dir or os.path.join(out_dir, "_stage")
+    os.makedirs(stage_dir, exist_ok=True)
+    k = partitions or min(len(nt_files), 64)
+    bounds = np.linspace(0, len(nt_files), k + 1).astype(int)
+    done = set(manifest.committed_partitions(stage_dir))
+    for p in range(k):
+        part_files = nt_files[bounds[p]:bounds[p + 1]]
+        if not part_files or p in done:
+            continue
+        _stage_a_partition(part_files, stage_dir, p)
+
+    import ray.data as rd
+
+    _STAGE_SCHEMAS = {
+        "labels": {"surface_form": pa.string(), "entity_uri": pa.string(),
+                   "is_alt": pa.int8()},
+        "types": {"entity_uri": pa.string(), "type_uri": pa.string()},
+        "alias": {"uri_a": pa.string(), "uri_b": pa.string(),
+                  "kind": pa.string()},
+        "edges": {"cls_uri": pa.string(), "ancestor_uri": pa.string()},
+    }
+
+    def _staged(name: str):
+        dirs = [
+            os.path.join(manifest.partition_dir(stage_dir, p), name)
+            for p in manifest.committed_partitions(stage_dir)
+        ]
+        # read_parquet treats LIST entries as files — expand the part dirs
+        files = [
+            os.path.join(d, f)
+            for d in dirs if os.path.isdir(d)
+            for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+        ]
+        if not files:  # e.g. a dump with no alias predicates at all
+            return rd.from_arrow(pa.table(
+                {c: pa.array([], type=t)
+                 for c, t in _STAGE_SCHEMAS[name].items()}))
+        return rd.read_parquet(files)
+
+    derived = {
+        "lexicon": lexicon_from_labels(_staged("labels")),
+        "entity_types": bucket_distinct(
+            _staged("types"), ["entity_uri", "type_uri"]),
+        "alias_edges": bucket_distinct(
+            _staged("alias"), ["uri_a", "uri_b", "kind"]),
+        "class_closure": _closure_from_edges(_edges_from_rows(_staged("edges"))),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _write(item):
+        name, ds = item
+        path = os.path.join(out_dir, BACKEND_FILES[name])
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
+        ds.write_parquet(path)
+        return name, path
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..util import seed_fsspec_http_stub
+
+    seed_fsspec_http_stub()  # threaded writers race Ray's fsspec probe
     with ThreadPoolExecutor(max_workers=len(derived)) as ex:
         return dict(ex.map(_write, derived.items()))
 

@@ -154,6 +154,33 @@ def fanout_blocks(frac: float = 1.0, lo: int = 4, hi: int = 4096) -> int:
     return min(hi, max(lo, int(cpus * frac)))
 
 
+def seed_fsspec_http_stub() -> None:
+    """Make Ray's per-IO probe `from fsspec.implementations.http import
+    HTTPFileSystem` deterministic when aiohttp is absent.
+
+    The probe is executed on EVERY dataset read/write path resolution;
+    without aiohttp the module import fails and is removed from
+    sys.modules each time, so CONCURRENT importers (threaded parquet
+    writers) can observe the module mid-deletion and crash with an
+    uncaught `ImportError: cannot import name 'HTTPFileSystem'` (Ray
+    catches only ModuleNotFoundError). Seeding a stub module whose
+    HTTPFileSystem class never matches any isinstance check makes the
+    probe succeed cheaply and identically in every thread. No-op when the
+    real module imports."""
+    import sys
+    import types
+
+    name = "fsspec.implementations.http"
+    if name in sys.modules:
+        return
+    try:
+        __import__(name)
+    except ImportError:
+        stub = types.ModuleType(name)
+        stub.HTTPFileSystem = type("HTTPFileSystem", (), {})
+        sys.modules[name] = stub
+
+
 def coalesce_blocks(ds, cap: int | None = None):
     """Coalesce a MATERIALIZED dataset down to ``cap`` blocks (default:
     ~cluster CPUs) when it exceeds it. Iterative shuffle loops (frontier

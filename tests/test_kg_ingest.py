@@ -315,3 +315,80 @@ def test_closure_driver_path_equals_distributed(ray_session, parsed_triples):
         b[cols].astype(a[cols].dtypes.to_dict())
                .sort_values(cols).reset_index(drop=True),
     )
+
+
+def _shard_dump(tmp_path, n=6):
+    """n shard files with rewritten noise namespaces (the ingest-scale
+    staging trick, miniaturized)."""
+    with open(kg_dump.dump_path(), encoding="utf-8") as f:
+        text = f.read()
+    files = []
+    for s in range(n):
+        t = text.replace("example.org/noise/", f"example.org/n{s}/").replace(
+            "example.org/noise-ontology/", f"example.org/no{s}/")
+        p = tmp_path / f"shard_{s}.nt"
+        p.write_text(t)
+        files.append(str(p))
+    return files
+
+
+def _load_tables(paths):
+    import pyarrow.parquet as pq
+
+    out = {}
+    for name, path in paths.items():
+        t = pq.read_table(path).to_pandas()
+        out[name] = t.sort_values(list(t.columns)).reset_index(drop=True)
+    return out
+
+
+def test_resumable_ingest_matches_oneshot(ray_session, tmp_path):
+    """Two-stage resumable ingest == the one-shot path on the same shards;
+    a rerun SKIPS every committed partition (stage A must not run again);
+    wiping one manifest re-processes exactly that partition and reproduces
+    identical tables."""
+    from tabular_data_semantics_py_ray.pipelines import kg_ingest
+    from tabular_data_semantics_py_ray.state import manifest
+
+    files = _shard_dump(tmp_path)
+    ref = _load_tables(
+        kg_ingest.ingest_backend_tables(files, str(tmp_path / "oneshot")))
+
+    out = str(tmp_path / "resumable")
+    got = _load_tables(kg_ingest.ingest_backend_tables_resumable(
+        files, out, partitions=3))
+    for name in ref:
+        pd.testing.assert_frame_equal(got[name], ref[name])
+
+    stage = os.path.join(out, "_stage")
+    assert manifest.committed_partitions(stage) == [0, 1, 2]
+
+    # rerun: stage A must be skipped entirely
+    real = kg_ingest._stage_a_partition
+    kg_ingest._stage_a_partition = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("stage A ran on a fully committed stage dir"))
+    try:
+        got2 = _load_tables(kg_ingest.ingest_backend_tables_resumable(
+            files, out, partitions=3))
+    finally:
+        kg_ingest._stage_a_partition = real
+    for name in ref:
+        pd.testing.assert_frame_equal(got2[name], ref[name])
+
+    # simulate a killed run: partition 1 uncommitted -> only it re-runs
+    os.remove(manifest.manifest_path(stage, 1))
+    calls = []
+
+    def _spy(f, s, p):
+        calls.append(p)
+        return real(f, s, p)
+
+    kg_ingest._stage_a_partition = _spy
+    try:
+        got3 = _load_tables(kg_ingest.ingest_backend_tables_resumable(
+            files, out, partitions=3))
+    finally:
+        kg_ingest._stage_a_partition = real
+    assert calls == [1]
+    for name in ref:
+        pd.testing.assert_frame_equal(got3[name], ref[name])
