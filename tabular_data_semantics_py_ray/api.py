@@ -1003,6 +1003,22 @@ def q_kg_ingest_owl_horst(sf_dir: str):
     return owl_horst_materialize(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_types_entailed(sf_dir: str):
+    """Reasoner-backed classification (the reference's onto_access.py
+    getClassifiedOntology seam, end-to-end): entity_types derived from the
+    OWL-Horst-MATERIALIZED graph instead of asserted rdf:type rows alone —
+    inverse/domain/range/subclass-inferred memberships included."""
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import (
+        derive_entity_types,
+        owl_horst_materialize,
+        read_ntriples,
+    )
+
+    return derive_entity_types(
+        owl_horst_materialize(read_ntriples(dump_path())))
+
+
 def q_kg_cea_link_ingested(sf_dir: str):
     """End-to-end first mile: RDF dump -> parquet backend tables ->
     registered KGBackend -> CEA linking over it. Output equals the
@@ -1027,6 +1043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ingest_closure_equiv": q_kg_ingest_closure_equiv,
         "kg_ingest_rdfs": q_kg_ingest_rdfs,
         "kg_ingest_owl_horst": q_kg_ingest_owl_horst,
+        "kg_ingest_types_entailed": q_kg_ingest_types_entailed,
         "kg_cea_link_ingested": q_kg_cea_link_ingested,
         "kg_cell_norm_link": q_kg_cell_norm_link,
         "kg_cta_doc_type": q_kg_cta_doc_type,

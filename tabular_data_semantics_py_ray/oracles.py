@@ -367,6 +367,13 @@ SELECT DISTINCT subj, pred, obj, kind, lang FROM (
   UNION ALL SELECT ent, '{RDF_TYPE}', cls, 'iri', '' FROM tyx
 )"""
 
+    # reasoner-backed classification: entity_types over the MATERIALIZED
+    # graph (the owl_horst oracle as a subquery, filtered to type rows)
+    o["kg_ingest_types_entailed"] = f"""
+SELECT DISTINCT subj AS entity_uri, obj AS type_uri
+FROM ({o["kg_ingest_owl_horst"]})
+WHERE pred = '{RDF_TYPE}' AND kind = 'iri' AND obj <> '{OWL_CLASS}'"""
+
     # the ingested backend must link identically to the fixture backend
     # (the dump serializes the fixture KG; noise namespaces cannot collide
     # with corpus tokens) — same oracle, different engine path
