@@ -480,6 +480,48 @@ def run_scaling():
     }))
 
 
+def run_reason_scale():
+    """Reasoning-at-scale stress: RDFS and OWL-Horst materialization over
+    the replicated multi-namespace dump (reuses --ingest-scale's staged
+    shards; run that first or this stages them)."""
+    shards = int(os.environ.get("GRAFT_INGEST_SHARDS", "400"))
+    stage_dir = f"/tmp/graft_ingest_shards_{shards}"
+    if not os.path.exists(os.path.join(stage_dir, "_STAGED")):
+        run_ingest_scale()
+
+    probe = _cpu_probe_sec()
+    steal0 = _steal_jiffies()
+    _init_ray()
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+        owl_horst_materialize,
+        rdfs_materialize,
+        read_ntriples,
+    )
+
+    nt_files = [os.path.join(stage_dir, f) for f in sorted(os.listdir(stage_dir))
+                if f.endswith(".nt")]
+    total_bytes = sum(os.path.getsize(f) for f in nt_files)
+    out = {}
+    for name, fn in [("rdfs", rdfs_materialize),
+                     ("owl_horst", owl_horst_materialize)]:
+        t0 = time.time()
+        n = fn(read_ntriples(nt_files)).count()
+        out[name] = {"sec": round(time.time() - t0, 3), "triples_out": n}
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "reasoning_materialize",
+        "shards": shards,
+        "input_mb": round(total_bytes / 1e6, 1),
+        "num_cpus": NCPU,
+        **{f"{k}_{kk}": vv for k, v in out.items() for kk, vv in v.items()},
+        "cpu_probe_sec": probe,
+        "steal_jiffies_delta": _steal_jiffies() - steal0,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -487,5 +529,7 @@ if __name__ == "__main__":
         run_flagship_once()
     elif "--ingest-scale" in sys.argv:
         run_ingest_scale()
+    elif "--reason-scale" in sys.argv:
+        run_reason_scale()
     else:
         run_default()

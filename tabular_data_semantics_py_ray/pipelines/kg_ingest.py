@@ -1121,65 +1121,77 @@ def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
         )
         out = out.union(extra)
 
-    # rdfp4: per-transitive-property distributed closure over the EXPANDED
-    # edge set, then re-expansion of new pairs through the property maps
-    from ..util import coalesce_blocks
+    # rdfp4: ALL transitive properties close in ONE pass — edges carry a
+    # composite "t\n node" key through the shared closure machinery
+    # (newline cannot appear in an IRI of a line-based dump; NUL would be
+    # the natural choice but pandas 2.2 object-Series concat silently
+    # DROPS NUL bytes), so a
+    # join on the key can never cross properties (an ontology with
+    # hundreds of transitive properties — or a per-tenant-namespaced dump
+    # — would otherwise pay one sequential closure EACH; measured 400
+    # sequential loops on the 400-shard stress). Closure pairs are then
+    # re-expanded through each property's fwd/bwd maps.
+    if trans:
+        fwd_to = sorted((p, q) for p, q in fwd if q in trans)
+        bwd_to = sorted((p, q) for p, q in bwd if q in trans)
+        fwd_to_df = _pairs_df(fwd_to, ("pred", "t"))
+        bwd_to_df = _pairs_df(bwd_to, ("pred", "t"))
+        tmap_ref = ray.put((fwd_to_df, bwd_to_df))
 
-    for t in sorted(trans):
-        fwd_to_t = sorted(p for p, q in fwd if q == t)
-        bwd_to_t = sorted(p for p, q in bwd if q == t)
-
-        def _edges(tbl: pa.Table, _f=fwd_to_t, _b=bwd_to_t) -> pa.Table:
-            import pyarrow.compute as pc
-
-            res = tbl.filter(pc.equal(tbl.column("kind"), "iri"))
-            fw = res.filter(pc.is_in(res.column("pred"),
-                                     value_set=pa.array(_f, type=pa.string())))
-            bw = res.filter(pc.is_in(res.column("pred"),
-                                     value_set=pa.array(_b, type=pa.string())))
-            return pa.Table.from_arrays(
-                [
-                    pa.concat_arrays(
-                        [fw.column("subj").combine_chunks(),
-                         bw.column("obj").combine_chunks()]
-                    ),
-                    pa.concat_arrays(
-                        [fw.column("obj").combine_chunks(),
-                         bw.column("subj").combine_chunks()]
-                    ),
-                ],
-                names=["cls_uri", "ancestor_uri"],
+        def _edges(b: pd.DataFrame) -> pd.DataFrame:
+            fw_g, bw_g = ray.get(tmap_ref)
+            res = b.loc[b["kind"] == "iri", ["subj", "pred", "obj"]]
+            fw = res.merge(fw_g, on="pred")
+            bw = res.merge(bw_g, on="pred")
+            return pd.DataFrame(
+                {
+                    "cls_uri": pd.concat(
+                        [fw["t"] + "\n" + fw["subj"],
+                         bw["t"] + "\n" + bw["obj"]], ignore_index=True),
+                    "ancestor_uri": pd.concat(
+                        [fw["t"] + "\n" + fw["obj"],
+                         bw["t"] + "\n" + bw["subj"]], ignore_index=True),
+                }
             )
 
-        ed = coalesce_blocks(
-            bucket_distinct(
-                triples_ds.map_batches(_edges, batch_format="pyarrow"),
-                ["cls_uri", "ancestor_uri"],
-            ).materialize()
-        )
+        ed = _edges_from_rows(
+            triples_ds.map_batches(_edges, batch_format="pandas"))
         clo = _closure_from_edges(ed, max_depth=max_depth)
-        exp = ([(t, 0)] + [(q, 0) for q in sorted({q for p, q in fwd_extra
-                                                   if p == t})]
-               + [(q, 1) for q in sorted({q for p, q in bwd if p == t})])
+        exp_rows = sorted(
+            [(t, t, 0) for t in trans]
+            + [(p, q, 0) for p, q in fwd_extra if p in trans]
+            + [(p, q, 1) for p, q in bwd if p in trans]
+        )
+        exp_df = pd.DataFrame(
+            {"t": [r[0] for r in exp_rows],
+             "q": [r[1] for r in exp_rows],
+             "flip": np.array([r[2] for r in exp_rows], dtype=np.int8)}
+        )
+        exp_ref = ray.put(exp_df)
 
-        def _clo_rows(tbl: pa.Table, _exp=tuple(exp)) -> pa.Table:
-            s = tbl.column("cls_uri").to_pandas()
-            o = tbl.column("ancestor_uri").to_pandas()
-            frames = []
-            for q, flipped in _exp:
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            "subj": o if flipped else s,
-                            "pred": np.full(len(s), q, dtype=object),
-                            "obj": s if flipped else o,
-                            "kind": np.full(len(s), "iri", dtype=object),
-                            "lang": np.full(len(s), "", dtype=object),
-                        }
-                    )
-                )
-            return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
-                                        preserve_index=False)
+        def _clo_rows(tbl: pa.Table) -> pa.Table:
+            if tbl.num_rows == 0:  # keep the union schema string-typed
+                return pa.Table.from_arrays(
+                    [pa.array([], type=pa.string()) for _ in cols],
+                    names=cols)
+            cu = tbl.column("cls_uri").to_pandas().str.split("\n", n=1)
+            au = tbl.column("ancestor_uri").to_pandas().str.split("\n", n=1)
+            df = pd.DataFrame(
+                {"t": cu.str[0], "s": cu.str[1], "o": au.str[1]}
+            ).merge(ray.get(exp_ref), on="t")
+            flip = df["flip"].to_numpy() == 1
+            return pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "subj": np.where(flip, df["o"], df["s"]),
+                        "pred": df["q"],
+                        "obj": np.where(flip, df["s"], df["o"]),
+                        "kind": np.full(len(df), "iri", dtype=object),
+                        "lang": np.full(len(df), "", dtype=object),
+                    }
+                ),
+                preserve_index=False,
+            )
 
         out = out.union(clo.map_batches(_clo_rows, batch_format="pyarrow"))
 
