@@ -30,6 +30,22 @@ def main(argv=None) -> int:
     val = sub.add_parser("validate", help="P/R gate vs sequential oracle")
     val.add_argument("--sf-dir", required=True)
 
+    ing = sub.add_parser(
+        "ingest",
+        help="resumable RDF-dump ingestion: N-Triples file(s)/dir -> the "
+        "four KGBackend parquet tables (re-running skips committed "
+        "macro-partitions)",
+    )
+    ing.add_argument("--dump", required=True,
+                     help="an .nt file, a directory of .nt files, or a "
+                     "comma-separated list")
+    ing.add_argument("--out", required=True)
+    ing.add_argument("--partitions", type=int, default=None)
+    ing.add_argument("--materialize", choices=["none", "rdfs", "owl"],
+                     default="none",
+                     help="also write the entailed graph (RDFS rules, or "
+                     "RDFS + OWL-Horst property rules) as parquet")
+
     st = sub.add_parser(
         "stream",
         help="zero-shuffle streaming flagship over an interleaved corpus "
@@ -96,6 +112,33 @@ def main(argv=None) -> int:
                 "entity_type_triples": etype_dir,
                 "rows": read_stream_result(args.out).count(),
             }))
+        elif args.cmd == "ingest":
+            import os
+
+            from .pipelines.kg_ingest import (
+                ingest_backend_tables_resumable,
+                owl_horst_materialize,
+                rdfs_materialize,
+                read_ntriples,
+            )
+            from .util import parquet_num_rows
+
+            dump = (args.dump.split(",") if "," in args.dump else args.dump)
+            paths = ingest_backend_tables_resumable(
+                dump, args.out, partitions=args.partitions)
+            report = {
+                "tables": paths,
+                "rows": {k: parquet_num_rows(p) for k, p in paths.items()},
+            }
+            if args.materialize != "none":
+                fn = (rdfs_materialize if args.materialize == "rdfs"
+                      else owl_horst_materialize)
+                ent_dir = os.path.join(args.out, "entailed_triples.parquet")
+                ent = fn(read_ntriples(dump))
+                ent.write_parquet(ent_dir)
+                report["entailed"] = ent_dir
+                report["entailed_rows"] = parquet_num_rows(ent_dir)
+            print(json.dumps(report))
         elif args.cmd == "validate":
             from .pipelines.validate import validate_flagship
 

@@ -1535,11 +1535,14 @@ def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
     from ..state import manifest
 
     if isinstance(nt_files, str):
-        nt_files = [
-            os.path.join(nt_files, f)
-            for f in sorted(os.listdir(nt_files))
-            if f.endswith(".nt")
-        ]
+        if os.path.isdir(nt_files):
+            nt_files = [
+                os.path.join(nt_files, f)
+                for f in sorted(os.listdir(nt_files))
+                if f.endswith(".nt")
+            ]
+        else:
+            nt_files = [nt_files]
     nt_files = sorted(nt_files)
     stage_dir = stage_dir or os.path.join(out_dir, "_stage")
     os.makedirs(stage_dir, exist_ok=True)
