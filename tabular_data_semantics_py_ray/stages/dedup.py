@@ -481,8 +481,41 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
         return _shingle_doc_rows(t, ngram=ngram)
 
     def _pairs_capped(b: pd.DataFrame) -> pd.DataFrame:
-        df = b.groupby("shingle", sort=False)["doc_id"].transform("size")
-        return _pairs_from_keyed(b[df <= max_df], ["shingle"])
+        """Vectorized all-pairs within each rare-shingle group: one lexsort
+        for group boundaries, then ONE numpy pair expansion per DISTINCT
+        group size (<= max_df iterations) — no per-group Python loop (the
+        generic _pairs_from_keyed loops per group, which melts on dense
+        vocabularies where millions of shingle groups have 2..max_df
+        members)."""
+        sh = b["shingle"].to_numpy()
+        doc = b["doc_id"].to_numpy()
+        order = np.lexsort((doc, sh))
+        sh_s, doc_s = sh[order], doc[order]
+        new = np.ones(len(sh_s), dtype=bool)
+        new[1:] = sh_s[1:] != sh_s[:-1]
+        gid = np.cumsum(new) - 1
+        sizes = np.bincount(gid)
+        keep_g = (sizes >= 2) & (sizes <= max_df)
+        keep_rows = keep_g[gid]
+        doc_k = doc_s[keep_rows]
+        sizes_k = sizes[keep_g]
+        starts_k = np.cumsum(sizes_k) - sizes_k
+        out_a, out_b = [], []
+        for k in np.unique(sizes_k):
+            gsel = np.flatnonzero(sizes_k == k)
+            idx = starts_k[gsel][:, None] + np.arange(k)[None, :]
+            mat = doc_k[idx]  # docs ascending within each group
+            ia, ib = np.triu_indices(k, 1)
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
+        if not out_a:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64")})
+        # multi-shingle duplicates of a pair are dropped HERE (bucket-local
+        # np.unique) — they would otherwise multiply the verify shuffle
+        pairs = np.stack([np.concatenate(out_a), np.concatenate(out_b)])
+        pairs = np.unique(pairs, axis=1)
+        return pd.DataFrame({"doc_a": pairs[0], "doc_b": pairs[1]})
 
     idx_rows = documents_ds.map_batches(_rows, batch_format="pyarrow")
     cands = bucket_map_keyed(idx_rows, ["shingle"], _pairs_capped).materialize()
