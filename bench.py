@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "kg_ingest_owl_horst",
     "dedup_near_pairs",
     "dedup_ngram_jaccard",
+    "dedup_span_remove",
     "weighted_sample",
     "dedup_simhash",
     "dedup_exact",

@@ -709,6 +709,67 @@ def _schema_pairs(triples_ds, pred_uri: str) -> pd.DataFrame:
     return df
 
 
+# tags for the fused schema-extraction scan; sym/trans carry the flagged
+# property in BOTH columns so one (tag, a, b) shape fits every axiom
+_SCHEMA_TAGS = {
+    "sp": RDFS_SUBPROPERTYOF,
+    "inv": OWL_INVERSEOF,
+    "dom": RDFS_DOMAIN,
+    "ran": RDFS_RANGE,
+}
+
+
+def _schema_axioms(triples_ds) -> dict[str, pd.DataFrame]:
+    """ALL property-schema axioms in ONE scan of the dump: distinct tagged
+    (tag, a, b) rows for subPropertyOf / inverseOf / domain / range plus
+    the Symmetric/Transitive flags — at 100 TB, six separate schema scans
+    (the naive shape) read the corpus six times for ontology-bounded
+    results. Returns {'sp','inv','dom','ran'} -> (a, b) frames and
+    {'sym','trans'} -> frames whose 'a' column is the flagged property."""
+    import pyarrow.compute as pc
+
+    def _f(t: pa.Table) -> pa.Table:
+        iri = t.filter(pc.equal(t.column("kind"), "iri"))
+        tags, aa, bb = [], [], []
+        for tag, uri in _SCHEMA_TAGS.items():
+            f = iri.filter(pc.equal(iri.column("pred"), uri))
+            n = f.num_rows
+            if n:
+                tags.append(pa.array([tag] * n, type=pa.string()))
+                aa.append(f.column("subj").combine_chunks())
+                bb.append(f.column("obj").combine_chunks())
+        for tag, cls in (("sym", OWL_SYMMETRIC), ("trans", OWL_TRANSITIVE)):
+            f = iri.filter(
+                pc.and_(pc.equal(iri.column("pred"), RDF_TYPE),
+                        pc.equal(iri.column("obj"), cls)))
+            n = f.num_rows
+            if n:
+                tags.append(pa.array([tag] * n, type=pa.string()))
+                aa.append(f.column("subj").combine_chunks())
+                bb.append(f.column("subj").combine_chunks())
+        if not tags:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.string())] * 3,
+                names=["tag", "a", "b"])
+        return pa.Table.from_arrays(
+            [pa.concat_arrays(tags), pa.concat_arrays(aa),
+             pa.concat_arrays(bb)],
+            names=["tag", "a", "b"],
+        )
+
+    df = bucket_distinct(
+        triples_ds.map_batches(_f, batch_format="pyarrow"), ["tag", "a", "b"]
+    ).to_pandas()
+    if df.empty:
+        df = pd.DataFrame({"tag": pd.Series(dtype=object),
+                           "a": pd.Series(dtype=object),
+                           "b": pd.Series(dtype=object)})
+    return {
+        tag: df.loc[df["tag"] == tag, ["a", "b"]].reset_index(drop=True)
+        for tag in ("sp", "inv", "dom", "ran", "sym", "trans")
+    }
+
+
 def _close_pairs_local(edges: pd.DataFrame) -> pd.DataFrame:
     """Strict transitive closure of an ONTOLOGY-bounded (a, b) edge frame —
     driver-side semi-naive loop (each round merges only the NEW pairs
@@ -758,9 +819,9 @@ def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
     axioms cost nothing per batch."""
     import ray
 
-    spc = _close_pairs_local(_schema_pairs(triples_ds, RDFS_SUBPROPERTYOF))
-    dom = _schema_pairs(triples_ds, RDFS_DOMAIN)
-    ran = _schema_pairs(triples_ds, RDFS_RANGE)
+    ax = _schema_axioms(triples_ds)
+    spc = _close_pairs_local(ax["sp"])
+    dom, ran = ax["dom"], ax["ran"]
 
     def _inherit(ax: pd.DataFrame) -> pd.DataFrame:
         # axiom on q applies to every p subPropertyOf q
@@ -966,31 +1027,11 @@ def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
     sameAs row cloning."""
     import ray
 
-    spc = _close_pairs_local(_schema_pairs(triples_ds, RDFS_SUBPROPERTYOF))
-    inv = _schema_pairs(triples_ds, OWL_INVERSEOF)
-    dom = _schema_pairs(triples_ds, RDFS_DOMAIN)
-    ran = _schema_pairs(triples_ds, RDFS_RANGE)
-
-    def _typed_props(flag_cls: str) -> set:
-        import pyarrow.compute as pc
-
-        def _f(t: pa.Table) -> pa.Table:
-            f = t.filter(
-                pc.and_(
-                    pc.equal(t.column("pred"), RDF_TYPE),
-                    pc.equal(t.column("obj"), flag_cls),
-                )
-            )
-            return pa.Table.from_arrays([f.column("subj")], names=["p"])
-
-        return set(
-            bucket_distinct(
-                triples_ds.map_batches(_f, batch_format="pyarrow"), ["p"]
-            ).to_pandas().get("p", pd.Series(dtype=object))
-        )
-
-    sym = _typed_props(OWL_SYMMETRIC)
-    trans = _typed_props(OWL_TRANSITIVE)
+    ax = _schema_axioms(triples_ds)
+    spc = _close_pairs_local(ax["sp"])
+    inv, dom, ran = ax["inv"], ax["dom"], ax["ran"]
+    sym = set(ax["sym"]["a"])
+    trans = set(ax["trans"]["a"])
 
     fwd, bwd = _prop_fixpoint(spc, inv, sym)
     # a transitive property with no OTHER axiom never enters the fixpoint
