@@ -682,33 +682,6 @@ def dangling_census(triples_ds):
     )
 
 
-def _schema_pairs(triples_ds, pred_uri: str) -> pd.DataFrame:
-    """Distinct (a, b) IRI->IRI pairs of one schema predicate, collected to
-    the driver. Property/domain/range axioms are ONTOLOGY-bounded (Wikidata
-    declares ~12k properties, DBpedia ~3k) — result-sized, the same collect
-    regime as _string_components."""
-    import pyarrow.compute as pc
-
-    def _f(t: pa.Table) -> pa.Table:
-        f = t.filter(
-            pc.and_(
-                pc.equal(t.column("pred"), pred_uri),
-                pc.equal(t.column("kind"), "iri"),
-            )
-        )
-        return pa.Table.from_arrays(
-            [f.column("subj"), f.column("obj")], names=["a", "b"]
-        )
-
-    df = bucket_distinct(
-        triples_ds.map_batches(_f, batch_format="pyarrow"), ["a", "b"]
-    ).to_pandas()
-    if df.empty:  # an empty Dataset collects without column names
-        return pd.DataFrame({"a": pd.Series(dtype=object),
-                             "b": pd.Series(dtype=object)})
-    return df
-
-
 # tags for the fused schema-extraction scan; sym/trans carry the flagged
 # property in BOTH columns so one (tag, a, b) shape fits every axiom
 _SCHEMA_TAGS = {
