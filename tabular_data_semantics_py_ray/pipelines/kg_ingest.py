@@ -1565,9 +1565,23 @@ def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
     done = set(manifest.committed_partitions(stage_dir))
     for p in range(k):
         part_files = nt_files[bounds[p]:bounds[p + 1]]
-        if not part_files or p in done:
+        if not part_files:
             continue
+        if p in done:
+            # lineage-verified skip: a DELTA ingest (files appended to the
+            # same dump dir) shifts partition boundaries, so a committed
+            # id may now cover a DIFFERENT file list — recompute exactly
+            # those, keep the rest
+            lineage = manifest.load(stage_dir, p)["lineage"]
+            if lineage.get("files") == [os.path.basename(f)
+                                        for f in part_files]:
+                continue
         _stage_a_partition(part_files, stage_dir, p)
+    # a shrunk partition count leaves orphaned committed ids past k — they
+    # would leak stale rows into stage B, so drop their manifests
+    for p in manifest.committed_partitions(stage_dir):
+        if p >= k:
+            os.remove(manifest.manifest_path(stage_dir, p))
 
     import ray.data as rd
 

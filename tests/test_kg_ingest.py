@@ -392,3 +392,36 @@ def test_resumable_ingest_matches_oneshot(ray_session, tmp_path):
     assert calls == [1]
     for name in ref:
         pd.testing.assert_frame_equal(got3[name], ref[name])
+
+
+def test_resumable_ingest_delta_files(ray_session, tmp_path):
+    """Appending shard files to the same ingest (a delta dump) recomputes
+    ONLY the partitions whose file lists changed, and the final tables
+    equal a from-scratch ingest of the full set."""
+    from tabular_data_semantics_py_ray.pipelines import kg_ingest
+
+    files = _shard_dump(tmp_path, n=6)
+    out = str(tmp_path / "delta")
+    kg_ingest.ingest_backend_tables_resumable(files[:4], out, partitions=2)
+
+    real = kg_ingest._stage_a_partition
+    calls = []
+
+    def _spy(f, s, p):
+        calls.append(p)
+        return real(f, s, p)
+
+    kg_ingest._stage_a_partition = _spy
+    try:
+        got = _load_tables(kg_ingest.ingest_backend_tables_resumable(
+            files, out, partitions=3))
+    finally:
+        kg_ingest._stage_a_partition = real
+    # first run: 4 files over 2 partitions -> p0=[f0,f1], p1=[f2,f3];
+    # delta run: 6 files over 3 partitions -> p0/p1 keep the SAME file
+    # lists (skipped via lineage), only the new p2=[f4,f5] computes
+    assert calls == [2]
+    ref = _load_tables(
+        kg_ingest.ingest_backend_tables(files, str(tmp_path / "ref")))
+    for name in ref:
+        pd.testing.assert_frame_equal(got[name], ref[name])
