@@ -751,6 +751,14 @@ def q_doc_shuffle_rank(sf_dir: str):
     return doc_shuffle_rank(sf_dir)
 
 
+def q_doc_scrub_pii(sf_dir: str):
+    """PII redaction pass: email/phone-shaped substrings replaced with
+    placeholder tokens, per-doc redaction counts; zero shuffles."""
+    from .pipelines.relational import doc_scrub_pii
+
+    return doc_scrub_pii(sf_dir)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (A-ES keys over
     deterministic md5 uniforms, weight = n_chars): zero-shuffle
@@ -1147,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_norm": q_doc_len_norm,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "weighted_sample": q_weighted_sample,
+        "doc_scrub_pii": q_doc_scrub_pii,
         "ann_topk_pq": q_ann_topk_pq,
         "events_attribution": q_events_attribution,
         "contamination_near_dup": q_contamination_near_dup,

@@ -2432,6 +2432,20 @@ SELECT doc_id,
             AS BIGINT) AS "rank"
 FROM documents"""
 
+    # PII scrub: same RE2 patterns the engine runs; phone count over the
+    # email-redacted text so the two passes compose identically
+    _email = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    _phone = r"\+?\d[\d\- ]{7,}\d"
+    o["doc_scrub_pii"] = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '{_email}', '<EMAIL>', 'g'),
+                      '{_phone}', '<PHONE>', 'g') AS clean_text,
+       cast(len(regexp_extract_all(text, '{_email}'))
+            + len(regexp_extract_all(
+                  regexp_replace(text, '{_email}', '<EMAIL>', 'g'),
+                  '{_phone}')) AS BIGINT) AS n_redactions
+FROM documents"""
+
     # A-ES weighted sample without replacement: k largest ln(u)/w keys,
     # u a 60-bit md5 uniform — identical arithmetic to the engine
     o["weighted_sample"] = """

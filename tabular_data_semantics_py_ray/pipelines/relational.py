@@ -3039,6 +3039,38 @@ def doc_len_norm(sf_dir: str):
     return docs.map_batches(_score, batch_format="pyarrow")
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?\d[\d\- ]{7,}\d"
+
+
+def doc_scrub_pii(sf_dir: str):
+    """PII scrubbing (the C4/RefinedWeb-style redaction pass): replace
+    email- and phone-shaped substrings with placeholder tokens ->
+    (doc_id, clean_text, n_redactions). Zero shuffles — both Arrow and
+    DuckDB run RE2, so the oracle is the same regex pair verbatim; phones
+    are counted on the email-redacted text in both engines so the two
+    passes compose identically."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        n1 = pc.count_substring_regex(txt, _PII_EMAIL)
+        s1 = pc.replace_substring_regex(txt, _PII_EMAIL,
+                                        replacement="<EMAIL>")
+        n2 = pc.count_substring_regex(s1, _PII_PHONE)
+        s2 = pc.replace_substring_regex(s1, _PII_PHONE,
+                                        replacement="<PHONE>")
+        return pa.Table.from_arrays(
+            [t.column("doc_id"), s2,
+             pc.add(n1, n2).cast(pa.int64())],
+            names=["doc_id", "clean_text", "n_redactions"])
+
+    return docs.map_batches(_scrub, batch_format="pyarrow")
+
+
 def weighted_sample(sf_dir: str, *, k: int = 100):
     """Weight-proportional sampling WITHOUT replacement (Efraimidis &
     Spirakis A-ES, Inf. Process. Lett. 2006): doc i gets key

@@ -725,3 +725,26 @@ def test_snapshot_diff_apply_roundtrip(ray_session):
     a = applied.sort_values(["o_orderkey"]).reset_index(drop=True)
     b = v2.sort_values(["o_orderkey"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_doc_scrub_pii_planted(ray_session, tmp_path, monkeypatch):
+    """Redaction actually fires: planted emails/phones are replaced and
+    counted; clean text is untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tabular_data_semantics_py_ray.pipelines.relational import doc_scrub_pii
+
+    pq.write_table(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["mail me at a.b-c@example.co.uk or +1 555-123 4567 ok",
+                 "no pii here at all",
+                 "two mails x@y.io z@w.ai one phone 123-456-7890"],
+    }), str(tmp_path / "documents.parquet"))
+    got = doc_scrub_pii(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert got.loc[1, "clean_text"] == "mail me at <EMAIL> or <PHONE> ok"
+    assert got.loc[1, "n_redactions"] == 2
+    assert got.loc[2, "clean_text"] == "no pii here at all"
+    assert got.loc[2, "n_redactions"] == 0
+    assert got.loc[3, "clean_text"] == "two mails <EMAIL> <EMAIL> one phone <PHONE>"
+    assert got.loc[3, "n_redactions"] == 3
