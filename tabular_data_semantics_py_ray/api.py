@@ -759,6 +759,14 @@ def q_doc_scrub_pii(sf_dir: str):
     return doc_scrub_pii(sf_dir)
 
 
+def q_source_temperature_mix(sf_dir: str):
+    """Temperature-scaled source sampling weights (p_s ~ n_s^0.5):
+    one source-sized aggregate, result-row arithmetic."""
+    from .pipelines.relational import source_temperature_mix
+
+    return source_temperature_mix(sf_dir)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (A-ES keys over
     deterministic md5 uniforms, weight = n_chars): zero-shuffle
@@ -1156,6 +1164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "weighted_sample": q_weighted_sample,
         "doc_scrub_pii": q_doc_scrub_pii,
+        "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,
         "events_attribution": q_events_attribution,
         "contamination_near_dup": q_contamination_near_dup,

@@ -2446,6 +2446,17 @@ SELECT doc_id,
                   '{_phone}')) AS BIGINT) AS n_redactions
 FROM documents"""
 
+    # temperature mixing: p_s ~ n_s^alpha with alpha=0.5; 9-place rounding
+    # for cross-engine float equality
+    o["source_temperature_mix"] = """
+WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT sum(n_docs) AS total, sum(pow(n_docs, 0.5)) AS z FROM c)
+SELECT c.source, cast(c.n_docs AS BIGINT) AS n_docs,
+       round(c.n_docs / t.total, 9) AS share,
+       round(pow(c.n_docs, 0.5) / t.z, 9) AS p_temp,
+       round((pow(c.n_docs, 0.5) / t.z) / (c.n_docs / t.total), 9) AS boost
+FROM c, t"""
+
     # A-ES weighted sample without replacement: k largest ln(u)/w keys,
     # u a 60-bit md5 uniform — identical arithmetic to the engine
     o["weighted_sample"] = """

@@ -1845,6 +1845,46 @@ def events_daily_active(sf_dir: str):
 MIXTURE_WEIGHTS: dict[str, float] = {"en": 0.5, "fr": 2.5}
 
 
+def source_temperature_mix(sf_dir: str, *, alpha: float = 0.5):
+    """Temperature-scaled source-mixing weights (the multilingual /
+    multi-domain sampling rule, e.g. mC4/XLM-R: p_s proportional to
+    n_s^alpha): per source, its corpus share, its temperature-scaled
+    sampling probability, and the implied per-document oversampling
+    factor (p_s / share_s — how many epochs of source s one balanced
+    epoch consumes). alpha < 1 upweights low-resource sources.
+
+    Scale shape: ONE source-sized combiner aggregate; the arithmetic
+    happens on the result rows. Shares and probabilities are rounded to 9
+    places for cross-engine float equality (pow/log are libm on both
+    sides)."""
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["source"], blocks=fanout_blocks(0.25))
+
+    def _one(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("source"),
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["source", "one"])
+
+    counts = bucket_aggregate(
+        docs.map_batches(_one, batch_format="pyarrow"),
+        ["source"], {"n_docs": ("one", "sum")}).to_pandas()
+    n = counts["n_docs"].to_numpy().astype(np.float64)
+    total = n.sum()
+    scaled = np.power(n, alpha)
+    p = scaled / scaled.sum()
+    share = n / total
+    out = pd.DataFrame({
+        "source": counts["source"],
+        "n_docs": counts["n_docs"].astype(np.int64),
+        "share": np.round(share, 9),
+        "p_temp": np.round(p, 9),
+        "boost": np.round(p / share, 9),
+    })
+    return out.sort_values("source").reset_index(drop=True)
+
+
 def mixture_oversample(sf_dir: str, weights: dict[str, float] | None = None):
     """Deterministic sampling WITH replacement to a per-language target
     weight — the epoch-mixture op of multilingual pretraining (upsample
