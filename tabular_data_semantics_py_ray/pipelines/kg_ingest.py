@@ -1508,11 +1508,15 @@ def _stage_a_partition(files: list[str], stage_dir: str, p: int) -> None:
     tmp = f"{pdir}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     triples = read_ntriples(files).materialize()
+    from ..util import parquet_num_rows
+
     rows = {}
     for name in _STAGE_TABLES:
         ds = triples.map_batches(_STAGE_BATCHES[name], batch_format="pyarrow")
         ds.write_parquet(os.path.join(tmp, name))
-        rows[name] = ds.count()
+        # footer metadata, NOT ds.count() — a lazy count would re-execute
+        # the extraction pipeline a second time per table
+        rows[name] = parquet_num_rows(os.path.join(tmp, name))
     shutil.rmtree(pdir, ignore_errors=True)
     os.replace(tmp, pdir)
     manifest.commit(
