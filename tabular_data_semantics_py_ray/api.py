@@ -767,6 +767,47 @@ def q_source_temperature_mix(sf_dir: str):
     return source_temperature_mix(sf_dir)
 
 
+def q_orders_topn_per_customer(sf_dir: str):
+    """Per-key rank window (ROW_NUMBER family): top-3 orders per customer
+    with explicit rank; combiner-first top-n, one key shuffle."""
+    from .pipelines.relational import orders_topn_per_customer
+
+    return orders_topn_per_customer(sf_dir)
+
+
+def q_doc_pack_census(sf_dir: str):
+    """Packing-quality census: per training sequence, docs starting in it
+    and docs crossing its right boundary (attention-contamination sites)."""
+    from .pipelines.relational import doc_pack_census
+
+    return doc_pack_census(sf_dir)
+
+
+def q_dedup_cluster_census(sf_dir: str):
+    """Dup-cluster size histogram: (cluster_size, n_clusters, n_docs) over
+    the near-dup connected components — the 'how much of my corpus is
+    duplicated, and in how big clumps' curation report. Two result-bounded
+    aggregates on top of the components dataset (|clusters| rows, then
+    |distinct sizes| rows)."""
+    from .stages.dedup import dedup_components, near_dup_pairs_minhash
+    from .util import bucket_aggregate
+
+    comp = dedup_components(near_dup_pairs_minhash(_documents(sf_dir)))
+    sizes = bucket_aggregate(
+        comp, ["component_id"], {"cluster_size": ("doc_id", "count")})
+    import pyarrow as pa
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.select(["cluster_size"]).append_column(
+            "one", pa.array([1] * t.num_rows, type=pa.int64()))
+
+    return bucket_aggregate(
+        sizes.map_batches(_one, batch_format="pyarrow"),
+        ["cluster_size"],
+        {"n_clusters": ("one", "sum"), "n_docs": ("cluster_size", "sum")},
+    )
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (A-ES keys over
     deterministic md5 uniforms, weight = n_chars): zero-shuffle
@@ -1163,6 +1204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_norm": q_doc_len_norm,
         "doc_shuffle_rank": q_doc_shuffle_rank,
         "weighted_sample": q_weighted_sample,
+        "orders_topn_per_customer": q_orders_topn_per_customer,
+        "doc_pack_census": q_doc_pack_census,
+        "dedup_cluster_census": q_dedup_cluster_census,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2598,4 +2598,50 @@ SELECT doc_id, lang, split, n_tokens, tok_offset,
        tok_offset // 2048 AS pack_id
 FROM off"""
 
+    # per-key rank window: top-3 orders per customer, ties to low orderkey
+    o["orders_topn_per_customer"] = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, cast(rn AS BIGINT) AS rn
+FROM r WHERE rn <= 3"""
+
+    # packing census: docs starting in each sequence + boundary crossers
+    # (seq_len mirrors relational.doc_pack_census's default)
+    o["doc_pack_census"] = """
+WITH d AS (
+  SELECT doc_id, cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_offset
+  FROM d
+),
+p AS (SELECT n_tokens, tok_offset, tok_offset // 2048 AS pack_id FROM s)
+SELECT pack_id, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN tok_offset + n_tokens > (pack_id + 1) * 2048
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+FROM p GROUP BY 1"""
+
+    # dup-cluster size histogram over the near-dup components
+    o["dedup_cluster_census"] = o["dedup_components"].replace(
+        "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",
+        """comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+),
+sz AS (SELECT component_id, cast(count(*) AS BIGINT) AS cluster_size
+       FROM comp GROUP BY 1)
+SELECT cluster_size, cast(count(*) AS BIGINT) AS n_clusters,
+       cast(sum(cluster_size) AS BIGINT) AS n_docs
+FROM sz GROUP BY 1""",
+    ).replace(
+        ")\ncomp AS (", "),\ncomp AS ("
+    )
+
     return o

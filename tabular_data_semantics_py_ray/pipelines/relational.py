@@ -4086,3 +4086,73 @@ def orders_segment_salted(sf_dir: str):
         key="o_custkey",
         fact_cols={"o_orderkey": pa.int64()},
         dim_cols={"c_mktsegment": pa.string()})
+
+
+def orders_topn_per_customer(sf_dir: str, *, n: int = 3):
+    """Per-key rank window (the ROW_NUMBER() OVER (PARTITION BY ... ORDER
+    BY ...) family): for every customer, their top-``n`` orders by
+    totalprice with an explicit 1-based rank; ties break to the lowest
+    orderkey so the output is deterministic across partitionings.
+
+    Scale shape: combiner-first top-n — each batch keeps at most ``n``
+    rows per customer BEFORE the shuffle (a key's global top-n row can
+    only be evicted from a batch's top-n by rows that also beat it
+    globally, so the per-batch top-n is a superset of the global one),
+    then ONE customer-keyed bucket shuffle whose per-bucket finalizer
+    re-ranks vectorized (sort + cumcount). Shuffle input is bounded by
+    |customers-in-batch| x n per batch regardless of order skew.
+    """
+    from ..util import bucket_map_keyed
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_totalprice"],
+                   blocks=fanout_blocks(0.5))
+
+    def _topn(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        return b.groupby("o_custkey", sort=False).head(n)
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rn"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        g = g[g["rn"] <= n]
+        g["rn"] = g["rn"].astype("int64")
+        return g[["o_custkey", "o_orderkey", "o_totalprice", "rn"]]
+
+    return bucket_map_keyed(orders, ["o_custkey"], _rank, pre=_topn)
+
+
+def doc_pack_census(sf_dir: str, *, seq_len: int = 2048):
+    """Packing diagnostics over the continuous packer (`pack_assign`):
+    per training sequence, how many documents START in it and how many of
+    those cross its right boundary (tok_offset + n_tokens > end). Crossing
+    docs are the attention-contamination sites a no-split packer would pad
+    away; their count per pack is the standard packing-quality report.
+
+    Scale shape: the packer's own two-pass prefix sum, then ONE
+    pack_id-keyed combiner aggregate (per-batch partial counts first, so
+    the shuffle moves |packs-per-batch| rows); output is |corpus|/seq_len
+    rows — result-sized."""
+    from ..util import bucket_aggregate
+
+    packed = pack_assign(sf_dir, seq_len=seq_len)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        end = (df["pack_id"].to_numpy() + 1) * seq_len
+        df["n_cross"] = (
+            df["tok_offset"].to_numpy() + df["n_tokens"].to_numpy() > end
+        ).astype("int64")
+        g = df.groupby("pack_id", sort=False).agg(
+            n_docs=("doc_id", "size"), n_cross=("n_cross", "sum")
+        ).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return bucket_aggregate(
+        packed.map_batches(_partial, batch_format="pyarrow"),
+        ["pack_id"],
+        {"n_docs": ("n_docs", "sum"), "n_cross": ("n_cross", "sum")},
+    )
