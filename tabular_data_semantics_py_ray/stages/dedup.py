@@ -428,8 +428,11 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
 
 
 def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
-    """docs -> exploded inverted-index rows (shingle:uint64, doc_id).
-    The shingle binary column is our own dense little-endian u8 layout
+    """docs -> exploded inverted-index rows (shingle:uint64, doc_id, sz).
+    ``sz`` is the emitting doc's DISTINCT-shingle set size, carried on
+    every row (+8B/row) so the pair-emission stage can run the PPJoin
+    length filter without a second sizes shuffle. The shingle binary
+    column is our own dense little-endian u8 layout
     (shingle_signatures_batch), so the explode is two zero-copy
     np.frombuffer views + one repeat — no per-doc Python."""
     s = shingle_signatures_batch(t, ngram=ngram, with_sig=False)
@@ -437,8 +440,9 @@ def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
     doc = s.column("doc_id").to_numpy(zero_copy_only=False)
     if int(counts.sum()) == 0:
         return pa.Table.from_arrays(
-            [pa.array([], type=pa.uint64()), pa.array([], type=pa.int64())],
-            names=["shingle", "doc_id"],
+            [pa.array([], type=pa.uint64()), pa.array([], type=pa.int64()),
+             pa.array([], type=pa.int64())],
+            names=["shingle", "doc_id", "sz"],
         )
     b = s.column("shingles")
     if isinstance(b, pa.ChunkedArray):
@@ -448,8 +452,9 @@ def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
     data = np.frombuffer(b.buffers()[2], dtype="<u8")
     vals = data[off[0] // 8 : off[-1] // 8]
     return pa.Table.from_arrays(
-        [pa.array(vals), pa.array(np.repeat(doc, counts).astype(np.int64))],
-        names=["shingle", "doc_id"],
+        [pa.array(vals), pa.array(np.repeat(doc, counts).astype(np.int64)),
+         pa.array(np.repeat(counts, counts))],
+        names=["shingle", "doc_id", "sz"],
     )
 
 
@@ -486,11 +491,19 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
         group size (<= max_df iterations) — no per-group Python loop (the
         generic _pairs_from_keyed loops per group, which melts on dense
         vocabularies where millions of shingle groups have 2..max_df
-        members)."""
+        members).
+
+        Pairs failing the PPJoin LENGTH filter are dropped AT emission:
+        J(A,B) >= t implies min(|A|,|B|) >= t * max(|A|,|B|) (J <=
+        min/max), so the prune is exact-preserving. On short-doc corpora
+        where rare-shingle co-occurrence alone is weak (many small-df
+        shingles shared by accident), this cuts the candidate volume the
+        verify shuffle has to carry by the size-mismatch fraction."""
         sh = b["shingle"].to_numpy()
         doc = b["doc_id"].to_numpy()
+        szs = b["sz"].to_numpy()
         order = np.lexsort((doc, sh))
-        sh_s, doc_s = sh[order], doc[order]
+        sh_s, doc_s, sz_s = sh[order], doc[order], szs[order]
         new = np.ones(len(sh_s), dtype=bool)
         new[1:] = sh_s[1:] != sh_s[:-1]
         gid = np.cumsum(new) - 1
@@ -498,6 +511,7 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
         keep_g = (sizes >= 2) & (sizes <= max_df)
         keep_rows = keep_g[gid]
         doc_k = doc_s[keep_rows]
+        sz_k = sz_s[keep_rows]
         sizes_k = sizes[keep_g]
         starts_k = np.cumsum(sizes_k) - sizes_k
         out_a, out_b = [], []
@@ -505,9 +519,13 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
             gsel = np.flatnonzero(sizes_k == k)
             idx = starts_k[gsel][:, None] + np.arange(k)[None, :]
             mat = doc_k[idx]  # docs ascending within each group
+            smat = sz_k[idx]
             ia, ib = np.triu_indices(k, 1)
-            out_a.append(mat[:, ia].ravel())
-            out_b.append(mat[:, ib].ravel())
+            da, db = mat[:, ia].ravel(), mat[:, ib].ravel()
+            sa, sb = smat[:, ia].ravel(), smat[:, ib].ravel()
+            ok = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb)
+            out_a.append(da[ok])
+            out_b.append(db[ok])
         if not out_a:
             return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                                  "doc_b": pd.Series([], dtype="int64")})
