@@ -808,6 +808,15 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary-growth census: new-token count + cumulative
+    vocab size per doc-id range (min-doc_id first-occurrence attribution);
+    vocab-sized combiner + one token-keyed aggregate."""
+    from .pipelines.relational import vocab_growth
+
+    return vocab_growth(sf_dir)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weight-proportional sample without replacement (A-ES keys over
     deterministic md5 uniforms, weight = n_chars): zero-shuffle
@@ -1207,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_topn_per_customer": q_orders_topn_per_customer,
         "doc_pack_census": q_doc_pack_census,
         "dedup_cluster_census": q_dedup_cluster_census,
+        "vocab_growth": q_vocab_growth,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

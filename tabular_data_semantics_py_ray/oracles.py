@@ -2629,6 +2629,20 @@ SELECT pack_id, cast(count(*) AS BIGINT) AS n_docs,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
 FROM p GROUP BY 1"""
 
+    # Heaps-law vocabulary growth: new tokens per doc-id range (16 ranges,
+    # width = ceil(n_docs/16) mirroring relational.vocab_growth)
+    o["vocab_growth"] = """
+WITH w AS (SELECT cast(ceil(count(*) / 16.0) AS BIGINT) AS width
+           FROM documents),
+d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM d),
+tok AS (SELECT toks[i] AS token, min(doc_id) AS first_doc FROM x GROUP BY 1),
+r AS (SELECT first_doc // (SELECT width FROM w) AS rng,
+             count(*) AS n_new FROM tok GROUP BY 1)
+SELECT rng, cast(n_new AS BIGINT) AS n_new_tokens,
+       cast(sum(n_new) OVER (ORDER BY rng) AS BIGINT) AS vocab_size
+FROM r"""
+
     # dup-cluster size histogram over the near-dup components
     o["dedup_cluster_census"] = o["dedup_components"].replace(
         "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",

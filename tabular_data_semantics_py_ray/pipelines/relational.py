@@ -4156,3 +4156,56 @@ def doc_pack_census(sf_dir: str, *, seq_len: int = 2048):
         ["pack_id"],
         {"n_docs": ("n_docs", "sum"), "n_cross": ("n_cross", "sum")},
     )
+
+
+def vocab_growth(sf_dir: str, *, n_ranges: int = 16):
+    """Heaps-law vocabulary-growth census — the 'is my corpus still adding
+    new tokens' curation diagnostic: docs in doc_id order are cut into
+    ``n_ranges`` equal-width id ranges; for each range, how many distinct
+    tokens appear there for the FIRST time anywhere in the corpus
+    (min-doc_id attribution), plus the cumulative vocabulary size.
+
+    Scale shape: per-batch (token -> min doc_id) combiner (vocab-sized,
+    not corpus-sized), ONE token-keyed bucket aggregate for the global
+    min, then a range-keyed count whose output is ``n_ranges`` rows; the
+    cumulative sum runs on the driver over those result rows. Range width
+    comes from parquet row-count metadata — no extra data pass."""
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, parquet_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_rows = max(1, parquet_num_rows(path))
+    width = -(-n_rows // n_ranges)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.25))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text"), " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        ids = t.column("doc_id").cast(pa.int64()).take(parent)
+        df = pd.DataFrame({
+            "token": flat.to_pandas(),
+            "doc_id": ids.to_pandas(),
+        })
+        g = df.groupby("token", sort=False)["doc_id"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    first = bucket_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow"),
+        ["token"], {"first_doc": ("doc_id", "min")})
+
+    def _rng(t: pa.Table) -> pa.Table:
+        r = pc.divide(t.column("first_doc").cast(pa.int64()), width)
+        ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        return pa.Table.from_arrays([r, ones], names=["rng", "one"])
+
+    per_range = bucket_aggregate(
+        first.map_batches(_rng, batch_format="pyarrow"),
+        ["rng"], {"n_new_tokens": ("one", "sum")}).to_pandas()
+    per_range = per_range.sort_values("rng").reset_index(drop=True)
+    per_range["vocab_size"] = per_range["n_new_tokens"].cumsum().astype("int64")
+    per_range["n_new_tokens"] = per_range["n_new_tokens"].astype("int64")
+    return per_range[["rng", "n_new_tokens", "vocab_size"]]
