@@ -808,6 +808,14 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_doc_ngram_entropy(sf_dir: str):
+    """Per-doc trigram Shannon entropy (repetition-aware quality signal):
+    zero shuffles, batch-local vectorized counts."""
+    from .pipelines.relational import doc_ngram_entropy
+
+    return doc_ngram_entropy(sf_dir)
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary-growth census: new-token count + cumulative
     vocab size per doc-id range (min-doc_id first-occurrence attribution);
@@ -1217,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pack_census": q_doc_pack_census,
         "dedup_cluster_census": q_dedup_cluster_census,
         "vocab_growth": q_vocab_growth,
+        "doc_ngram_entropy": q_doc_ngram_entropy,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2643,6 +2643,21 @@ SELECT rng, cast(n_new AS BIGINT) AS n_new_tokens,
        cast(sum(n_new) OVER (ORDER BY rng) AS BIGINT) AS vocab_size
 FROM r"""
 
+    # per-doc positional-trigram Shannon entropy; + 0.0 folds IEEE -0.0
+    # (single-gram docs) to +0.0 as the engine does
+    o["doc_ngram_entropy"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 1, 1))) AS i FROM w) t
+),
+c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+n AS (SELECT doc_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
+       round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
+FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
+
     # dup-cluster size histogram over the near-dup components
     o["dedup_cluster_census"] = o["dedup_components"].replace(
         "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",

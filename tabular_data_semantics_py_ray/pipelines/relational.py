@@ -4209,3 +4209,52 @@ def vocab_growth(sf_dir: str, *, n_ranges: int = 16):
     per_range["vocab_size"] = per_range["n_new_tokens"].cumsum().astype("int64")
     per_range["n_new_tokens"] = per_range["n_new_tokens"].astype("int64")
     return per_range[["rng", "n_new_tokens", "vocab_size"]]
+
+
+def doc_ngram_entropy(sf_dir: str, *, ngram: int = 3):
+    """Per-document n-gram Shannon entropy over the POSITIONAL trigram
+    multiset — the repetition-aware quality signal (low entropy = the doc
+    repeats itself; complements `doc_top_bigram_frac`'s single-mode view).
+    Docs with fewer than ``ngram`` tokens emit no grams and are excluded,
+    matching the SQL explode.
+
+    Scale shape: ZERO shuffles — a doc's grams are batch-local by
+    construction, so counts, probabilities and the entropy sum all happen
+    inside one vectorized map (lexsort + run-length, no per-doc Python).
+    Entropy is rounded to 6 decimals on both engines (summation order
+    differs from SQL only at ~1e-16 relative); ``+ 0.0`` folds IEEE -0.0
+    (single-gram docs) to +0.0 on both sides."""
+    from ..stages.dedup import _gram_doc_rows
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+
+    def _ent(t: pa.Table) -> pa.Table:
+        g = _gram_doc_rows(t, ngram=ngram)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        gram = g.column("gram").to_numpy(zero_copy_only=False)
+        if len(doc) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["doc_id", "n_grams", "entropy"])
+        order = np.lexsort((gram, doc))
+        d, h = doc[order], gram[order]
+        new = np.ones(len(d), dtype=bool)
+        new[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        gidx = np.cumsum(new) - 1
+        c = np.bincount(gidx).astype(np.float64)  # count per (doc, gram)
+        doc_per_group = d[new]
+        new_doc = np.ones(len(doc_per_group), dtype=bool)
+        new_doc[1:] = doc_per_group[1:] != doc_per_group[:-1]
+        didx = np.cumsum(new_doc) - 1
+        n = np.bincount(didx, weights=c)  # grams per doc
+        p = c / n[didx]
+        ent = np.bincount(didx, weights=-(p * np.log2(p)))
+        return pa.Table.from_arrays(
+            [pa.array(doc_per_group[new_doc]),
+             pa.array(n.astype(np.int64)),
+             pa.array(np.round(ent, 6) + 0.0)],
+            names=["doc_id", "n_grams", "entropy"])
+
+    return docs.map_batches(_ent, batch_format="pyarrow", batch_size=None)
