@@ -72,6 +72,15 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_type_pmi(sf_dir: str):
+    """Type co-occurrence PMI over linked docs (relation-discovery
+    signal): doc-keyed pair expansion + combiner counts; PMI arithmetic
+    on type-pair-bounded result rows."""
+    from .pipelines.queries_kg import kg_type_pmi
+
+    return kg_type_pmi(sf_dir)
+
+
 def q_kg_cpa_cooccur(sf_dir: str):
     from .pipelines.queries_kg import cpa_cooccur
 
@@ -1123,6 +1132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cta_doc_type": q_kg_cta_doc_type,
         "kg_cta_ancestors": q_kg_cta_ancestors,
         "kg_cpa_cooccur": q_kg_cpa_cooccur,
+        "kg_type_pmi": q_kg_type_pmi,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

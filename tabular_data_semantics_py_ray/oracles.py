@@ -497,6 +497,28 @@ SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
 FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2"""
 
+    # type co-occurrence PMI: doc-count probabilities, Thing excluded to
+    # mirror join_types_batches' AVOID_TOP_CONCEPTS filter
+    o["kg_type_pmi"] = f"""WITH {_kg_ctes()},
+typed AS (
+  SELECT DISTINCT l.doc_id, t.type_uri
+  FROM linked l JOIN etypes t ON l.entity_uri = t.entity_uri
+  WHERE t.type_uri <> '{ONT}Thing'),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM typed),
+ct AS (SELECT type_uri, count(*) AS c FROM typed GROUP BY 1),
+pairs AS (
+  SELECT a.type_uri AS type_a, b.type_uri AS type_b, count(*) AS n_both
+  FROM typed a JOIN typed b
+    ON a.doc_id = b.doc_id AND a.type_uri < b.type_uri
+  GROUP BY 1, 2)
+SELECT p.type_a, p.type_b, cast(p.n_both AS BIGINT) AS n_both,
+       round(log2((cast(p.n_both AS DOUBLE) * cast(nn.n AS DOUBLE)) /
+                  (cast(ca.c AS DOUBLE) * cast(cb.c AS DOUBLE))), 6) AS pmi
+FROM pairs p
+CROSS JOIN nn
+JOIN ct ca ON ca.type_uri = p.type_a
+JOIN ct cb ON cb.type_uri = p.type_b"""
+
     o["kg_cpa_relation"] = f"""WITH {_kg_ctes()},
 ents AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
 pairs AS (

@@ -1487,3 +1487,57 @@ def type_by_source(sf_dir: str):
     out["expected"] = expected.round(6)
     out["contrib"] = contrib.round(6)
     return out.reset_index(drop=True)
+
+
+def kg_type_pmi(sf_dir: str):
+    """Type co-occurrence PMI over linked documents — the CPA-adjacent
+    relation-discovery signal: for every pair of (non-Thing) types
+    assigned to the same document via entity links, pointwise mutual
+    information log2(P(a,b) / (P(a)P(b))) with doc-count probabilities.
+    -> (type_a, type_b, n_both, pmi), type_a < type_b.
+
+    Scale shape: distinct (doc, type) rows feed ONE doc-keyed pair
+    expansion (types-per-doc is ontology-bounded) and ONE pair-keyed
+    combiner count; marginals are a type-keyed count. The PMI arithmetic
+    runs on the type-pair-bounded result rows. Float parity: the ratio is
+    (n_both * N) / (c_a * c_b) in float64 on both engines, rounded to 6.
+    """
+    import numpy as np
+
+    from ..stages.canonicalize import join_types_batches
+    from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
+
+    typed = join_types_batches(_linked_flat(sf_dir))
+    dt = bucket_distinct(
+        typed.map_batches(lambda b: b[["doc_id", "type_uri"]],
+                          batch_format="pandas"),
+        ["doc_id", "type_uri"])
+
+    n_docs = bucket_distinct(dt, ["doc_id"]).count()
+    ct = bucket_aggregate(dt, ["type_uri"], {"c": ("doc_id", "count")}
+                          ).to_pandas()  # |types| rows — ontology-bounded
+
+    def _pairs(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket[["doc_id", "type_uri"]]
+        m = b.merge(b, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["type_uri_a"] < m["type_uri_b"]]
+        return m.rename(columns={"type_uri_a": "type_a",
+                                 "type_uri_b": "type_b"})[
+            ["type_a", "type_b"]]
+
+    counts = bucket_aggregate(
+        bucket_map_keyed(dt, ["doc_id"], _pairs),
+        ["type_a", "type_b"], {"n_both": ("type_a", "count")}
+    ).to_pandas()  # |type pairs| rows — ontology-bounded
+
+    out = counts.merge(ct.rename(columns={"type_uri": "type_a", "c": "ca"}),
+                       on="type_a")
+    out = out.merge(ct.rename(columns={"type_uri": "type_b", "c": "cb"}),
+                    on="type_b")
+    nb = out["n_both"].to_numpy().astype(np.float64)
+    ca = out["ca"].to_numpy().astype(np.float64)
+    cb = out["cb"].to_numpy().astype(np.float64)
+    out["pmi"] = np.round(np.log2((nb * float(n_docs)) / (ca * cb)), 6)
+    out["n_both"] = out["n_both"].astype("int64")
+    return out[["type_a", "type_b", "n_both", "pmi"]].sort_values(
+        ["type_a", "type_b"]).reset_index(drop=True)
