@@ -817,6 +817,14 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_emb_quantize_census(sf_dir: str):
+    """Int8 scale-quantization reconstruction-error census per label:
+    d-row min/max reduce + broadcast, label-keyed combiner partials."""
+    from .pipelines.relational import emb_quantize_census
+
+    return emb_quantize_census(sf_dir)
+
+
 def q_doc_ngram_entropy(sf_dir: str):
     """Per-doc trigram Shannon entropy (repetition-aware quality signal):
     zero shuffles, batch-local vectorized counts."""
@@ -1236,6 +1244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_cluster_census": q_dedup_cluster_census,
         "vocab_growth": q_vocab_growth,
         "doc_ngram_entropy": q_doc_ngram_entropy,
+        "emb_quantize_census": q_emb_quantize_census,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2680,6 +2680,27 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # int8 scale-quantization error census: floor(v + 0.5) coding on both
+    # engines (np.round's banker rounding differs from SQL round at .5)
+    o["emb_quantize_census"] = """
+WITH e AS (
+  SELECT label, i, cast(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT label, embedding,
+               unnest(range(1, len(embedding) + 1)) AS i FROM embeddings) t
+),
+mm AS (SELECT i, min(x) AS mn, max(x) AS mx FROM e GROUP BY 1),
+r AS (
+  SELECT label,
+         abs(x - (mn + floor((x - mn) / (mx - mn) * 255 + 0.5) / 255.0
+                  * (mx - mn))) AS err
+  FROM e JOIN mm USING (i)
+)
+SELECT cast(label AS BIGINT) AS label,
+       cast(count(*) AS BIGINT) AS n_values,
+       round(avg(err), 6) AS mean_err,
+       round(max(err), 9) AS max_err
+FROM r GROUP BY 1"""
+
     # dup-cluster size histogram over the near-dup components
     o["dedup_cluster_census"] = o["dedup_components"].replace(
         "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",

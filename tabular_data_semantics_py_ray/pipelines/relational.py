@@ -4258,3 +4258,76 @@ def doc_ngram_entropy(sf_dir: str, *, ngram: int = 3):
             names=["doc_id", "n_grams", "entropy"])
 
     return docs.map_batches(_ent, batch_format="pyarrow", batch_size=None)
+
+
+def emb_quantize_census(sf_dir: str, *, levels: int = 255):
+    """Int8-style scale-quantization error census over the embedding
+    column — the storage-compression QA report (is 8-bit min/max scaling
+    faithful enough per label?): each dimension is quantized to
+    ``levels``+1 codes between its GLOBAL min and max, and the census
+    reports per-label value counts, mean and max absolute reconstruction
+    error.
+
+    Scale shape: pass 1 reduces per-batch (dim, min, max) partials into a
+    d-row table (ray.put broadcast); pass 2 quantizes + measures per batch
+    and pre-aggregates per label before a label-keyed combiner — the
+    corpus crosses the wire as |labels|-sized partials only. Float
+    parity: float32 inputs are exact in float64, the code is
+    floor(v + 0.5) on both engines (np.round's banker rounding differs
+    from SQL round at .5 midpoints), mean rounded to 6, max to 9."""
+    from ..util import bucket_aggregate, list_column_matrix
+
+    emb = _read(sf_dir, "embeddings", ["embedding", "label"],
+                blocks=fanout_blocks(0.25))
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t.column("embedding"))
+        if m.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.float64())], names=["dim", "mn", "mx"])
+        return pa.Table.from_arrays(
+            [pa.array(np.arange(m.shape[1], dtype=np.int64)),
+             pa.array(m.min(axis=0)), pa.array(m.max(axis=0))],
+            names=["dim", "mn", "mx"])
+
+    mm = bucket_aggregate(
+        emb.map_batches(_minmax, batch_format="pyarrow"),
+        ["dim"], {"mn": ("mn", "min"), "mx": ("mx", "max")}).to_pandas()
+    mm = mm.sort_values("dim")
+    mn = mm["mn"].to_numpy()
+    mx = mm["mx"].to_numpy()
+    ref = ray.put((mn, mx))
+
+    def _err(t: pa.Table) -> pa.Table:
+        m = list_column_matrix(t.column("embedding"))
+        lab = t.column("label").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if m.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64()), pa.array([], type=pa.float64())],
+                names=["label", "n_values", "sum_err", "max_err"])
+        lo, hi = ray.get(ref)
+        span = hi - lo
+        q = np.floor((m - lo) / span * levels + 0.5)
+        recon = lo + q / float(levels) * span
+        err = np.abs(m - recon)
+        df = pd.DataFrame({"label": lab, "sum_err": err.sum(axis=1),
+                           "max_err": err.max(axis=1),
+                           "n_values": np.full(len(lab), m.shape[1],
+                                               dtype=np.int64)})
+        g = df.groupby("label", sort=False).agg(
+            n_values=("n_values", "sum"), sum_err=("sum_err", "sum"),
+            max_err=("max_err", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = bucket_aggregate(
+        emb.map_batches(_err, batch_format="pyarrow"),
+        ["label"], {"n_values": ("n_values", "sum"),
+                    "sum_err": ("sum_err", "sum"),
+                    "max_err": ("max_err", "max")}).to_pandas()
+    tot["mean_err"] = np.round(tot["sum_err"] / tot["n_values"], 6)
+    tot["max_err"] = np.round(tot["max_err"], 9)
+    tot["n_values"] = tot["n_values"].astype("int64")
+    return tot[["label", "n_values", "mean_err", "max_err"]].sort_values(
+        "label").reset_index(drop=True)
