@@ -817,6 +817,14 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_events_value_histogram(sf_dir: str):
+    """Equi-width value histogram per event type: per-batch partial
+    counts, one tiny keyed aggregate."""
+    from .pipelines.relational import events_value_histogram
+
+    return events_value_histogram(sf_dir)
+
+
 def q_emb_quantize_census(sf_dir: str):
     """Int8 scale-quantization reconstruction-error census per label:
     d-row min/max reduce + broadcast, label-keyed combiner partials."""
@@ -1245,6 +1253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "doc_ngram_entropy": q_doc_ngram_entropy,
         "emb_quantize_census": q_emb_quantize_census,
+        "events_value_histogram": q_events_value_histogram,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2680,6 +2680,12 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # equi-width value histogram per event type (bin width 10.0)
+    o["events_value_histogram"] = """
+SELECT event_type, cast(floor(value / 10.0) AS BIGINT) AS bin,
+       cast(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2"""
+
     # int8 scale-quantization error census: floor(v + 0.5) coding on both
     # engines (np.round's banker rounding differs from SQL round at .5)
     o["emb_quantize_census"] = """

@@ -4331,3 +4331,31 @@ def emb_quantize_census(sf_dir: str, *, levels: int = 255):
     tot["n_values"] = tot["n_values"].astype("int64")
     return tot[["label", "n_values", "mean_err", "max_err"]].sort_values(
         "label").reset_index(drop=True)
+
+
+def events_value_histogram(sf_dir: str, *, bin_width: float = 10.0):
+    """Equi-width value histogram per event type — the monitoring /
+    drift-detection census (complements `events_value_psi`'s two-window
+    comparison with the full distribution shape): bin = floor(value /
+    bin_width), count per (event_type, bin).
+
+    Scale shape: per-batch (type, bin) partial counts (the combiner), ONE
+    tiny keyed aggregate; output is |types| x |bins| — result-sized.
+    floor(v / w) is a single float64 op on both engines, so bins agree
+    exactly."""
+    from ..util import bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["event_type", "value"],
+               blocks=fanout_blocks(0.5))
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(bin=np.floor(b["value"].to_numpy() / bin_width)
+                     .astype(np.int64))
+        g = b.groupby(["event_type", "bin"], sort=False).size().rename(
+            "n_events").reset_index()
+        g["n_events"] = g["n_events"].astype("int64")
+        return g
+
+    return bucket_aggregate(
+        ev.map_batches(_partial, batch_format="pandas"),
+        ["event_type", "bin"], {"n_events": ("n_events", "sum")})
