@@ -817,6 +817,14 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_split_contamination(sf_dir: str):
+    """Cross-split verbatim-leakage audit: train docs sharing an 8-gram
+    with the test split; test grams broadcast, train scanned shuffle-free."""
+    from .pipelines.relational import split_contamination
+
+    return split_contamination(sf_dir)
+
+
 def q_events_value_histogram(sf_dir: str):
     """Equi-width value histogram per event type: per-batch partial
     counts, one tiny keyed aggregate."""
@@ -1254,6 +1262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_entropy": q_doc_ngram_entropy,
         "emb_quantize_census": q_emb_quantize_census,
         "events_value_histogram": q_events_value_histogram,
+        "split_contamination": q_split_contamination,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

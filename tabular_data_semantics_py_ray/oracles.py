@@ -2680,6 +2680,24 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # cross-split 8-gram leakage: train docs sharing a gram with test;
+    # split rule = split_assign's md5 thresholds
+    o["split_contamination"] = """
+WITH s AS (
+  SELECT doc_id, text,
+         substr(md5(cast(doc_id AS VARCHAR)), 1, 2) AS b1
+  FROM documents
+),
+toks AS (SELECT doc_id, b1, string_split(text, ' ') AS t FROM s),
+grams AS (
+  SELECT doc_id, b1, array_to_string(t[i:i+7], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE b1 >= 'f3')
+SELECT g2.doc_id, count(*) AS n_contaminated
+FROM grams g2 JOIN bench b ON g2.g = b.g
+WHERE g2.b1 < 'e6' GROUP BY 1"""
+
     # equi-width value histogram per event type (bin width 10.0)
     o["events_value_histogram"] = """
 SELECT event_type, cast(floor(value / 10.0) AS BIGINT) AS bin,

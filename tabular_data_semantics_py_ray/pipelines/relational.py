@@ -715,7 +715,8 @@ def doc_len_quantiles(sf_dir: str):
     return bucket_map_keyed(hist, ["lang"], _stats)
 
 
-def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
+def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10,
+                        bench_mask=None, corpus_mask=None):
     """Benchmark-contamination check (the GPT-3-style decontamination op):
     flag corpus documents that share any verbatim token n-gram with a
     held-out benchmark set (here: ``doc_id % bench_mod == 0``), reporting
@@ -734,6 +735,11 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
     import pyarrow.compute as pc
 
     from ..util import bucket_distinct
+
+    if bench_mask is None:
+        bench_mask = lambda ids: ids % bench_mod == 0  # noqa: E731
+    if corpus_mask is None:
+        corpus_mask = lambda ids: ids % bench_mod != 0  # noqa: E731
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
                  blocks=fanout_blocks(0.5))
@@ -758,7 +764,7 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
 
     def _bench_grams(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(ids % bench_mod == 0))
+        t = t.filter(pa.array(bench_mask(ids)))
         _, grams = _grams(t)
         return pa.Table.from_arrays([grams.unique()], names=["g"])
 
@@ -771,7 +777,7 @@ def contamination_ngram(sf_dir: str, *, n: int = 8, bench_mod: int = 10):
     def _scan(t: pa.Table) -> pa.Table:
         bg = ray.get(bench_ref)
         ids = t.column("doc_id").cast(pa.int64())
-        keep = ids.to_numpy(zero_copy_only=False) % bench_mod != 0
+        keep = corpus_mask(ids.to_numpy(zero_copy_only=False))
         t = t.filter(pa.array(keep))
         doc_of, grams = _grams(t)
         denc = grams.dictionary_encode()
@@ -4359,3 +4365,27 @@ def events_value_histogram(sf_dir: str, *, bin_width: float = 10.0):
     return bucket_aggregate(
         ev.map_batches(_partial, batch_format="pandas"),
         ["event_type", "bin"], {"n_events": ("n_events", "sum")})
+
+
+def split_contamination(sf_dir: str, *, n: int = 8):
+    """Cross-split leakage audit — the governance check run AFTER
+    `split_assign`: train-split documents sharing any verbatim token
+    n-gram with the TEST split, with contaminated window counts per doc.
+    (`split_leakfree` prevents near-dup leakage by construction; this op
+    MEASURES residual verbatim leakage of any split, e.g. when the split
+    came from an upstream system.)
+
+    Same scale shape as `contamination_ngram` (test-side grams reduce +
+    broadcast once, train side scanned shuffle-free); the side filters
+    are the md5-threshold split rule, bit-identical to `split_assign`."""
+    import hashlib
+
+    def _b1(ids):
+        return np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
+                         for i in ids])
+
+    return contamination_ngram(
+        sf_dir, n=n,
+        bench_mask=lambda ids: _b1(ids) >= "f3",   # test split
+        corpus_mask=lambda ids: _b1(ids) < "e6",   # train split
+    )
