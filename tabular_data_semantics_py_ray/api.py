@@ -817,6 +817,14 @@ def q_dedup_cluster_census(sf_dir: str):
     )
 
 
+def q_lang_token_fertility(sf_dir: str):
+    """Tokenizer fertility per language (BPE-ish / whitespace token
+    ratio): per-batch partial sums, one |langs|-sized aggregate."""
+    from .pipelines.relational import lang_token_fertility
+
+    return lang_token_fertility(sf_dir)
+
+
 def q_split_contamination(sf_dir: str):
     """Cross-split verbatim-leakage audit: train docs sharing an 8-gram
     with the test split; test grams broadcast, train scanned shuffle-free."""
@@ -1263,6 +1271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_quantize_census": q_emb_quantize_census,
         "events_value_histogram": q_events_value_histogram,
         "split_contamination": q_split_contamination,
+        "lang_token_fertility": q_lang_token_fertility,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2680,6 +2680,20 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # tokenizer fertility per language (BPE-ish pattern == engine RE2)
+    o["lang_token_fertility"] = r"""
+SELECT lang, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens_ws,
+       cast(sum(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+            AS BIGINT) AS n_tokens_bpe,
+       round(cast(sum(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+')))
+            AS DOUBLE)
+           / cast(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+           AS fertility
+FROM documents GROUP BY 1"""
+
     # cross-split 8-gram leakage: train docs sharing a gram with test;
     # split rule = split_assign's md5 thresholds
     o["split_contamination"] = """

@@ -4389,3 +4389,48 @@ def split_contamination(sf_dir: str, *, n: int = 8):
         bench_mask=lambda ids: _b1(ids) >= "f3",   # test split
         corpus_mask=lambda ids: _b1(ids) < "e6",   # train split
     )
+
+
+def lang_token_fertility(sf_dir: str):
+    """Tokenizer fertility per language — the token-budget planning report
+    (how many BPE-ish tokens one whitespace token costs in each language;
+    high fertility = the tokenizer fragments that language and its docs
+    eat budget): per lang, doc count, both token totals and their ratio.
+
+    Scale shape: per-batch per-lang partial sums (both counters come from
+    vectorized RE2 / Arrow kernels), ONE |langs|-sized combiner aggregate;
+    the ratio is computed on result rows. Integer totals are exact, the
+    division is one float64 op on both engines, rounded to 6."""
+    import pyarrow.compute as pc
+
+    from ..functions.textstats import BPE_ISH_PATTERN
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["lang", "text"],
+                 blocks=fanout_blocks(0.25))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ws = pc.list_value_length(pc.split_pattern(texts, " ")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        bpe = pc.count_substring_regex(texts, BPE_ISH_PATTERN).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"lang": t.column("lang").to_numpy(
+            zero_copy_only=False), "ws": ws, "bpe": bpe})
+        g = df.groupby("lang", sort=False).agg(
+            n_docs=("ws", "size"), n_tokens_ws=("ws", "sum"),
+            n_tokens_bpe=("bpe", "sum")).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = bucket_aggregate(
+        docs.map_batches(_partial, batch_format="pyarrow"),
+        ["lang"], {"n_docs": ("n_docs", "sum"),
+                   "n_tokens_ws": ("n_tokens_ws", "sum"),
+                   "n_tokens_bpe": ("n_tokens_bpe", "sum")}).to_pandas()
+    agg["fertility"] = np.round(
+        agg["n_tokens_bpe"].to_numpy().astype(np.float64)
+        / agg["n_tokens_ws"].to_numpy().astype(np.float64), 6)
+    return agg.sort_values("lang").reset_index(drop=True)
