@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_ambiguity_census(sf_dir: str):
+    """Surface-form ambiguity x corpus frequency (CEA difficulty report):
+    one mention-keyed combiner count + lexicon fan-out on result rows."""
+    from .pipelines.queries_kg import kg_ambiguity_census
+
+    return kg_ambiguity_census(sf_dir)
+
+
 def q_kg_type_pmi(sf_dir: str):
     """Type co-occurrence PMI over linked docs (relation-discovery
     signal): doc-keyed pair expansion + combiner counts; PMI arithmetic
@@ -1165,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cta_ancestors": q_kg_cta_ancestors,
         "kg_cpa_cooccur": q_kg_cpa_cooccur,
         "kg_type_pmi": q_kg_type_pmi,
+        "kg_ambiguity_census": q_kg_ambiguity_census,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -497,6 +497,20 @@ SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
 FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2"""
 
+    # surface-form ambiguity x corpus mention frequency
+    o["kg_ambiguity_census"] = f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS mention FROM documents
+),
+lex(surface_form, entity_uri, rank) AS (VALUES
+    {lexicon_values_sql()}),
+fan AS (SELECT surface_form, count(DISTINCT entity_uri) AS n_candidates
+        FROM lex GROUP BY 1),
+m AS (SELECT mention, count(*) AS n_mentions FROM words GROUP BY 1)
+SELECT f.surface_form, cast(m.n_mentions AS BIGINT) AS n_mentions,
+       cast(f.n_candidates AS BIGINT) AS n_candidates
+FROM fan f JOIN m ON m.mention = f.surface_form"""
+
     # type co-occurrence PMI: doc-count probabilities, Thing excluded to
     # mirror join_types_batches' AVOID_TOP_CONCEPTS filter
     o["kg_type_pmi"] = f"""WITH {_kg_ctes()},

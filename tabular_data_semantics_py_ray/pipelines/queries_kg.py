@@ -1541,3 +1541,33 @@ def kg_type_pmi(sf_dir: str):
     out["n_both"] = out["n_both"].astype("int64")
     return out[["type_a", "type_b", "n_both", "pmi"]].sort_values(
         ["type_a", "type_b"]).reset_index(drop=True)
+
+
+def kg_ambiguity_census(sf_dir: str):
+    """Surface-form ambiguity x corpus frequency — the CEA difficulty
+    report (which ambiguous names dominate the corpus and therefore drive
+    disambiguation cost): for every lexicon surface form appearing in the
+    corpus, its mention-occurrence count and its lexicon candidate
+    fan-out. -> (surface_form, n_mentions, n_candidates).
+
+    Scale shape: the corpus-scale side is ONE mention-keyed combiner count
+    (pre-filtered to lexicon forms inside the mention kernel, so the
+    shuffle carries only linkable tokens); the fan-out side is the
+    KG-bounded lexicon, joined on the result rows."""
+    from ..util import bucket_aggregate
+
+    docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
+    mentions = docs.map_batches(detect_mentions_flat_batch,
+                                batch_format="pyarrow")
+    m = bucket_aggregate(
+        mentions, ["mention"], {"n_mentions": ("doc_id", "count")}
+    ).to_pandas()  # <= |lexicon surface forms| rows — KG-bounded
+
+    fan = fixture_kg.lexicon_df().groupby("surface_form")["entity_uri"]\
+        .nunique().rename("n_candidates").reset_index()
+    out = fan.merge(m, left_on="surface_form", right_on="mention",
+                    how="inner")
+    out["n_mentions"] = out["n_mentions"].astype("int64")
+    out["n_candidates"] = out["n_candidates"].astype("int64")
+    return out[["surface_form", "n_mentions", "n_candidates"]].sort_values(
+        "surface_form").reset_index(drop=True)
