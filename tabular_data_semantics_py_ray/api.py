@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_mention_coverage(sf_dir: str):
+    """Per-doc linkable-mention coverage (CEA yield report): zero
+    shuffles, batch-local token + lexicon-membership counters."""
+    from .pipelines.queries_kg import kg_mention_coverage
+
+    return kg_mention_coverage(sf_dir)
+
+
 def q_kg_ambiguity_census(sf_dir: str):
     """Surface-form ambiguity x corpus frequency (CEA difficulty report):
     one mention-keyed combiner count + lexicon fan-out on result rows."""
@@ -1174,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cpa_cooccur": q_kg_cpa_cooccur,
         "kg_type_pmi": q_kg_type_pmi,
         "kg_ambiguity_census": q_kg_ambiguity_census,
+        "kg_mention_coverage": q_kg_mention_coverage,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -497,6 +497,21 @@ SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_docs
 FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
 GROUP BY 1, 2"""
 
+    # per-doc linkable-mention coverage (CEA yield)
+    o["kg_mention_coverage"] = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+lex(surface_form, entity_uri, rank) AS (VALUES
+    {lexicon_values_sql()}),
+sf AS (SELECT DISTINCT surface_form FROM lex),
+w AS (SELECT doc_id, unnest(t) AS mention FROM toks),
+m AS (SELECT w.doc_id, count(*) AS n_mentions
+      FROM w JOIN sf ON w.mention = sf.surface_form GROUP BY 1)
+SELECT toks.doc_id, cast(len(t) AS BIGINT) AS n_tokens,
+       cast(coalesce(m.n_mentions, 0) AS BIGINT) AS n_mentions,
+       round(coalesce(m.n_mentions, 0) / cast(len(t) AS DOUBLE), 6)
+           AS coverage
+FROM toks LEFT JOIN m USING (doc_id)"""
+
     # surface-form ambiguity x corpus mention frequency
     o["kg_ambiguity_census"] = f"""
 WITH words AS (

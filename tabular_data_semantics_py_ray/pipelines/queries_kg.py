@@ -1571,3 +1571,42 @@ def kg_ambiguity_census(sf_dir: str):
     out["n_candidates"] = out["n_candidates"].astype("int64")
     return out[["surface_form", "n_mentions", "n_candidates"]].sort_values(
         "surface_form").reset_index(drop=True)
+
+
+def kg_mention_coverage(sf_dir: str):
+    """Per-document linkable-mention coverage — the corpus-side CEA yield
+    report (how much of each doc the lexicon can even attempt to link):
+    (doc_id, n_tokens, n_mentions, coverage), coverage = n_mentions /
+    n_tokens rounded to 6.
+
+    Scale shape: ZERO shuffles — both counters are batch-local (token
+    split + lexicon membership inside one vectorized map); output is one
+    row per doc."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..stages.mention_detect import _SURFACE_FORMS
+
+    docs = read_documents(sf_dir, blocks=fanout_blocks(0.5))
+
+    def _cov(t: pa.Table) -> pa.Table:
+        texts = t.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        toks = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(toks).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=pa.array(_SURFACE_FORMS)).to_numpy(
+            zero_copy_only=False)
+        n_men = np.bincount(parent[hit], minlength=t.num_rows).astype(
+            np.int64)
+        cov = np.round(n_men / np.maximum(n_tok, 1), 6)
+        return pa.Table.from_arrays(
+            [t.column("doc_id").cast(pa.int64()), pa.array(n_tok),
+             pa.array(n_men), pa.array(cov)],
+            names=["doc_id", "n_tokens", "n_mentions", "coverage"])
+
+    return docs.map_batches(_cov, batch_format="pyarrow", batch_size=None)
