@@ -809,28 +809,13 @@ def q_doc_pack_census(sf_dir: str):
 
 
 def q_dedup_cluster_census(sf_dir: str):
-    """Dup-cluster size histogram: (cluster_size, n_clusters, n_docs) over
-    the near-dup connected components — the 'how much of my corpus is
-    duplicated, and in how big clumps' curation report. Two result-bounded
-    aggregates on top of the components dataset (|clusters| rows, then
-    |distinct sizes| rows)."""
-    from .stages.dedup import dedup_components, near_dup_pairs_minhash
-    from .util import bucket_aggregate
+    """Dup-cluster size histogram over the near-dup components — the 'how
+    much of my corpus is duplicated, and in how big clumps' report."""
+    from .stages.dedup import (dedup_cluster_census, dedup_components,
+                               near_dup_pairs_minhash)
 
-    comp = dedup_components(near_dup_pairs_minhash(_documents(sf_dir)))
-    sizes = bucket_aggregate(
-        comp, ["component_id"], {"cluster_size": ("doc_id", "count")})
-    import pyarrow as pa
-
-    def _one(t: pa.Table) -> pa.Table:
-        return t.select(["cluster_size"]).append_column(
-            "one", pa.array([1] * t.num_rows, type=pa.int64()))
-
-    return bucket_aggregate(
-        sizes.map_batches(_one, batch_format="pyarrow"),
-        ["cluster_size"],
-        {"n_clusters": ("one", "sum"), "n_docs": ("cluster_size", "sum")},
-    )
+    return dedup_cluster_census(
+        dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
 def q_lang_token_fertility(sf_dir: str):

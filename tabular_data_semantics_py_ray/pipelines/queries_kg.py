@@ -1508,10 +1508,14 @@ def kg_type_pmi(sf_dir: str):
     from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
 
     typed = join_types_batches(_linked_flat(sf_dir))
+    # dt feeds three consumers (N, marginals, pair expansion) — pin the
+    # two-column (doc, type) distinct rows once instead of re-running the
+    # full link pipeline (read -> mention detect -> link -> type join)
+    # per consumer
     dt = bucket_distinct(
         typed.map_batches(lambda b: b[["doc_id", "type_uri"]],
                           batch_format="pandas"),
-        ["doc_id", "type_uri"])
+        ["doc_id", "type_uri"]).materialize()
 
     n_docs = bucket_distinct(dt, ["doc_id"]).count()
     ct = bucket_aggregate(dt, ["type_uri"], {"c": ("doc_id", "count")}

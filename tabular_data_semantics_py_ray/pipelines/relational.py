@@ -885,6 +885,22 @@ def inverted_index(sf_dir: str, *, cap: int = 8):
     return bucket_map_keyed(partials, ["token"], _merge)
 
 
+# the 90/5/5 md5-threshold split rule — the ONE place the thresholds
+# live; split_assign, split_contamination and the oracles' literals all
+# mirror these ('e6'/'f3' = 230/243 of 256 first-byte values)
+SPLIT_TRAIN_LT = "e6"
+SPLIT_VAL_LT = "f3"
+
+
+def split_b1(ids: np.ndarray) -> np.ndarray:
+    """First md5 byte (two hex chars) of each doc_id's decimal string —
+    the content-independent split key shared by every split op."""
+    import hashlib
+
+    return np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
+                     for i in ids])
+
+
 def split_assign(sf_dir: str):
     """Deterministic train/val/test split assignment by content-independent
     hash — the reproducible-split op every training pipeline needs: split =
@@ -895,15 +911,13 @@ def split_assign(sf_dir: str):
     scalar hash loop is cheap relative to I/O — swap in a vectorized
     crc32c/xxhash for the 100 TB path if profiling ever shows it hot.
     """
-    import hashlib
-
     docs = _read(sf_dir, "documents", ["doc_id"], blocks=fanout_blocks(0.25))
 
     def _assign(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b1 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
-                       for i in ids])
-        split = np.where(b1 < "e6", "train", np.where(b1 < "f3", "val", "test"))
+        b1 = split_b1(ids)
+        split = np.where(b1 < SPLIT_TRAIN_LT, "train",
+                         np.where(b1 < SPLIT_VAL_LT, "val", "test"))
         return pa.Table.from_arrays(
             [pa.array(ids), pa.array(split)], names=["doc_id", "split"])
 
@@ -2896,10 +2910,9 @@ def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
         idv = ids.to_numpy(zero_copy_only=False)
         n = pc.list_value_length(
             pc.split_pattern(t.column("text"), " ")).cast(pa.int64())
-        b1 = np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
-                       for i in idv])
-        split = np.where(b1 < "e6", "train",
-                         np.where(b1 < "f3", "val", "test"))
+        b1 = split_b1(idv)
+        split = np.where(b1 < SPLIT_TRAIN_LT, "train",
+                         np.where(b1 < SPLIT_VAL_LT, "val", "test"))
         rng = pa.array(idv // width)
         return pa.Table.from_arrays(
             [ids, t.column("lang"), pa.array(split, type=pa.string()),
@@ -3600,10 +3613,9 @@ def split_leakfree(sf_dir: str):
         comp_id = df["component_id"].to_numpy()
         rep = np.where(pd.isna(comp_id), ids,
                        np.nan_to_num(comp_id, nan=0)).astype(np.int64)
-        b1 = np.array([hashlib.md5(str(r).encode()).hexdigest()[:2]
-                       for r in rep])
-        split = np.where(b1 < "e6", "train",
-                         np.where(b1 < "f3", "val", "test"))
+        b1 = split_b1(rep)
+        split = np.where(b1 < SPLIT_TRAIN_LT, "train",
+                         np.where(b1 < SPLIT_VAL_LT, "val", "test"))
         return pd.DataFrame({"doc_id": ids, "rep_id": rep, "split": split})
 
     return bucket_join(
@@ -4377,17 +4389,12 @@ def split_contamination(sf_dir: str, *, n: int = 8):
 
     Same scale shape as `contamination_ngram` (test-side grams reduce +
     broadcast once, train side scanned shuffle-free); the side filters
-    are the md5-threshold split rule, bit-identical to `split_assign`."""
-    import hashlib
-
-    def _b1(ids):
-        return np.array([hashlib.md5(str(i).encode()).hexdigest()[:2]
-                         for i in ids])
-
+    call `split_b1` with `split_assign`'s own thresholds, so the two ops
+    cannot drift."""
     return contamination_ngram(
         sf_dir, n=n,
-        bench_mask=lambda ids: _b1(ids) >= "f3",   # test split
-        corpus_mask=lambda ids: _b1(ids) < "e6",   # train split
+        bench_mask=lambda ids: split_b1(ids) >= SPLIT_VAL_LT,   # test
+        corpus_mask=lambda ids: split_b1(ids) < SPLIT_TRAIN_LT,  # train
     )
 
 

@@ -275,6 +275,12 @@ def _jaccard_arrays(sh_a, sh_b) -> np.ndarray:
     return np.divide(inter, union, out=np.zeros(n), where=union > 0)
 
 
+# per-worker-process deserialized broadcast sets (ref.hex -> (ids, blobs));
+# bounded: each op invocation makes one ref, so keep only the newest few
+_SIG_BROADCAST_CACHE: dict = {}
+_SIG_BROADCAST_CACHE_CAP = 4
+
+
 def verify_pairs_broadcast(pairs_ds, signatures_ds, *, threshold: float = 0.8):
     """Exact-Jaccard verification with the candidate docs' shingle sets
     BROADCAST (ray.put once, read per task) instead of shuffled — ZERO
@@ -300,11 +306,19 @@ def verify_pairs_broadcast(pairs_ds, signatures_ds, *, threshold: float = 0.8):
         ids = sig["doc_id"].to_numpy()[order]
         blobs = sig["shingles"].to_numpy()[order]
     ref = _ray.put((ids, blobs))
+    key = ref.hex()
 
     def _verify(t: pa.Table) -> pa.Table:
         a = t.column("doc_a").cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = t.column("doc_b").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ids_s, blobs_s = _ray.get(ref)
+        # object-dtype blob arrays re-unpickle on every ray.get — cache
+        # once per worker PROCESS keyed by ref (the _TYPES_CACHE pattern)
+        got = _SIG_BROADCAST_CACHE.get(key)
+        if got is None:
+            while len(_SIG_BROADCAST_CACHE) >= _SIG_BROADCAST_CACHE_CAP:
+                _SIG_BROADCAST_CACHE.pop(next(iter(_SIG_BROADCAST_CACHE)))
+            got = _SIG_BROADCAST_CACHE[key] = _ray.get(ref)
+        ids_s, blobs_s = got
         ia = np.searchsorted(ids_s, a)
         ib = np.searchsorted(ids_s, b)
         ok = (ia < len(ids_s)) & (ib < len(ids_s))
@@ -411,9 +425,61 @@ def verify_pairs_exact(pairs_ds, signatures_ds, *, threshold: float = 0.8,
                             num_buckets=num_buckets)
 
 
+def _verify_with_pushdown(cands, documents_ds, shingles_fn, *,
+                          threshold: float,
+                          broadcast_max_pairs: int,
+                          sig_broadcast_max_bytes: int = 256 * 1024 * 1024,
+                          pushdown_max_docs: int = 2_000_000):
+    """Shared verify routing for the near-dup ops: candidate-doc-id
+    pushdown + broadcast/shuffle selection.
+
+    When the candidate pair set is metadata-sized (<=
+    ``broadcast_max_pairs``), its doc-id set is pushed into the signature
+    scan so only candidate docs' shingle sets are computed. If that set
+    is ALSO small enough to be worth pinning (<= ``pushdown_max_docs``
+    docs), the filtered sets are materialized and — when they fit
+    ``sig_broadcast_max_bytes`` — verified via the zero-barrier broadcast
+    path; otherwise the filtered stream stays LAZY into the two-shuffle
+    verify (no speculative multi-GB pin just to read size_bytes). Past
+    ``broadcast_max_pairs`` the full corpus signature stream goes to the
+    shuffle verify."""
+    import ray as _ray
+
+    if cands.count() <= broadcast_max_pairs:
+        parts = [np.empty(0, np.int64)]
+        for b in cands.iter_batches(batch_format="pandas"):
+            if "doc_a" in b:
+                parts.append(b["doc_a"].to_numpy())
+                parts.append(b["doc_b"].to_numpy())
+        ids = np.unique(np.concatenate(parts))
+        ids_ref = _ray.put(ids)
+
+        def _filtered_shingles(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column("doc_id").to_numpy(zero_copy_only=False),
+                _ray.get(ids_ref),  # zero-copy view from the object store
+            )
+            return shingles_fn(t.filter(pa.array(keep)))
+
+        shingle_cols = documents_ds.map_batches(
+            _filtered_shingles, batch_format="pyarrow")
+        if len(ids) <= pushdown_max_docs:
+            shingle_cols = shingle_cols.materialize()
+            # candidate-bounded sets that fit a worker heap skip the
+            # verify shuffles entirely (broadcast + one map over pairs)
+            if shingle_cols.size_bytes() <= sig_broadcast_max_bytes:
+                return verify_pairs_broadcast(
+                    cands, shingle_cols, threshold=threshold)
+    else:
+        shingle_cols = documents_ds.map_batches(
+            shingles_fn, batch_format="pyarrow")
+    return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
+
+
 def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
                            bands: int = 32, num_perm: int = 128, ngram: int = 3,
-                           broadcast_max_pairs: int = 5_000_000):
+                           broadcast_max_pairs: int = 5_000_000,
+                           sig_broadcast_max_bytes: int = 256 * 1024 * 1024):
     """documents -> (doc_a, doc_b, jaccard) for exact Jaccard >= threshold,
     found via MinHash-LSH candidates + exact verification.
 
@@ -459,34 +525,10 @@ def near_dup_pairs_minhash(documents_ds, *, threshold: float = 0.8,
         return shingle_signatures_batch(
             t, num_perm=num_perm, ngram=ngram, with_sig=False)
 
-    if cands.count() <= broadcast_max_pairs:
-        import ray as _ray
-
-        parts = [np.empty(0, np.int64)]
-        for b in cands.iter_batches(batch_format="pandas"):
-            if "doc_a" in b:
-                parts.append(b["doc_a"].to_numpy())
-                parts.append(b["doc_b"].to_numpy())
-        ids_ref = _ray.put(np.unique(np.concatenate(parts)))
-
-        def _filtered_shingles(t: pa.Table) -> pa.Table:
-            keep = np.isin(
-                t.column("doc_id").to_numpy(zero_copy_only=False),
-                _ray.get(ids_ref),  # zero-copy view from the object store
-            )
-            return _shingles_only(t.filter(pa.array(keep)))
-
-        shingle_cols = documents_ds.map_batches(
-            _filtered_shingles, batch_format="pyarrow").materialize()
-        # candidate-bounded sets that fit a worker heap skip the verify
-        # shuffles entirely (broadcast sets + one map over the pairs)
-        if shingle_cols.size_bytes() <= 256 * 1024 * 1024:
-            return verify_pairs_broadcast(
-                cands, shingle_cols, threshold=threshold)
-    else:
-        shingle_cols = documents_ds.map_batches(
-            _shingles_only, batch_format="pyarrow")
-    return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
+    return _verify_with_pushdown(
+        cands, documents_ds, _shingles_only, threshold=threshold,
+        broadcast_max_pairs=broadcast_max_pairs,
+        sig_broadcast_max_bytes=sig_broadcast_max_bytes)
 
 
 def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
@@ -522,7 +564,8 @@ def _shingle_doc_rows(t: pa.Table, *, ngram: int) -> pa.Table:
 
 def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
                          ngram: int = 3, max_df: int = 64,
-                         broadcast_max_pairs: int = 5_000_000):
+                         broadcast_max_pairs: int = 5_000_000,
+                         sig_broadcast_max_bytes: int = 256 * 1024 * 1024):
     """documents -> (doc_a, doc_b, jaccard): n-gram Jaccard near-dup via
     the inverted shingle index — the DETERMINISTIC alternative to MinHash
     (no signature-probability recall bound) for the high-threshold regime.
@@ -605,34 +648,10 @@ def near_dup_pairs_ngram(documents_ds, *, threshold: float = 0.8,
     def _shingles_only(t: pa.Table) -> pa.Table:
         return shingle_signatures_batch(t, ngram=ngram, with_sig=False)
 
-    if cands.count() <= broadcast_max_pairs:
-        import ray as _ray
-
-        parts = [np.empty(0, np.int64)]
-        for b in cands.iter_batches(batch_format="pandas"):
-            if "doc_a" in b:
-                parts.append(b["doc_a"].to_numpy())
-                parts.append(b["doc_b"].to_numpy())
-        ids_ref = _ray.put(np.unique(np.concatenate(parts)))
-
-        def _filtered_shingles(t: pa.Table) -> pa.Table:
-            keep = np.isin(
-                t.column("doc_id").to_numpy(zero_copy_only=False),
-                _ray.get(ids_ref),
-            )
-            return _shingles_only(t.filter(pa.array(keep)))
-
-        shingle_cols = documents_ds.map_batches(
-            _filtered_shingles, batch_format="pyarrow").materialize()
-        # candidate-bounded sets that fit a worker heap skip the verify
-        # shuffles entirely (broadcast sets + one map over the pairs)
-        if shingle_cols.size_bytes() <= 256 * 1024 * 1024:
-            return verify_pairs_broadcast(
-                cands, shingle_cols, threshold=threshold)
-    else:
-        shingle_cols = documents_ds.map_batches(
-            _shingles_only, batch_format="pyarrow")
-    return verify_pairs_exact(cands, shingle_cols, threshold=threshold)
+    return _verify_with_pushdown(
+        cands, documents_ds, _shingles_only, threshold=threshold,
+        broadcast_max_pairs=broadcast_max_pairs,
+        sig_broadcast_max_bytes=sig_broadcast_max_bytes)
 
 
 def _gram_doc_rows(batch: pa.Table, *, ngram: int) -> pa.Table:
@@ -1427,3 +1446,25 @@ def prefix_contain_pairs(documents_ds):
                 pair_refs.append(_cross_pairs.remote(refs[bi], cands))
             carry = cands + chain
     return rd.from_arrow_refs(pair_refs)
+
+
+def dedup_cluster_census(components_ds):
+    """(doc_id, component_id) components -> (cluster_size, n_clusters,
+    n_docs) size histogram — the curation report of how much corpus mass
+    duplicates and in how big clumps. Two result-bounded aggregates:
+    |clusters| rows, then |distinct sizes| rows."""
+    from ..util import bucket_aggregate
+
+    sizes = bucket_aggregate(
+        components_ds, ["component_id"],
+        {"cluster_size": ("doc_id", "count")})
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.select(["cluster_size"]).append_column(
+            "one", pa.array([1] * t.num_rows, type=pa.int64()))
+
+    return bucket_aggregate(
+        sizes.map_batches(_one, batch_format="pyarrow"),
+        ["cluster_size"],
+        {"n_clusters": ("one", "sum"), "n_docs": ("cluster_size", "sum")},
+    )

@@ -77,6 +77,20 @@ def test_ngram_shuffle_fallback_matches_default():
     pd.testing.assert_frame_equal(default, fallback)
 
 
+def test_ngram_pushdown_shuffle_route_matches_default():
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        near_dup_pairs_ngram)
+
+    default = _collect(near_dup_pairs_ngram(rd.from_pandas(_docs_df())))
+    # sig_broadcast_max_bytes=0 keeps the candidate pushdown but forces
+    # the materialized filtered stream into the two-shuffle verify
+    routed = _collect(
+        near_dup_pairs_ngram(rd.from_pandas(_docs_df()),
+                             sig_broadcast_max_bytes=0))
+    assert len(default) == 10
+    pd.testing.assert_frame_equal(default, routed)
+
+
 def test_broadcast_verify_empty_pairs():
     from tabular_data_semantics_py_ray.stages.dedup import (
         verify_pairs_broadcast)
