@@ -2827,7 +2827,6 @@ def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
     where a real run would write_parquet — so the packing passes don't
     re-execute the dedup chain. The composed DuckDB oracle chains the
     same five stages in SQL."""
-    import hashlib
     import math
 
     import pyarrow.compute as pc
