@@ -818,6 +818,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_dedup_rate_by_source(sf_dir: str):
+    """Near-dup drop rate per provenance source: non-keeper ids left-join
+    the (doc_id, source) projection, census fused into the join."""
+    from .pipelines.relational import dedup_rate_by_source
+
+    return dedup_rate_by_source(sf_dir)
+
+
 def q_lang_token_fertility(sf_dir: str):
     """Tokenizer fertility per language (BPE-ish / whitespace token
     ratio): per-batch partial sums, one |langs|-sized aggregate."""
@@ -1275,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": q_events_value_histogram,
         "split_contamination": q_split_contamination,
         "lang_token_fertility": q_lang_token_fertility,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2709,6 +2709,23 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # near-dup drop rate per source (non-keepers from the components CTE)
+    o["dedup_rate_by_source"] = o["dedup_components"].replace(
+        "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",
+        """comp AS (
+  SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node
+),
+dr AS (SELECT doc_id FROM comp WHERE doc_id <> component_id)
+SELECT d.source, cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       round(cast(sum(CASE WHEN dr.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / cast(count(*) AS DOUBLE), 6) AS drop_rate
+FROM documents d LEFT JOIN dr ON d.doc_id = dr.doc_id GROUP BY 1""",
+    ).replace(
+        ")\ncomp AS (", "),\ncomp AS ("
+    )
+
     # tokenizer fertility per language (BPE-ish pattern == engine RE2)
     o["lang_token_fertility"] = r"""
 SELECT lang, cast(count(*) AS BIGINT) AS n_docs,

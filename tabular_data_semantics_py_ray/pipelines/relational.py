@@ -4440,3 +4440,55 @@ def lang_token_fertility(sf_dir: str):
         agg["n_tokens_bpe"].to_numpy().astype(np.float64)
         / agg["n_tokens_ws"].to_numpy().astype(np.float64), 6)
     return agg.sort_values("lang").reset_index(drop=True)
+
+
+def dedup_rate_by_source(sf_dir: str):
+    """Near-dup drop rate broken down by provenance source — the curation
+    diagnostic tying dedup losses back to where the data came from (a
+    source with an outsized drop rate is a scraper re-crawling itself):
+    (source, n_docs, n_dropped, drop_rate).
+
+    Scale shape: components are edge-bounded; the non-keeper ids LEFT-join
+    the (doc_id, source) projection in one hash-partitioned bucket join
+    with the per-source census fused into the join stage via ``post``
+    (partial counts), then ONE source-sized final aggregate."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import dedup_components, near_dup_pairs_minhash
+    from ..util import bucket_aggregate, bucket_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"],
+                 blocks=fanout_blocks(0.25))
+    comp = dedup_components(near_dup_pairs_minhash(
+        _read(sf_dir, "documents", ["doc_id", "text"],
+              blocks=fanout_blocks(0.5))))
+    def _drop_ids(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.not_equal(t.column("doc_id"),
+                                  t.column("component_id")))
+        return pa.Table.from_arrays(
+            [f.column("doc_id").cast(pa.int64()),
+             pa.array(np.ones(f.num_rows, dtype=np.int64))],
+            names=["doc_id", "is_drop"])
+
+    drop = comp.map_batches(_drop_ids, batch_format="pyarrow")
+
+    def _census(m: pd.DataFrame) -> pd.DataFrame:
+        m["is_drop"] = m["is_drop"].fillna(0).astype("int64")
+        g = m.groupby("source", sort=False).agg(
+            n_docs=("doc_id", "size"), n_dropped=("is_drop", "sum")
+        ).reset_index()
+        g["n_docs"] = g["n_docs"].astype("int64")
+        return g
+
+    joined = bucket_join(
+        docs, drop, key="doc_id",
+        left_cols={"source": pa.string()},
+        right_cols={"is_drop": pa.int64()},
+        how="left", post=_census)
+    out = bucket_aggregate(
+        joined, ["source"], {"n_docs": ("n_docs", "sum"),
+                             "n_dropped": ("n_dropped", "sum")}).to_pandas()
+    out["drop_rate"] = np.round(
+        out["n_dropped"].to_numpy().astype(np.float64)
+        / out["n_docs"].to_numpy().astype(np.float64), 6)
+    return out.sort_values("source").reset_index(drop=True)
