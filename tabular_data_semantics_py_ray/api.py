@@ -818,6 +818,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_events_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per day: result-row join of the two distinct
+    censuses."""
+    from .pipelines.relational import events_stickiness
+
+    return events_stickiness(sf_dir)
+
+
 def q_dedup_rate_by_source(sf_dir: str):
     """Near-dup drop rate per provenance source: non-keeper ids left-join
     the (doc_id, source) projection, census fused into the join."""
@@ -1284,6 +1292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_contamination": q_split_contamination,
         "lang_token_fertility": q_lang_token_fertility,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "events_stickiness": q_events_stickiness,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2709,6 +2709,23 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # DAU / trailing-7-day-AU stickiness per day
+    o["events_stickiness"] = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+dau AS (SELECT day, cast(count(*) AS BIGINT) AS n_users FROM du GROUP BY 1),
+cov AS (
+  SELECT du.day + u.i AS day, du.user_id
+  FROM du, unnest(range(0, 7)) AS u(i)
+),
+wau AS (SELECT day, cast(count(DISTINCT user_id) AS BIGINT) AS n_users_7d
+        FROM cov GROUP BY 1)
+SELECT dau.day, dau.n_users, wau.n_users_7d,
+       round(cast(dau.n_users AS DOUBLE) / cast(wau.n_users_7d AS DOUBLE), 6)
+           AS stickiness
+FROM dau JOIN wau ON dau.day = wau.day"""
+
     # near-dup drop rate per source (non-keepers from the components CTE)
     o["dedup_rate_by_source"] = o["dedup_components"].replace(
         "SELECT node AS doc_id, min(r) AS component_id FROM reach GROUP BY node",

@@ -4492,3 +4492,22 @@ def dedup_rate_by_source(sf_dir: str):
         out["n_dropped"].to_numpy().astype(np.float64)
         / out["n_docs"].to_numpy().astype(np.float64), 6)
     return out.sort_values("source").reset_index(drop=True)
+
+
+def events_stickiness(sf_dir: str):
+    """DAU/WAU stickiness per day — the product-engagement ratio (what
+    fraction of the trailing week's actives showed up today): joins the
+    exact daily-active and trailing-7-day-active censuses on day.
+
+    Scale shape: both inputs are the already-thinned distinct (day, user)
+    shuffles; their outputs are DATE-bounded (one row per day), so the
+    final join + ratio run on result rows."""
+    dau = events_daily_active(sf_dir).to_pandas()
+    wau = events_weekly_active(sf_dir).to_pandas()
+    out = dau.merge(wau, on="day", how="inner")
+    out["stickiness"] = np.round(
+        out["n_users"].to_numpy().astype(np.float64)
+        / out["n_users_7d"].to_numpy().astype(np.float64), 6)
+    out["day"] = out["day"].astype("int64")
+    return out[["day", "n_users", "n_users_7d", "stickiness"]].sort_values(
+        "day").reset_index(drop=True)
