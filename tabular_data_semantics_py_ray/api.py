@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank from the min-node seed (random walk with
+    restart); same routing as kg_pagerank."""
+    from .pipelines.queries_kg import pagerank_personalized
+
+    return pagerank_personalized(sf_dir)
+
+
 def q_kg_mention_coverage(sf_dir: str):
     """Per-doc linkable-mention coverage (CEA yield report): zero
     shuffles, batch-local token + lexicon-membership counters."""
@@ -1184,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_type_pmi": q_kg_type_pmi,
         "kg_ambiguity_census": q_kg_ambiguity_census,
         "kg_mention_coverage": q_kg_mention_coverage,
+        "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

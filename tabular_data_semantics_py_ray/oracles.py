@@ -2022,6 +2022,34 @@ r0 AS (SELECT n, cast(1 AS DOUBLE) / (SELECT N FROM cnt) AS r FROM nodes)"""]
     o["kg_pagerank"] = ("WITH " + ",\n".join(_pr_parts)
                         + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
 
+    # personalized variant: restart mass concentrated on the min node
+    _ppr_parts = [f"""e AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+),
+nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+seed AS (SELECT min(n) AS mn FROM nodes),
+outd AS (SELECT u, count(*) AS d FROM e GROUP BY u),
+r0 AS (SELECT n, CASE WHEN n = (SELECT mn FROM seed)
+                      THEN cast(1 AS DOUBLE) ELSE cast(0 AS DOUBLE) END AS r
+       FROM nodes)"""]
+    for _i in range(1, 6):
+        _ppr_parts.append(f"""r{_i} AS (
+  SELECT nd.n,
+         (1 - cast(0.85 AS DOUBLE))
+           * (CASE WHEN nd.n = (SELECT mn FROM seed)
+                   THEN cast(1 AS DOUBLE) ELSE cast(0 AS DOUBLE) END)
+           + cast(0.85 AS DOUBLE)
+             * coalesce(sum(r{_i - 1}.r / outd.d), 0) AS r
+  FROM nodes nd
+  LEFT JOIN e ON e.v = nd.n
+  LEFT JOIN r{_i - 1} ON r{_i - 1}.n = e.u
+  LEFT JOIN outd ON outd.u = e.u
+  GROUP BY nd.n)""")
+    o["kg_pagerank_personalized"] = (
+        "WITH " + ",\n".join(_ppr_parts)
+        + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
+
     # per-node triangle counts over the undirected URI-object KG graph
     # (x < y < z lexicographic, each triangle listed once, then 3 corners)
     o["kg_triangles"] = f"""

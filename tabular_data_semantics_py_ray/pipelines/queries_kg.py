@@ -879,11 +879,14 @@ def media_resize(sf_dir: str):
          "data_md5"])
 
 
-def _pagerank_single_task(edges, *, iters: int, damping: float):
+def _pagerank_single_task(edges, *, iters: int, damping: float,
+                          personalized: bool = False):
     """Power iteration over a coalesced edge block: one numpy task (same
     fast-path rationale as ``dedup.dedup_components`` — each distributed
     round costs two all-to-all barriers that dwarf an in-memory solve for
-    any edge list that fits a worker)."""
+    any edge list that fits a worker). ``personalized=True`` restarts to
+    the lexicographically smallest node (r0 = indicator, base term
+    (1-d) * indicator) instead of the uniform vector."""
     import numpy as np
     import pyarrow as pa
 
@@ -894,8 +897,14 @@ def _pagerank_single_task(edges, *, iters: int, damping: float):
         eu, ev = inv[: len(u)], inv[len(u):]
         n = len(nodes)
         deg = np.bincount(eu, minlength=n)  # dangling rows never divide
-        base = (1 - damping) / n
-        r = np.full(n, 1.0 / n)
+        if personalized:
+            p = np.zeros(n)
+            p[0] = 1.0  # np.unique sorts: index 0 IS the min node
+            base = (1 - damping) * p
+            r = p.copy()
+        else:
+            base = (1 - damping) / n
+            r = np.full(n, 1.0 / n)
         for _ in range(iters):
             s = np.zeros(n)
             np.add.at(s, ev, r[eu] / deg[eu])
@@ -942,11 +951,19 @@ def pagerank(sf_dir: str, *, iters: int = 5, damping: float = 0.85,
     summation order differs only at ~1e-16 relative, hidden by the final
     round(6).
     """
-    import numpy as np
+    edges = _kg_uri_edges(sf_dir)
+    if edges.count() <= single_task_max_edges:
+        return _pagerank_single_task(edges, iters=iters, damping=damping)
+    return _pagerank_distributed(edges, iters=iters, damping=damping)
+
+
+def _kg_uri_edges(sf_dir: str):
+    """Distinct (subj, obj) URI-object edge list of the materialized KG —
+    edge-bounded and materialized once (re-scanned per power iteration)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from ..util import bucket_aggregate, bucket_distinct, bucket_join
+    from ..util import bucket_distinct
     from .kg_pipeline import build_triples
 
     def _edges_batch(t: pa.Table) -> pa.Table:
@@ -954,18 +971,37 @@ def pagerank(sf_dir: str, *, iters: int = 5, damping: float = 0.85,
         return pa.Table.from_arrays(
             [t.column("subj"), t.column("obj")], names=["u", "v"])
 
-    edges = bucket_distinct(
+    return bucket_distinct(
         build_triples(sf_dir).map_batches(_edges_batch,
                                           batch_format="pyarrow"),
-        ["u", "v"]).materialize()  # edge-bounded, re-scanned per iteration
+        ["u", "v"]).materialize()
+
+
+def pagerank_personalized(sf_dir: str, *, iters: int = 5,
+                          damping: float = 0.85,
+                          single_task_max_edges: int = 50_000_000):
+    """Personalized PageRank (random walk with restart) over the KG triple
+    graph — the 'entities related to THIS one' ranking that powers
+    neighborhood exploration and related-entity suggestions. Seeded at the
+    lexicographically smallest node so the query is deterministic and
+    oracle-reproducible; r0 is the seed indicator and the restart mass
+    (1-d) concentrates on the seed instead of spreading uniformly. Shares
+    ``pagerank``'s single-task / distributed routing and per-iteration
+    shuffle shape."""
+    edges = _kg_uri_edges(sf_dir)
     if edges.count() <= single_task_max_edges:
-        return _pagerank_single_task(edges, iters=iters, damping=damping)
-    return _pagerank_distributed(edges, iters=iters, damping=damping)
+        return _pagerank_single_task(edges, iters=iters, damping=damping,
+                                     personalized=True)
+    return _pagerank_distributed(edges, iters=iters, damping=damping,
+                                 personalized=True)
 
 
-def _pagerank_distributed(edges, *, iters: int, damping: float):
+def _pagerank_distributed(edges, *, iters: int, damping: float,
+                          personalized: bool = False):
     """Distributed power iteration over a (u, v) string-keyed edge Dataset
-    (see ``pagerank`` for the per-iteration shuffle shape)."""
+    (see ``pagerank`` for the per-iteration shuffle shape).
+    ``personalized=True`` restarts to the lexicographically smallest node;
+    the seed is found with per-batch partial mins (KB-sized reduce)."""
     import numpy as np
     import pyarrow as pa
 
@@ -987,9 +1023,24 @@ def _pagerank_distributed(edges, *, iters: int, damping: float):
         edges.map_batches(_nodes_batch, batch_format="pyarrow"), ["n"]
     ).materialize()
     n_nodes = nodes.count()
-    base = (1 - damping) / n_nodes
+    if personalized:
+        import pyarrow.compute as pc
+
+        # seed = global min node via per-batch partial mins (KB reduce)
+        seed = min(
+            pc.min(b.column("n")).as_py()
+            for b in nodes.iter_batches(batch_format="pyarrow")
+            if b.num_rows)
+        base = None
+    else:
+        seed = None
+        base = (1 - damping) / n_nodes
 
     def _init(t: pa.Table) -> pa.Table:
+        if personalized:
+            nv = t.column("n").to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "r", pa.array((nv == seed).astype(np.float64)))
         return t.append_column(
             "r", pa.array(np.full(t.num_rows, 1.0 / n_nodes)))
 
@@ -1004,6 +1055,16 @@ def _pagerank_distributed(edges, *, iters: int, damping: float):
         s = (j["r"] / j["d"]).groupby(j["v"]).sum()
         return pd.DataFrame({"n": s.index, "s": s.to_numpy()})
 
+    def _update(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        if personalized:
+            nv = t.column("n").to_numpy(zero_copy_only=False)
+            b = (nv == seed) * (1 - damping)
+        else:
+            b = base
+        return pa.Table.from_arrays(
+            [t.column("n"), pa.array(b + damping * s)], names=["n", "r"])
+
     ranks = nodes.map_batches(_init, batch_format="pyarrow").materialize()
     for _ in range(iters):
         contribs = bucket_join(
@@ -1015,12 +1076,7 @@ def _pagerank_distributed(edges, *, iters: int, damping: float):
             contribs.union(nodes.map_batches(_zero, batch_format="pyarrow")),
             ["n"], {"s": ("s", "sum")})
         ranks = summed.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t.column("n"),
-                 pa.array(base + damping
-                          * t.column("s").to_numpy(zero_copy_only=False))],
-                names=["n", "r"]),
-            batch_format="pyarrow").materialize()
+            _update, batch_format="pyarrow").materialize()
 
     def _final(t: pa.Table) -> pa.Table:
         return pa.Table.from_arrays(

@@ -64,3 +64,21 @@ def test_paths_agree(ray_session):
     s = single.sort_values("node").reset_index(drop=True)
     d = dist.sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(s, d)
+
+
+def test_personalized_paths_agree(ray_session):
+    single = _pagerank_single_task(
+        _edges_ds(GRAPH), iters=3, damping=0.85,
+        personalized=True).to_pandas()
+    dist = _pagerank_distributed(
+        _edges_ds(GRAPH), iters=3, damping=0.85,
+        personalized=True).to_pandas()
+    s = single.sort_values("node").reset_index(drop=True)
+    d = dist.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d)
+    # restart mass concentrates on the seed ('a' = min node): it must hold
+    # strictly more rank than under no-restart teleportation to 'd' (no
+    # in-links, not the seed -> exactly zero rank)
+    got = s.set_index("node")["pagerank"]
+    assert got["a"] > 0.15
+    assert got["d"] == 0.0
