@@ -72,6 +72,15 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_components(sf_dir: str):
+    """Weakly-connected components of the KG entity graph (graph-QA
+    census): single-task union-find up to 50M edges, string hash-to-min
+    label propagation beyond."""
+    from .pipelines.queries_kg import kg_components
+
+    return kg_components(sf_dir)
+
+
 def q_kg_pagerank_personalized(sf_dir: str):
     """Personalized PageRank from the min-node seed (random walk with
     restart); same routing as kg_pagerank."""
@@ -1193,6 +1202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ambiguity_census": q_kg_ambiguity_census,
         "kg_mention_coverage": q_kg_mention_coverage,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
+        "kg_components": q_kg_components,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -2050,6 +2050,26 @@ r0 AS (SELECT n, CASE WHEN n = (SELECT mn FROM seed)
         "WITH " + ",\n".join(_ppr_parts)
         + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
 
+    # weakly-connected components of the URI-object KG graph
+    o["kg_components"] = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+),
+und AS (
+  SELECT u, v FROM e0
+  UNION
+  SELECT v, u FROM e0
+),
+reach(node, r) AS (
+  SELECT u, v FROM und
+  UNION ALL
+  SELECT u, u FROM und
+  UNION
+  SELECT reach.node, und.v FROM reach JOIN und ON reach.r = und.u
+)
+SELECT node, min(r) AS component_id FROM reach GROUP BY node"""
+
     # per-node triangle counts over the undirected URI-object KG graph
     # (x < y < z lexicographic, each triangle listed once, then 3 corners)
     o["kg_triangles"] = f"""

@@ -1670,3 +1670,90 @@ def kg_mention_coverage(sf_dir: str):
             names=["doc_id", "n_tokens", "n_mentions", "coverage"])
 
     return docs.map_batches(_cov, batch_format="pyarrow", batch_size=None)
+
+
+def _components_str_distributed(und, *, max_iters: int = 50):
+    """Hash-to-min label propagation over STRING-keyed undirected edges —
+    the scale path of ``kg_components`` (same loop as
+    dedup_components' distributed branch, with min over node URIs and a
+    driver-side exact fixpoint check: per round, the node-bounded label
+    table streams through the driver as per-batch hash partials summed in
+    arbitrary-precision Python ints; label sets are equal iff the sums
+    are — no convergence heuristics)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_join
+
+    labels = bucket_aggregate(
+        und, ["u"], {"label": ("v", "min")}
+    ).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("u"),
+             pc.min_element_wise(t.column("u"), t.column("label"))],
+            names=["node", "label"]),
+        batch_format="pyarrow").materialize()
+
+    def _checksum(lbl) -> int:
+        tot = 0
+        for b in lbl.iter_batches(batch_format="pandas"):
+            tot += int(pd.util.hash_pandas_object(
+                b["label"], index=False).astype("uint64").sum())
+        return tot
+
+    prev = _checksum(labels)
+    for _ in range(max_iters):
+        joined = bucket_join(
+            und, labels, key="u", right_key="node",
+            left_cols={"v": pa.string()}, right_cols={"label": pa.string()},
+            key_type=pa.string())
+        contrib = joined.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t.column("v"), t.column("label")], names=["node", "label"]),
+            batch_format="pyarrow")
+        labels = bucket_aggregate(
+            contrib.union(labels), ["node"], {"label": ("label", "min")}
+        ).materialize()
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    from ..util import rename_cols
+
+    return rename_cols(labels, {"node": "node", "label": "component_id"})
+
+
+def kg_components(sf_dir: str, *, max_iters: int = 50,
+                  single_task_max_edges: int = 50_000_000):
+    """Weakly-connected components of the KG entity graph — the graph-QA
+    census (is the constructed KG one connected web or many islands?):
+    (node, component_id) with component_id = min reachable node URI.
+
+    Scale shape mirrors dedup_components: the distinct URI edge list is
+    edge-bounded; up to ``single_task_max_edges`` one numpy union-find
+    task solves it (np.unique factorizes the strings; index 0 of the
+    sorted uniques IS the min URI), beyond that the string label
+    propagation loop (``_components_str_distributed``) pays two bucket
+    barriers per round, O(log diameter) rounds."""
+    import pyarrow as pa
+
+    from ..stages.dedup import _components_single_task
+    from ..util import rename_cols
+
+    edges = _kg_uri_edges(sf_dir)
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        uu = pa.concat_arrays([u, v])
+        vv = pa.concat_arrays([v, u])
+        return pa.Table.from_arrays([uu, vv], names=["u", "v"])
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+    if edges.count() <= single_task_max_edges:
+        out = _components_single_task(und)
+        return rename_cols(out, {"doc_id": "node",
+                                 "component_id": "component_id"})
+    return _components_str_distributed(und, max_iters=max_iters)

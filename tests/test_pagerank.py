@@ -82,3 +82,32 @@ def test_personalized_paths_agree(ray_session):
     got = s.set_index("node")["pagerank"]
     assert got["a"] > 0.15
     assert got["d"] == 0.0
+
+
+def test_kg_components_paths_agree(ray_session):
+    from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+        _components_str_distributed)
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        _components_single_task)
+
+    # two islands: {a,b,c,e} (via a->b->c->a, b->e) and {x,y}
+    pairs = GRAPH + [("x", "y")]
+    edges = _edges_ds(pairs)
+
+    def _undirect(t):
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["u", "v"])
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+    single = _components_single_task(und).to_pandas().rename(
+        columns={"doc_id": "node"})
+    dist = _components_str_distributed(und).to_pandas()
+    s = single.sort_values("node").reset_index(drop=True)
+    d = dist.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d)
+    comp = s.set_index("node")["component_id"]
+    assert set(comp[["a", "b", "c", "d", "e"]]) == {"a"}
+    assert set(comp[["x", "y"]]) == {"x"}
