@@ -835,6 +835,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_orders_key_skew(sf_dir: str):
+    """Key-skew census (log2 buckets of per-customer counts): one key
+    combiner count + a bucket-sized second aggregate."""
+    from .pipelines.relational import orders_key_skew
+
+    return orders_key_skew(sf_dir)
+
+
 def q_events_stickiness(sf_dir: str):
     """DAU/WAU stickiness per day: result-row join of the two distinct
     censuses."""
@@ -1312,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_token_fertility": q_lang_token_fertility,
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "events_stickiness": q_events_stickiness,
+        "orders_key_skew": q_orders_key_skew,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2757,6 +2757,14 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # key-skew census: log2 buckets of per-customer order counts
+    o["orders_key_skew"] = """
+WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)
+SELECT cast(floor(log2(cast(c AS DOUBLE))) AS BIGINT) AS count_bucket,
+       cast(count(*) AS BIGINT) AS n_keys,
+       cast(sum(c) AS BIGINT) AS n_rows
+FROM c GROUP BY 1"""
+
     # DAU / trailing-7-day-AU stickiness per day
     o["events_stickiness"] = """
 WITH du AS (

@@ -4511,3 +4511,44 @@ def events_stickiness(sf_dir: str):
     out["day"] = out["day"].astype("int64")
     return out[["day", "n_users", "n_users_7d", "stickiness"]].sort_values(
         "day").reset_index(drop=True)
+
+
+def orders_key_skew(sf_dir: str):
+    """Key-skew census over the orders fact table — the 'is my shuffle
+    about to die' diagnostic a partitioned engine runs before keying a
+    join on a column: per log2 magnitude bucket of per-customer order
+    counts, how many keys and how many rows live there (a heavy tail at
+    high buckets says salt the key; see util.bucket_join_salted).
+
+    Scale shape: ONE custkey combiner count (the same shuffle the join
+    would pay), then a log2-bucket map and a tiny second aggregate;
+    output is ~log2(max count) rows. floor(log2(c)) is exact for integer
+    counts < 2^53 on both engines."""
+    from ..util import bucket_aggregate
+
+    orders = _read(sf_dir, "orders", ["o_custkey"],
+                   blocks=fanout_blocks(0.25))
+
+    def _one(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("o_custkey").cast(pa.int64()),
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["o_custkey", "one"])
+
+    per_key = bucket_aggregate(
+        orders.map_batches(_one, batch_format="pyarrow"),
+        ["o_custkey"], {"c": ("one", "sum")})
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(np.log2(c)).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(np.ones(len(b), dtype=np.int64)),
+             pa.array(c.astype(np.int64))],
+            names=["count_bucket", "one", "c"])
+
+    out = bucket_aggregate(
+        per_key.map_batches(_bucket, batch_format="pyarrow"),
+        ["count_bucket"],
+        {"n_keys": ("one", "sum"), "n_rows": ("c", "sum")}).to_pandas()
+    return out.sort_values("count_bucket").reset_index(drop=True)
