@@ -835,6 +835,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_events_user_entropy(sf_dir: str):
+    """Per-user event-type entropy (behavioral diversity): one keyed
+    combiner count, per-user vectorized entropy."""
+    from .pipelines.relational import events_user_entropy
+
+    return events_user_entropy(sf_dir)
+
+
 def q_orders_key_skew(sf_dir: str):
     """Key-skew census (log2 buckets of per-customer counts): one key
     combiner count + a bucket-sized second aggregate."""
@@ -1321,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_by_source": q_dedup_rate_by_source,
         "events_stickiness": q_events_stickiness,
         "orders_key_skew": q_orders_key_skew,
+        "events_user_entropy": q_events_user_entropy,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

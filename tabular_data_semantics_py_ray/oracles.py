@@ -2757,6 +2757,16 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # per-user event-type Shannon entropy; + 0.0 folds IEEE -0.0
+    o["events_user_entropy"] = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+),
+n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1)
+SELECT c.user_id, cast(n.n AS BIGINT) AS n_events,
+       round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
+FROM c JOIN n USING (user_id) GROUP BY c.user_id, n.n"""
+
     # key-skew census: log2 buckets of per-customer order counts
     o["orders_key_skew"] = """
 WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)

@@ -4552,3 +4552,48 @@ def orders_key_skew(sf_dir: str):
         ["count_bucket"],
         {"n_keys": ("one", "sum"), "n_rows": ("c", "sum")}).to_pandas()
     return out.sort_values("count_bucket").reset_index(drop=True)
+
+
+def events_user_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy — the behavioral-diversity
+    feature (0 = the user does one thing; high = spread across all event
+    types): (user_id, n_events, entropy), entropy over the user's
+    event-type distribution, rounded to 6.
+
+    Scale shape: per-batch (user, type) partial counts collapse in ONE
+    keyed combiner aggregate (|users| x |types| rows — types is a tiny
+    domain), then a user-keyed bucket pass computes the entropy
+    vectorized per segment. ``+ 0.0`` folds IEEE -0.0 (single-type
+    users)."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"],
+               blocks=fanout_blocks(0.5))
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["user_id", "event_type"], sort=False).size().rename(
+            "c").reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    counts = bucket_aggregate(
+        ev.map_batches(_partial, batch_format="pandas"),
+        ["user_id", "event_type"], {"c": ("c", "sum")})
+
+    def _entropy(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        c = g["c"].to_numpy().astype(np.float64)
+        new = np.ones(len(uid), dtype=bool)
+        new[1:] = uid[1:] != uid[:-1]
+        gi = np.cumsum(new) - 1
+        n = np.bincount(gi, weights=c)
+        p = c / n[gi]
+        ent = np.bincount(gi, weights=-(p * np.log2(p)))
+        return pd.DataFrame({
+            "user_id": uid[new],
+            "n_events": n.astype(np.int64),
+            "entropy": np.round(ent, 6) + 0.0,
+        })
+
+    return bucket_map_keyed(counts, ["user_id"], _entropy)
