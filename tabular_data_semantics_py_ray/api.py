@@ -835,6 +835,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_token_zipf_slope(sf_dir: str):
+    """Zipf slope over the top-100 token frequencies: combiner count +
+    sort/limit; regression on k result rows."""
+    from .pipelines.relational import token_zipf_slope
+
+    return token_zipf_slope(sf_dir)
+
+
 def q_events_user_entropy(sf_dir: str):
     """Per-user event-type entropy (behavioral diversity): one keyed
     combiner count, per-user vectorized entropy."""
@@ -1330,6 +1338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stickiness": q_events_stickiness,
         "orders_key_skew": q_orders_key_skew,
         "events_user_entropy": q_events_user_entropy,
+        "token_zipf_slope": q_token_zipf_slope,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

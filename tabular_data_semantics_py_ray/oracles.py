@@ -2757,6 +2757,24 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # Zipf slope over the top-100 tokens; explicit centered-moments
+    # formula on both engines (no library regression)
+    o["token_zipf_slope"] = """
+WITH c AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+f AS (SELECT token, count(*) AS n FROM c GROUP BY 1),
+r AS (
+  SELECT ln(cast(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS x,
+         ln(cast(n AS DOUBLE)) AS y
+  FROM f ORDER BY n DESC, token LIMIT 100
+),
+m AS (SELECT avg(x) AS xb, avg(y) AS yb, count(*) AS k FROM r)
+SELECT cast(m.k AS BIGINT) AS k,
+       round(sum((r.x - m.xb) * (r.y - m.yb))
+             / sum((r.x - m.xb) * (r.x - m.xb)), 6) AS zipf_slope
+FROM r, m GROUP BY m.k"""
+
     # per-user event-type Shannon entropy; + 0.0 folds IEEE -0.0
     o["events_user_entropy"] = """
 WITH c AS (

@@ -4597,3 +4597,25 @@ def events_user_entropy(sf_dir: str):
         })
 
     return bucket_map_keyed(counts, ["user_id"], _entropy)
+
+
+def token_zipf_slope(sf_dir: str, *, k: int = 100):
+    """Zipf-law slope of the corpus token-frequency distribution — the
+    'does this read like natural language' diagnostic (natural text fits
+    ln(count) ~ -1 * ln(rank); synthetic or templated corpora drift):
+    least-squares slope of ln(count) on ln(rank) over the top-``k``
+    tokens. -> one row (k, zipf_slope).
+
+    Scale shape: the same combiner token count as `token_freq_top20`
+    (vocab-sized shuffle), one sort+limit to the k head rows, then the
+    regression runs on k result rows with the explicit centered-moments
+    formula the oracle also writes (no library regression on either
+    side)."""
+    head = token_freq_topk(sf_dir, k=k).to_pandas()
+    n = head["n"].to_numpy().astype(np.float64)
+    x = np.log(np.arange(1, len(n) + 1, dtype=np.float64))
+    y = np.log(n)
+    xb, yb = x.mean(), y.mean()
+    slope = float(((x - xb) * (y - yb)).sum() / ((x - xb) ** 2).sum())
+    return pd.DataFrame({"k": pd.array([len(n)], dtype="int64"),
+                         "zipf_slope": [round(slope, 6)]})
