@@ -899,6 +899,14 @@ def q_events_value_histogram(sf_dir: str):
     return events_value_histogram(sf_dir)
 
 
+def q_emb_pq_distortion(sf_dir: str):
+    """PQ reconstruction-error census per label (codec QA for the ADC
+    ANN path): codebook reduce + one shuffle-free error scan."""
+    from .stages.similarity import pq_distortion
+
+    return pq_distortion(_embeddings(sf_dir))
+
+
 def q_emb_quantize_census(sf_dir: str):
     """Int8 scale-quantization reconstruction-error census per label:
     d-row min/max reduce + broadcast, label-keyed combiner partials."""
@@ -1331,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": q_vocab_growth,
         "doc_ngram_entropy": q_doc_ngram_entropy,
         "emb_quantize_census": q_emb_quantize_census,
+        "emb_pq_distortion": q_emb_pq_distortion,
         "events_value_histogram": q_events_value_histogram,
         "split_contamination": q_split_contamination,
         "lang_token_fertility": q_lang_token_fertility,

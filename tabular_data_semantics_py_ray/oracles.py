@@ -2865,6 +2865,46 @@ SELECT event_type, cast(floor(value / 10.0) AS BIGINT) AS bin,
        cast(count(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2"""
 
+    # PQ reconstruction-error census: same codebook (round-4 label means),
+    # subspace assignment and tie-break as the ann_topk_pq oracle
+    o["emb_pq_distortion"] = """
+WITH x AS (
+  SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+         unnest(range(0, len(embedding))) AS dim
+  FROM embeddings
+),
+c AS (SELECT label AS clab, dim, round(avg(v), 4) AS c FROM x GROUP BY 1, 2),
+sub AS (SELECT DISTINCT dim,
+               dim // ((SELECT max(dim) + 1 FROM c) // 4) AS j
+        FROM c),
+d AS (
+  SELECT x.vec_id, c.clab, sub.j,
+         sum(c.c * c.c - 2 * x.v * c.c) AS dist
+  FROM x JOIN c ON x.dim = c.dim JOIN sub ON x.dim = sub.dim
+  GROUP BY 1, 2, 3
+),
+a AS (
+  SELECT vec_id, j, clab,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, clab) AS rn
+  FROM d
+),
+recon AS (
+  SELECT a.vec_id, c.dim, c.c
+  FROM a JOIN sub ON sub.j = a.j
+  JOIN c ON c.dim = sub.dim AND c.clab = a.clab
+  WHERE a.rn = 1
+),
+e AS (
+  SELECT x.vec_id, x.label,
+         sqrt(sum((x.v - r.c) * (x.v - r.c))) AS err
+  FROM x JOIN recon r ON r.vec_id = x.vec_id AND r.dim = x.dim
+  GROUP BY 1, 2
+)
+SELECT cast(label AS BIGINT) AS label, cast(count(*) AS BIGINT) AS n_vecs,
+       round(avg(err), 6) AS mean_err, round(max(err), 6) AS max_err
+FROM e GROUP BY 1"""
+
     # int8 scale-quantization error census: floor(v + 0.5) coding on both
     # engines (np.round's banker rounding differs from SQL round at .5)
     o["emb_quantize_census"] = """

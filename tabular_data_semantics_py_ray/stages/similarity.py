@@ -596,3 +596,56 @@ def knn_mutual_pairs(embeddings_ds, *, k: int = 5, block_rows: int = 4096):
         return t.filter(keep).select(["vec_a", "vec_b"])
 
     return counts.map_batches(_mutual, batch_format="pyarrow")
+
+
+def pq_distortion(embeddings_ds, *, m: int = 4):
+    """PQ reconstruction-distortion census — the codec-QA companion of
+    ``ann_topk_pq`` (how much geometry the m-subspace code actually
+    loses, per label): each vector is encoded with the SAME per-label
+    sub-codebooks and argmin tie-break as the ANN operator, and the
+    census reports per-label vector counts and mean/max L2 reconstruction
+    error. -> (label, n_vecs, mean_err, max_err).
+
+    Scale shape: one |labels| x d codebook reduce (broadcast via closure),
+    then a single shuffle-free scan emitting per-label error partials
+    into one |labels|-sized aggregate."""
+    from ..util import bucket_aggregate
+
+    labels, C = _label_means(embeddings_ds)
+    if C.shape[1] % m:
+        raise ValueError(f"dim {C.shape[1]} not divisible by m={m}")
+    dsub = C.shape[1] // m
+    csq = [(C[:, j * dsub:(j + 1) * dsub] ** 2).sum(axis=1)
+           for j in range(m)]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        X = list_column_matrix(t.column("embedding"))
+        lab = t.column("label").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if X.size == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.float64())],
+                names=["label", "n_vecs", "sum_err", "max_err"])
+        recon = np.empty_like(X, dtype=np.float64)
+        for j in range(m):
+            sl = slice(j * dsub, (j + 1) * dsub)
+            codes = (csq[j] - 2.0 * (X[:, sl] @ C[:, sl].T)).argmin(axis=1)
+            recon[:, sl] = C[codes][:, sl]
+        err = np.sqrt(((X - recon) ** 2).sum(axis=1))
+        df = pd.DataFrame({"label": lab, "err": err})
+        g = df.groupby("label", sort=False)["err"].agg(
+            n_vecs="size", sum_err="sum", max_err="max").reset_index()
+        g["n_vecs"] = g["n_vecs"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = bucket_aggregate(
+        embeddings_ds.map_batches(_partial, batch_format="pyarrow"),
+        ["label"], {"n_vecs": ("n_vecs", "sum"),
+                    "sum_err": ("sum_err", "sum"),
+                    "max_err": ("max_err", "max")}).to_pandas()
+    tot["mean_err"] = np.round(tot["sum_err"] / tot["n_vecs"], 6)
+    tot["max_err"] = np.round(tot["max_err"], 6)
+    return tot[["label", "n_vecs", "mean_err", "max_err"]].sort_values(
+        "label").reset_index(drop=True)
