@@ -835,6 +835,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_events_user_lifespan(sf_dir: str):
+    """Per-user lifecycle block (first/last ts, span, active days,
+    density): distinct (user, day) partials + one user-keyed aggregate."""
+    from .pipelines.relational import events_user_lifespan
+
+    return events_user_lifespan(sf_dir)
+
+
 def q_token_zipf_slope(sf_dir: str):
     """Zipf slope over the top-100 token frequencies: combiner count +
     sort/limit; regression on k result rows."""
@@ -1348,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_key_skew": q_orders_key_skew,
         "events_user_entropy": q_events_user_entropy,
         "token_zipf_slope": q_token_zipf_slope,
+        "events_user_lifespan": q_events_user_lifespan,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2757,6 +2757,22 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # per-user lifecycle block (epoch-us timestamps, epoch-day activity)
+    o["events_user_lifespan"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts, epoch_us(ts) // 86400000000 AS day
+  FROM events
+)
+SELECT user_id,
+       cast(min(ts) AS BIGINT) AS first_ts,
+       cast(max(ts) AS BIGINT) AS last_ts,
+       cast((max(ts) - min(ts)) // 86400000000 + 1 AS BIGINT) AS span_days,
+       cast(count(DISTINCT day) AS BIGINT) AS n_active_days,
+       round(cast(count(DISTINCT day) AS DOUBLE)
+             / cast((max(ts) - min(ts)) // 86400000000 + 1 AS DOUBLE), 6)
+           AS density
+FROM e GROUP BY 1"""
+
     # Zipf slope over the top-100 tokens; explicit centered-moments
     # formula on both engines (no library regression)
     o["token_zipf_slope"] = """

@@ -4619,3 +4619,47 @@ def token_zipf_slope(sf_dir: str, *, k: int = 100):
     slope = float(((x - xb) * (y - yb)).sum() / ((x - xb) ** 2).sum())
     return pd.DataFrame({"k": pd.array([len(n)], dtype="int64"),
                          "zipf_slope": [round(slope, 6)]})
+
+
+def events_user_lifespan(sf_dir: str):
+    """Per-user lifecycle summary — first/last event time, span in days,
+    distinct active days, and activity density (active days / span days):
+    the churn-feature block every behavioral pipeline derives first.
+
+    Scale shape: per-batch partials thin to distinct (user, day) plus
+    min/max ts per user BEFORE the one user-keyed combiner aggregate;
+    density arithmetic is a map over the user-bounded result."""
+    from ..util import bucket_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=fanout_blocks(0.5))
+    day_us = 86_400_000_000
+
+    def _partial(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"user_id": uid, "ts": ts, "day": ts // day_us})
+        # per-batch distinct days can overlap across batches — ship the
+        # (user, day) pairs with ts extrema, not counts
+        g = df.groupby(["user_id", "day"], sort=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = ev.map_batches(_partial, batch_format="pyarrow")
+    agg = bucket_aggregate(
+        pairs, ["user_id", "day"],
+        {"first_ts": ("first_ts", "min"), "last_ts": ("last_ts", "max")})
+    per_user = bucket_aggregate(
+        agg, ["user_id"],
+        {"first_ts": ("first_ts", "min"), "last_ts": ("last_ts", "max"),
+         "n_active_days": ("day", "count")}).to_pandas()
+    span_days = (per_user["last_ts"].to_numpy()
+                 - per_user["first_ts"].to_numpy()) // day_us + 1
+    per_user["span_days"] = span_days.astype("int64")
+    per_user["density"] = np.round(
+        per_user["n_active_days"].to_numpy().astype(np.float64)
+        / span_days.astype(np.float64), 6)
+    per_user["n_active_days"] = per_user["n_active_days"].astype("int64")
+    return per_user[["user_id", "first_ts", "last_ts", "span_days",
+                     "n_active_days", "density"]].sort_values(
+        "user_id").reset_index(drop=True)
