@@ -835,6 +835,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_split_balance_psi(sf_dir: str):
+    """Split-balance PSI (train vs test doc-length distribution): one
+    combiner count, PSI terms on the bucket-sized result."""
+    from .pipelines.relational import split_balance_psi
+
+    return split_balance_psi(sf_dir)
+
+
 def q_events_user_lifespan(sf_dir: str):
     """Per-user lifecycle block (first/last ts, span, active days,
     density): distinct (user, day) partials + one user-keyed aggregate."""
@@ -1357,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_entropy": q_events_user_entropy,
         "token_zipf_slope": q_token_zipf_slope,
         "events_user_lifespan": q_events_user_lifespan,
+        "split_balance_psi": q_split_balance_psi,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

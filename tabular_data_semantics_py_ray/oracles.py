@@ -2757,6 +2757,34 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # split-balance PSI: train vs test doc-length distribution
+    # (split rule = split_assign's md5 thresholds; Laplace-smoothed)
+    o["split_balance_psi"] = """
+WITH s AS (
+  SELECT n_chars, substr(md5(cast(doc_id AS VARCHAR)), 1, 2) AS b1
+  FROM documents
+),
+b AS (
+  SELECT cast(floor(n_chars / 100.0) AS BIGINT) AS bucket,
+         CASE WHEN b1 >= 'f3' THEN 1 ELSE 0 END AS side
+  FROM s WHERE b1 < 'e6' OR b1 >= 'f3'
+),
+c AS (SELECT bucket, side, cast(count(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+w AS (
+  SELECT bucket,
+         cast(coalesce(sum(CASE WHEN side = 0 THEN n END), 0) AS BIGINT)
+             AS n_train,
+         cast(coalesce(sum(CASE WHEN side = 1 THEN n END), 0) AS BIGINT)
+             AS n_test
+  FROM c GROUP BY 1
+),
+t AS (SELECT sum(n_train) AS ta, sum(n_test) AS tb, count(*) AS k FROM w)
+SELECT bucket, n_train, n_test,
+       round(((n_train + 1.0) / (ta + k) - (n_test + 1.0) / (tb + k))
+             * ln(((n_train + 1.0) / (ta + k))
+                  / ((n_test + 1.0) / (tb + k))), 6) AS psi_term
+FROM w, t"""
+
     # per-user lifecycle block (epoch-us timestamps, epoch-day activity)
     o["events_user_lifespan"] = """
 WITH e AS (

@@ -4663,3 +4663,54 @@ def events_user_lifespan(sf_dir: str):
     return per_user[["user_id", "first_ts", "last_ts", "span_days",
                      "n_active_days", "density"]].sort_values(
         "user_id").reset_index(drop=True)
+
+
+def split_balance_psi(sf_dir: str, *, bucket_width: float = 100.0):
+    """Split-balance audit — the governance companion to
+    `split_contamination`: PSI of the document-LENGTH distribution
+    between the train and test splits. A hash split should be
+    distribution-neutral; sum(psi_term) > 0.2 says the split (e.g. one
+    inherited from an upstream system) skewed a covariate.
+    -> (bucket, n_train, n_test, psi_term), bucket = floor(n_chars /
+    ``bucket_width``).
+
+    Scale shape: one combiner count to the 2 x |buckets| table; PSI terms
+    on the tiny result (same Laplace smoothing and scalar-libm ln as
+    `events_value_psi`); the split rule is `split_b1` with
+    `split_assign`'s thresholds."""
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"],
+                 blocks=fanout_blocks(0.25))
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        nch = t.column("n_chars").cast(pa.float64()).to_numpy(
+            zero_copy_only=False)
+        b1 = split_b1(ids)
+        keep = (b1 < SPLIT_TRAIN_LT) | (b1 >= SPLIT_VAL_LT)
+        side = (b1[keep] >= SPLIT_VAL_LT).astype(np.int8)  # 1 = test
+        bucket = np.floor(nch[keep] / bucket_width).astype(np.int64)
+        return pa.Table.from_arrays([pa.array(bucket), pa.array(side)],
+                                    names=["bucket", "side"])
+
+    counts = bucket_aggregate(
+        docs.map_batches(_bucketize, batch_format="pyarrow"),
+        ["bucket", "side"], {"n": ("side", "count")}).to_pandas()
+
+    wide = counts.pivot(index="bucket", columns="side", values="n").fillna(0)
+    wide = wide.reindex(columns=[0, 1], fill_value=0).sort_index()
+    n_tr = wide[0].to_numpy(dtype=np.int64)
+    n_te = wide[1].to_numpy(dtype=np.int64)
+    tot_tr, tot_te = int(n_tr.sum()), int(n_te.sum())
+    k = len(wide)
+    p = (n_tr + 1.0) / (tot_tr + k)
+    q = (n_te + 1.0) / (tot_te + k)
+    import math
+
+    psi = np.round(np.array([(pi - qi) * math.log(pi / qi)
+                             for pi, qi in zip(p, q)]), 6)
+    return pd.DataFrame({
+        "bucket": wide.index.to_numpy(dtype=np.int64),
+        "n_train": n_tr, "n_test": n_te, "psi_term": psi})
