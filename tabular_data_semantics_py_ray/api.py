@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_cta_confidence(sf_dir: str):
+    """CTA winner with vote share (annotation-confidence report): one
+    doc-keyed shuffle, winner + totals vectorized per bucket."""
+    from .pipelines.queries_kg import kg_cta_confidence
+
+    return kg_cta_confidence(sf_dir)
+
+
 def q_kg_components(sf_dir: str):
     """Weakly-connected components of the KG entity graph (graph-QA
     census): single-task union-find up to 50M edges, string hash-to-min
@@ -1251,6 +1259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mention_coverage": q_kg_mention_coverage,
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_components": q_kg_components,
+        "kg_cta_confidence": q_kg_cta_confidence,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

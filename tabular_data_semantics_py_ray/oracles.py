@@ -484,6 +484,19 @@ GROUP BY 1, 2, 3"""
     o["kg_cta_doc_type"] = f"""WITH {_kg_ctes()},{_VOTE_CTES}
 SELECT doc_id, type_uri FROM win WHERE rn = 1"""
 
+    # CTA winner + vote share (confidence = n / doc total, non-Thing)
+    o["kg_cta_confidence"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
+tot AS (SELECT doc_id, sum(n) AS total FROM votes GROUP BY 1)
+SELECT w.doc_id, w.type_uri,
+       cast(v.n AS BIGINT) AS n_votes,
+       cast(tot.total AS BIGINT) AS total_votes,
+       round(cast(v.n AS DOUBLE) / cast(tot.total AS DOUBLE), 6)
+           AS confidence
+FROM win w
+JOIN votes v ON v.doc_id = w.doc_id AND v.type_uri = w.type_uri
+JOIN tot ON tot.doc_id = w.doc_id
+WHERE w.rn = 1"""
+
     o["kg_cta_ancestors"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
 closure(cls_uri, ancestor_uri, distance) AS (VALUES
     {class_closure_values_sql()})

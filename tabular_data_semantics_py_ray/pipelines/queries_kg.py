@@ -1757,3 +1757,46 @@ def kg_components(sf_dir: str, *, max_iters: int = 50,
         return rename_cols(out, {"doc_id": "node",
                                  "component_id": "component_id"})
     return _components_str_distributed(und, max_iters=max_iters)
+
+
+def kg_cta_confidence(sf_dir: str):
+    """CTA winner WITH its vote share — the annotation-confidence report
+    (a 0.95-confidence type is safe to materialize; a 0.34 winner of a
+    three-way split wants review): per doc, the winning type, its vote
+    count, the doc's total (non-Thing) type votes and confidence =
+    n_votes / total_votes rounded to 6.
+
+    Scale shape: same ONE doc-keyed shuffle as `cta_doc_type` — per-batch
+    (doc, type) partial counts, then winner + totals computed vectorized
+    per bucket (no second shuffle for the denominator: all of a doc's
+    votes are co-located)."""
+    from ..stages.canonicalize import join_types_batches
+    from ..util import bucket_map_keyed
+
+    typed = join_types_batches(_linked_flat(sf_dir))
+
+    def _pre(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["doc_id", "type_uri"], sort=False,
+                      observed=True).size().reset_index(name="n")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def _winner(bucket: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        c = bucket.groupby(["doc_id", "type_uri"], sort=False,
+                           observed=True)["n"].sum().reset_index()
+        tot = c.groupby("doc_id", sort=False)["n"].sum().rename(
+            "total_votes").reset_index()
+        c = c.sort_values(["n", "type_uri"], ascending=[False, True],
+                          kind="mergesort")
+        w = c.drop_duplicates(subset=["doc_id"], keep="first").rename(
+            columns={"n": "n_votes"})
+        out = w.merge(tot, on="doc_id")
+        out["confidence"] = np.round(
+            out["n_votes"].to_numpy().astype(np.float64)
+            / out["total_votes"].to_numpy().astype(np.float64), 6)
+        return out[["doc_id", "type_uri", "n_votes", "total_votes",
+                    "confidence"]]
+
+    return bucket_map_keyed(typed, ["doc_id"], _winner, pre=_pre)
