@@ -843,6 +843,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_orders_interarrival(sf_dir: str):
+    """Per-customer mean reorder gap in days: one customer-keyed shuffle,
+    vectorized per-segment diffs."""
+    from .pipelines.relational import orders_interarrival
+
+    return orders_interarrival(sf_dir)
+
+
 def q_split_balance_psi(sf_dir: str):
     """Split-balance PSI (train vs test doc-length distribution): one
     combiner count, PSI terms on the bucket-sized result."""
@@ -1375,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_zipf_slope": q_token_zipf_slope,
         "events_user_lifespan": q_events_user_lifespan,
         "split_balance_psi": q_split_balance_psi,
+        "orders_interarrival": q_orders_interarrival,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

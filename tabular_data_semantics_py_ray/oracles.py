@@ -2770,6 +2770,20 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # per-customer mean reorder gap (>= 2 orders; deterministic sequence
+    # by orderdate then orderkey)
+    o["orders_interarrival"] = """
+WITH s AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS ts,
+         lag(epoch_us(o_orderdate)) OVER (
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey) AS prev_ts
+  FROM orders
+)
+SELECT o_custkey, cast(count(*) AS BIGINT) AS n_orders,
+       round(avg(ts - prev_ts) / 86400000000.0, 6) AS mean_gap_days
+FROM s GROUP BY 1 HAVING count(*) >= 2"""
+
     # split-balance PSI: train vs test doc-length distribution
     # (split rule = split_assign's md5 thresholds; Laplace-smoothed)
     o["split_balance_psi"] = """

@@ -4714,3 +4714,45 @@ def split_balance_psi(sf_dir: str, *, bucket_width: float = 100.0):
     return pd.DataFrame({
         "bucket": wide.index.to_numpy(dtype=np.int64),
         "n_train": n_tr, "n_test": n_te, "psi_term": psi})
+
+
+def orders_interarrival(sf_dir: str):
+    """Per-customer reorder cadence — mean gap in days between consecutive
+    orders (the classic CRM repurchase feature): customers with >= 2
+    orders only; order sequence by (o_orderdate, o_orderkey) for a
+    deterministic tie-break. -> (o_custkey, n_orders, mean_gap_days).
+
+    Scale shape: ONE customer-keyed bucket shuffle; gaps are a vectorized
+    diff over each co-located per-customer segment (the sessionize
+    shape). Gap arithmetic is integer microseconds divided once at the
+    end; mean rounded to 6."""
+    from ..util import bucket_map_keyed
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate"],
+                   blocks=fanout_blocks(0.5))
+    day_us = 86_400_000_000.0
+
+    def _gaps(g: pd.DataFrame) -> pd.DataFrame:
+        b = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        cust = b["o_custkey"].to_numpy()
+        ts = b["o_orderdate"].to_numpy().astype("datetime64[us]").astype(
+            np.int64)
+        new = np.ones(len(cust), dtype=bool)
+        new[1:] = cust[1:] != cust[:-1]
+        gi = np.cumsum(new) - 1
+        n = np.bincount(gi)
+        gap = np.diff(ts)
+        same = ~new[1:]  # gap between consecutive rows of the SAME cust
+        sums = np.bincount(gi[1:][same], weights=gap[same].astype(
+            np.float64), minlength=len(n))
+        keep = n >= 2
+        mean_days = np.round(sums[keep] / (n[keep] - 1) / day_us, 6)
+        return pd.DataFrame({
+            "o_custkey": cust[new][keep],
+            "n_orders": n[keep].astype(np.int64),
+            "mean_gap_days": mean_days,
+        })
+
+    return bucket_map_keyed(orders, ["o_custkey"], _gaps)
