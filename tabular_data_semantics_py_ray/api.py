@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_prop_cardinality(sf_dir: str):
+    """Per-predicate cardinality profile (functional-ness QA): one
+    (pred, subj) combiner count + predicate-sized second aggregate."""
+    from .pipelines.queries_kg import kg_prop_cardinality
+
+    return kg_prop_cardinality(sf_dir)
+
+
 def q_kg_cta_confidence(sf_dir: str):
     """CTA winner with vote share (annotation-confidence report): one
     doc-keyed shuffle, winner + totals vectorized per bucket."""
@@ -1268,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank_personalized": q_kg_pagerank_personalized,
         "kg_components": q_kg_components,
         "kg_cta_confidence": q_kg_cta_confidence,
+        "kg_prop_cardinality": q_kg_prop_cardinality,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -1697,6 +1697,19 @@ SELECT pred, count(*) AS n_triples,
        count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj
 FROM ({_TRIPLES_SUB}) GROUP BY pred"""
 
+    # per-predicate cardinality profile (functional-ness QA)
+    o["kg_prop_cardinality"] = f"""
+WITH ps AS (
+  SELECT pred, subj, count(*) AS c
+  FROM ({_TRIPLES_SUB}) GROUP BY 1, 2
+)
+SELECT pred, cast(sum(c) AS BIGINT) AS n_triples,
+       cast(count(*) AS BIGINT) AS n_subjects,
+       round(cast(sum(c) AS DOUBLE) / cast(count(*) AS DOUBLE), 6)
+           AS avg_per_subj,
+       cast(max(c) AS BIGINT) AS max_per_subj
+FROM ps GROUP BY 1"""
+
     o["kg_neighborhood_topk"] = f"""
 SELECT subj, pred, obj FROM (
   SELECT subj, pred, obj,

@@ -1800,3 +1800,46 @@ def kg_cta_confidence(sf_dir: str):
                     "confidence"]]
 
     return bucket_map_keyed(typed, ["doc_id"], _winner, pre=_pre)
+
+
+def kg_prop_cardinality(sf_dir: str):
+    """Per-predicate cardinality profile over the materialized triples —
+    the schema-QA report behind 'can I treat this property as
+    functional': triples, distinct subjects, mean and max objects per
+    subject. -> (pred, n_triples, n_subjects, avg_per_subj, max_per_subj).
+
+    Scale shape: ONE (pred, subj) combiner count (per-batch partials
+    thin the triple stream first), then a predicate-keyed second
+    aggregate; output is |predicates| rows. The mean divides exact
+    integer totals once, rounded to 6."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..util import bucket_aggregate
+    from .kg_pipeline import build_triples
+
+    triples = build_triples(sf_dir)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t.column("pred"), t.column("subj"),
+             pa.array(np.ones(t.num_rows, dtype=np.int64))],
+            names=["pred", "subj", "one"])
+
+    per_subj = bucket_aggregate(
+        triples.map_batches(_pairs, batch_format="pyarrow"),
+        ["pred", "subj"], {"c": ("one", "sum")})
+
+    def _one(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, dtype=np.int64)))
+
+    out = bucket_aggregate(
+        per_subj.map_batches(_one, batch_format="pyarrow"),
+        ["pred"], {"n_triples": ("c", "sum"), "n_subjects": ("one", "sum"),
+                   "max_per_subj": ("c", "max")}).to_pandas()
+    out["avg_per_subj"] = np.round(
+        out["n_triples"].to_numpy().astype(np.float64)
+        / out["n_subjects"].to_numpy().astype(np.float64), 6)
+    return out[["pred", "n_triples", "n_subjects", "avg_per_subj",
+                "max_per_subj"]].sort_values("pred").reset_index(drop=True)
