@@ -91,6 +91,33 @@ def test_ngram_pushdown_shuffle_route_matches_default():
     pd.testing.assert_frame_equal(default, routed)
 
 
+def test_pushdown_lazy_branch_matches_broadcast():
+    """pushdown_max_docs=0 forces the lazy filtered-stream -> shuffle
+    verify route (the 'too many candidate docs to pin' branch)."""
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        _verify_with_pushdown, shingle_signatures_batch)
+
+    docs = rd.from_pandas(_docs_df())
+    ids = _docs_df()["doc_id"].tolist()
+    pairs = rd.from_pandas(pd.DataFrame(
+        [(a, b) for a in ids for b in ids if a < b],
+        columns=["doc_a", "doc_b"]))
+
+    def _sh(t):
+        return shingle_signatures_batch(t, ngram=3, with_sig=False)
+
+    default = _collect(_verify_with_pushdown(
+        pairs, docs, _sh, threshold=0.8, broadcast_max_pairs=5_000_000))
+    lazy = _collect(_verify_with_pushdown(
+        rd.from_pandas(pd.DataFrame(
+            [(a, b) for a in ids for b in ids if a < b],
+            columns=["doc_a", "doc_b"])),
+        rd.from_pandas(_docs_df()), _sh, threshold=0.8,
+        broadcast_max_pairs=5_000_000, pushdown_max_docs=0))
+    assert len(default) == 10
+    pd.testing.assert_frame_equal(default, lazy)
+
+
 def test_broadcast_verify_empty_pairs():
     from tabular_data_semantics_py_ray.stages.dedup import (
         verify_pairs_broadcast)
