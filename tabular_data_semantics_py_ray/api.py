@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_symmetry_census(sf_dir: str):
+    """Empirical predicate-symmetry census (missing-axiom / dirty-data
+    QA): unordered-pair shuffle + predicate-sized aggregate."""
+    from .pipelines.queries_kg import kg_symmetry_census
+
+    return kg_symmetry_census(sf_dir)
+
+
 def q_kg_prop_cardinality(sf_dir: str):
     """Per-predicate cardinality profile (functional-ness QA): one
     (pred, subj) combiner count + predicate-sized second aggregate."""
@@ -1277,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": q_kg_components,
         "kg_cta_confidence": q_kg_cta_confidence,
         "kg_prop_cardinality": q_kg_prop_cardinality,
+        "kg_symmetry_census": q_kg_symmetry_census,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

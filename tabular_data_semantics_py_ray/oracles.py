@@ -1697,6 +1697,24 @@ SELECT pred, count(*) AS n_triples,
        count(DISTINCT subj) AS n_subj, count(DISTINCT obj) AS n_obj
 FROM ({_TRIPLES_SUB}) GROUP BY pred"""
 
+    # empirical predicate symmetry over distinct URI edges (self-loops
+    # count symmetric)
+    o["kg_symmetry_census"] = f"""
+WITH e AS (
+  SELECT DISTINCT pred, subj, obj FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+)
+SELECT e.pred, cast(count(*) AS BIGINT) AS n_edges,
+       cast(sum(CASE WHEN e.subj = e.obj OR r.subj IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_symmetric,
+       round(cast(sum(CASE WHEN e.subj = e.obj OR r.subj IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / cast(count(*) AS DOUBLE), 6) AS sym_ratio
+FROM e LEFT JOIN e r
+  ON r.pred = e.pred AND r.subj = e.obj AND r.obj = e.subj
+     AND e.subj <> e.obj
+GROUP BY 1"""
+
     # per-predicate cardinality profile (functional-ness QA)
     o["kg_prop_cardinality"] = f"""
 WITH ps AS (

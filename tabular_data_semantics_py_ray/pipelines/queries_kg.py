@@ -1843,3 +1843,59 @@ def kg_prop_cardinality(sf_dir: str):
         / out["n_subjects"].to_numpy().astype(np.float64), 6)
     return out[["pred", "n_triples", "n_subjects", "avg_per_subj",
                 "max_per_subj"]].sort_values("pred").reset_index(drop=True)
+
+
+def kg_symmetry_census(sf_dir: str):
+    """Empirical predicate-symmetry census — the schema-QA complement to
+    the DECLARED owl:SymmetricProperty axioms: per predicate over
+    URI-object triples, how many edges have their reverse present, and
+    the symmetry ratio. A high ratio on an undeclared predicate is a
+    missing axiom; a low ratio on a declared one is dirty data.
+    -> (pred, n_edges, n_symmetric, sym_ratio).
+
+    Scale shape: ONE bucket shuffle keyed on the UNORDERED endpoint pair
+    + predicate (both directions of an edge co-locate), a vectorized
+    per-bucket direction count, then a predicate-sized aggregate."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_map_keyed
+    from .kg_pipeline import build_triples
+
+    def _edges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(t.column("obj_is_literal")))
+        lo = pc.min_element_wise(t.column("subj"), t.column("obj"))
+        hi = pc.max_element_wise(t.column("subj"), t.column("obj"))
+        fwd = pc.equal(t.column("subj"), lo)  # direction flag
+        return pa.Table.from_arrays(
+            [t.column("pred"), lo, hi, fwd.cast(pa.int8())],
+            names=["pred", "lo", "hi", "fwd"])
+
+    edges = bucket_distinct(
+        build_triples(sf_dir).map_batches(_edges, batch_format="pyarrow"),
+        ["pred", "lo", "hi", "fwd"])
+
+    def _directions(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["pred", "lo", "hi"], sort=False)["fwd"].agg(
+            n_dir="size").reset_index()
+        c["both"] = (c["n_dir"] == 2).astype("int64")
+        # n_edges counts DIRECTED edges; self-loops (lo == hi) collapse
+        # to one distinct row and are symmetric by definition
+        self_loop = (c["lo"] == c["hi"]).to_numpy()
+        c["n_edges"] = np.where(self_loop, 1, c["n_dir"]).astype("int64")
+        c["n_symmetric"] = np.where(
+            self_loop, 1, 2 * c["both"].to_numpy()).astype("int64")
+        g2 = c.groupby("pred", sort=False).agg(
+            n_edges=("n_edges", "sum"),
+            n_symmetric=("n_symmetric", "sum")).reset_index()
+        return g2
+
+    per_pred = bucket_aggregate(
+        bucket_map_keyed(edges, ["pred", "lo", "hi"], _directions),
+        ["pred"], {"n_edges": ("n_edges", "sum"),
+                   "n_symmetric": ("n_symmetric", "sum")}).to_pandas()
+    per_pred["sym_ratio"] = np.round(
+        per_pred["n_symmetric"].to_numpy().astype(np.float64)
+        / per_pred["n_edges"].to_numpy().astype(np.float64), 6)
+    return per_pred.sort_values("pred").reset_index(drop=True)
