@@ -859,6 +859,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_events_bounce_rate(sf_dir: str):
+    """Per-day single-event-session share (30-min session rule): the
+    sessionizer shuffle emitting date-bounded partials."""
+    from .pipelines.relational import events_bounce_rate
+
+    return events_bounce_rate(sf_dir)
+
+
 def q_orders_interarrival(sf_dir: str):
     """Per-customer mean reorder gap in days: one customer-keyed shuffle,
     vectorized per-segment diffs."""
@@ -1402,6 +1410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_lifespan": q_events_user_lifespan,
         "split_balance_psi": q_split_balance_psi,
         "orders_interarrival": q_orders_interarrival,
+        "events_bounce_rate": q_events_bounce_rate,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2801,6 +2801,34 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # per-day bounce rate (single-event sessions / sessions started that
+    # day; 30-minute gap rule matching events_sessionize)
+    o["events_bounce_rate"] = """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts,
+         cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+  FROM o
+),
+g AS (
+  SELECT user_id, session_idx, count(*) AS n,
+         min(epoch_us(ts)) // 86400000000 AS day
+  FROM s GROUP BY 1, 2
+)
+SELECT day, cast(count(*) AS BIGINT) AS n_sessions,
+       cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       round(cast(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / cast(count(*) AS DOUBLE), 6) AS bounce_rate
+FROM g GROUP BY 1"""
+
     # per-customer mean reorder gap (>= 2 orders; deterministic sequence
     # by orderdate then orderkey)
     o["orders_interarrival"] = """

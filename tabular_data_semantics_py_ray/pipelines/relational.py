@@ -4756,3 +4756,47 @@ def orders_interarrival(sf_dir: str):
         })
 
     return bucket_map_keyed(orders, ["o_custkey"], _gaps)
+
+
+def events_bounce_rate(sf_dir: str, *, gap_minutes: int = 30):
+    """Per-day bounce rate — the fraction of sessions (30-minute gap
+    rule, same as `events_sessionize`) holding exactly ONE event, keyed
+    by the session's start day: (day, n_sessions, n_bounces, bounce_rate).
+    The engagement-quality headline of a product-analytics pipeline.
+
+    Scale shape: the sessionizer's ONE user-keyed shuffle emits per-batch
+    (day, n_sessions, n_bounces) partials instead of per-session rows, so
+    the second aggregate is date-bounded."""
+    from ..util import bucket_aggregate, bucket_map_keyed
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"], blocks=fanout_blocks(0.5))
+    gap = np.timedelta64(gap_minutes * 60, "s")
+    day_us = 86_400_000_000
+
+    def _sessions(bucket: pd.DataFrame) -> pd.DataFrame:
+        b = bucket.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = b["ts"].to_numpy()
+        uid = b["user_id"].to_numpy()
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > gap)
+        sid = np.cumsum(new) - 1
+        n = np.bincount(sid)
+        start_day = ts[new].astype("datetime64[us]").astype(
+            np.int64) // day_us
+        g = pd.DataFrame({"day": start_day,
+                          "one": np.ones(len(n), dtype=np.int64),
+                          "bounce": (n == 1).astype(np.int64)})
+        out = g.groupby("day", sort=False).agg(
+            n_sessions=("one", "sum"), n_bounces=("bounce", "sum")
+        ).reset_index()
+        return out
+
+    daily = bucket_aggregate(
+        bucket_map_keyed(ev, ["user_id"], _sessions),
+        ["day"], {"n_sessions": ("n_sessions", "sum"),
+                  "n_bounces": ("n_bounces", "sum")}).to_pandas()
+    daily["bounce_rate"] = np.round(
+        daily["n_bounces"].to_numpy().astype(np.float64)
+        / daily["n_sessions"].to_numpy().astype(np.float64), 6)
+    return daily.sort_values("day").reset_index(drop=True)
