@@ -859,6 +859,15 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_customer_rfm(sf_dir: str):
+    """Customer RFM segmentation block (recency/frequency/monetary +
+    quintile scores): one customer combiner aggregate, three bounded
+    histogram threshold reads, shuffle-free score map."""
+    from .pipelines.relational import customer_rfm
+
+    return customer_rfm(sf_dir)
+
+
 def q_events_bounce_rate(sf_dir: str):
     """Per-day single-event-session share (30-min session rule): the
     sessionizer shuffle emitting date-bounded partials."""
@@ -1411,6 +1420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_balance_psi": q_split_balance_psi,
         "orders_interarrival": q_orders_interarrival,
         "events_bounce_rate": q_events_bounce_rate,
+        "customer_rfm": q_customer_rfm,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

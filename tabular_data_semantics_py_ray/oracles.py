@@ -2801,6 +2801,35 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # customer RFM: quantile_disc quintile thresholds, ties to the lower
+    # bucket (score = 1 + #thresholds strictly below)
+    o["customer_rfm"] = """
+WITH a AS (SELECT epoch_us(max(o_orderdate)) AS anchor FROM orders),
+c AS (
+  SELECT o_custkey,
+         (a.anchor - epoch_us(max(o_orderdate))) // 86400000000 AS r,
+         count(*) AS f,
+         cast(floor(sum(o_totalprice) / 100.0) AS BIGINT) AS mb,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders, a GROUP BY 1, a.anchor
+),
+t AS (SELECT quantile_disc(r, [0.2, 0.4, 0.6, 0.8]) AS tr,
+             quantile_disc(f, [0.2, 0.4, 0.6, 0.8]) AS tf,
+             quantile_disc(mb, [0.2, 0.4, 0.6, 0.8]) AS tm
+      FROM c)
+SELECT c.o_custkey, cast(c.r AS BIGINT) AS recency_days,
+       cast(c.f AS BIGINT) AS frequency, c.monetary,
+       cast(1 + cast(c.r > t.tr[1] AS INT) + cast(c.r > t.tr[2] AS INT)
+              + cast(c.r > t.tr[3] AS INT) + cast(c.r > t.tr[4] AS INT)
+            AS BIGINT) AS r_score,
+       cast(1 + cast(c.f > t.tf[1] AS INT) + cast(c.f > t.tf[2] AS INT)
+              + cast(c.f > t.tf[3] AS INT) + cast(c.f > t.tf[4] AS INT)
+            AS BIGINT) AS f_score,
+       cast(1 + cast(c.mb > t.tm[1] AS INT) + cast(c.mb > t.tm[2] AS INT)
+              + cast(c.mb > t.tm[3] AS INT) + cast(c.mb > t.tm[4] AS INT)
+            AS BIGINT) AS m_score
+FROM c, t"""
+
     # per-day bounce rate (single-event sessions / sessions started that
     # day; 30-minute gap rule matching events_sessionize)
     o["events_bounce_rate"] = """

@@ -4800,3 +4800,91 @@ def events_bounce_rate(sf_dir: str, *, gap_minutes: int = 30):
         daily["n_bounces"].to_numpy().astype(np.float64)
         / daily["n_sessions"].to_numpy().astype(np.float64), 6)
     return daily.sort_values("day").reset_index(drop=True)
+
+
+def customer_rfm(sf_dir: str):
+    """Customer RFM scoring — the classic segmentation feature block:
+    per customer, recency (days since last order, anchored at the global
+    max order date), frequency (order count), monetary (total spend), and
+    quintile scores 1-5 per dimension. Scores use quantile_disc
+    thresholds (the 'sorted element at ceil(q*n)-1' convention of
+    `doc_len_quantiles`) with score = 1 + number of thresholds STRICTLY
+    below the value — ties fall to the lower bucket deterministically on
+    both engines. Monetary is thresholded on floor(m/100) buckets so its
+    domain stays bounded (the counting-sort quantile requirement);
+    recency and frequency are naturally small-domain ints. NOTE the
+    recency score follows the same higher-value-higher-score rule, so
+    r_score 5 = longest inactive.
+
+    Scale shape: ONE customer-keyed combiner aggregate, three
+    domain-sized histogram aggregates for the thresholds (driver reads
+    |distinct values| rows, bounded), then a shuffle-free score map."""
+    import math
+
+    from ..util import bucket_aggregate
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"],
+                   blocks=fanout_blocks(0.5))
+    day_us = 86_400_000_000
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("o_custkey", sort=False).agg(
+            last_ts=("o_orderdate", "max"), f=("o_orderdate", "size"),
+            m=("o_totalprice", "sum")).reset_index()
+        g["f"] = g["f"].astype("int64")
+        return g
+
+    cust = bucket_aggregate(
+        orders.map_batches(_partial, batch_format="pandas"),
+        ["o_custkey"],
+        {"last_ts": ("last_ts", "max"), "f": ("f", "sum"),
+         "m": ("m", "sum")}).materialize()
+
+    import pyarrow.compute as pc
+
+    anchor = max(
+        int(pc.max(t.column("last_ts").cast(pa.timestamp("us"))
+                   .cast(pa.int64())).as_py())
+        for t in cust.iter_batches(batch_format="pyarrow") if t.num_rows)
+
+    def _dims(b: pd.DataFrame) -> pd.DataFrame:
+        last = b["last_ts"].astype("datetime64[us]").astype("int64")
+        return pd.DataFrame({
+            "o_custkey": b["o_custkey"].astype("int64"),
+            "r": (anchor - last) // day_us,
+            "f": b["f"].astype("int64"),
+            "mb": np.floor(b["m"].to_numpy() / 100.0).astype("int64"),
+            "monetary": np.round(b["m"].to_numpy(), 2),
+        })
+
+    dims = cust.map_batches(_dims, batch_format="pandas").materialize()
+
+    def _thresholds(col: str) -> np.ndarray:
+        hist = bucket_aggregate(
+            dims, [col], {"n": (col, "count")}).to_pandas()
+        hist = hist.sort_values(col)
+        vals = hist[col].to_numpy()
+        cum = np.cumsum(hist["n"].to_numpy())
+        n = int(cum[-1])
+        return np.array([
+            vals[np.searchsorted(cum, max(0, math.ceil(q * n) - 1) + 1)]
+            for q in (0.2, 0.4, 0.6, 0.8)], dtype=np.float64)
+
+    tr, tf, tm = (_thresholds(c) for c in ("r", "f", "mb"))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        def s(v, t):
+            return (1 + (v[:, None] > t[None, :]).sum(axis=1)).astype(
+                "int64")
+
+        out = b[["o_custkey", "monetary"]].copy()
+        out["recency_days"] = b["r"].astype("int64")
+        out["frequency"] = b["f"].astype("int64")
+        out["r_score"] = s(b["r"].to_numpy(np.float64), tr)
+        out["f_score"] = s(b["f"].to_numpy(np.float64), tf)
+        out["m_score"] = s(b["mb"].to_numpy(np.float64), tm)
+        return out[["o_custkey", "recency_days", "frequency", "monetary",
+                    "r_score", "f_score", "m_score"]]
+
+    return dims.map_batches(_score, batch_format="pandas")
