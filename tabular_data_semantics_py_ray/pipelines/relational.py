@@ -4843,10 +4843,19 @@ def customer_rfm(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    anchor = max(
-        int(pc.max(t.column("last_ts").cast(pa.timestamp("us"))
-                   .cast(pa.int64())).as_py())
-        for t in cust.iter_batches(batch_format="pyarrow") if t.num_rows)
+    def _bmax(t: pa.Table) -> pa.Table:
+        # per-batch partial max so only ONE int per block reaches the
+        # driver (iter_batches here would stream the whole customer table)
+        if t.num_rows == 0:
+            return pa.Table.from_arrays([pa.array([], type=pa.int64())],
+                                        names=["mx"])
+        v = pc.max(t.column("last_ts").cast(pa.timestamp("us"))
+                   .cast(pa.int64())).as_py()
+        return pa.Table.from_arrays([pa.array([v], type=pa.int64())],
+                                    names=["mx"])
+
+    anchor = int(cust.map_batches(
+        _bmax, batch_format="pyarrow").to_pandas()["mx"].max())
 
     def _dims(b: pd.DataFrame) -> pd.DataFrame:
         last = b["last_ts"].astype("datetime64[us]").astype("int64")
