@@ -859,6 +859,14 @@ def q_dedup_cluster_census(sf_dir: str):
         dedup_components(near_dup_pairs_minhash(_documents(sf_dir))))
 
 
+def q_dedup_jaccard_histogram(sf_dir: str):
+    """Near-dup similarity histogram at 0.05 resolution (threshold
+    tuning): deterministic ngram path at t=0.5 + pair-bounded count."""
+    from .pipelines.relational import dedup_jaccard_histogram
+
+    return dedup_jaccard_histogram(sf_dir)
+
+
 def q_customer_rfm(sf_dir: str):
     """Customer RFM segmentation block (recency/frequency/monetary +
     quintile scores): one customer combiner aggregate, three bounded
@@ -1421,6 +1429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_interarrival": q_orders_interarrival,
         "events_bounce_rate": q_events_bounce_rate,
         "customer_rfm": q_customer_rfm,
+        "dedup_jaccard_histogram": q_dedup_jaccard_histogram,
         "doc_scrub_pii": q_doc_scrub_pii,
         "source_temperature_mix": q_source_temperature_mix,
         "ann_topk_pq": q_ann_topk_pq,

@@ -2801,6 +2801,16 @@ SELECT c.doc_id, cast(n.n AS BIGINT) AS n_grams,
        round(-sum((c.c / n.n) * log2(c.c / n.n)), 6) + 0.0 AS entropy
 FROM c JOIN n USING (doc_id) GROUP BY c.doc_id, n.n"""
 
+    # near-dup similarity histogram (ngram candidate path at t=0.5,
+    # 0.05-resolution buckets over the round-6 jaccard)
+    o["dedup_jaccard_histogram"] = o["dedup_ngram_jaccard"].replace(
+        "SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard "
+        "FROM j WHERE jaccard >= 0.8",
+        """SELECT cast(floor(round(jaccard, 6) * 20) AS BIGINT) AS bucket,
+       cast(count(*) AS BIGINT) AS n_pairs
+FROM j WHERE jaccard >= 0.5 GROUP BY 1""",
+    )
+
     # customer RFM: quantile_disc quintile thresholds, ties to the lower
     # bucket (score = 1 + #thresholds strictly below)
     o["customer_rfm"] = """

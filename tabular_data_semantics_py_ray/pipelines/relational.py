@@ -4897,3 +4897,32 @@ def customer_rfm(sf_dir: str):
                     "r_score", "f_score", "m_score"]]
 
     return dims.map_batches(_score, batch_format="pandas")
+
+
+def dedup_jaccard_histogram(sf_dir: str):
+    """Similarity histogram of verified near-dup pairs — the
+    threshold-tuning diagnostic (where does the pair mass sit relative to
+    the 0.8 dedup cutoff?): exact-Jaccard pairs at >= 0.5 from the
+    DETERMINISTIC rare-shingle candidate path, bucketed at 0.05
+    resolution. -> (bucket, n_pairs), bucket = floor(jaccard * 20).
+
+    Scale shape: the ngram near-dup operator at the lower threshold (its
+    PPJoin prune and candidate bounds hold at any t), then ONE tiny
+    combiner count over the pair-bounded output."""
+    from ..stages.dedup import near_dup_pairs_ngram
+    from ..util import bucket_aggregate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"],
+                 blocks=fanout_blocks(0.5))
+    pairs = near_dup_pairs_ngram(docs, threshold=0.5)
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        j = t.column("jaccard").to_numpy(zero_copy_only=False)
+        b = np.floor(j * 20).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(b), pa.array(np.ones(len(b), dtype=np.int64))],
+            names=["bucket", "one"])
+
+    return bucket_aggregate(
+        pairs.map_batches(_bucket, batch_format="pyarrow"),
+        ["bucket"], {"n_pairs": ("one", "sum")})
