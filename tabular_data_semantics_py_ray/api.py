@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_entity_pmi(sf_dir: str):
+    """Entity co-occurrence PMI (CPA relation strength): marginals
+    attach via two hash-partitioned joins — never a driver merge."""
+    from .pipelines.queries_kg import kg_entity_pmi
+
+    return kg_entity_pmi(sf_dir)
+
+
 def q_kg_symmetry_census(sf_dir: str):
     """Empirical predicate-symmetry census (missing-axiom / dirty-data
     QA): unordered-pair shuffle + predicate-sized aggregate."""
@@ -1311,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cta_confidence": q_kg_cta_confidence,
         "kg_prop_cardinality": q_kg_prop_cardinality,
         "kg_symmetry_census": q_kg_symmetry_census,
+        "kg_entity_pmi": q_kg_entity_pmi,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -539,6 +539,25 @@ SELECT f.surface_form, cast(m.n_mentions AS BIGINT) AS n_mentions,
        cast(f.n_candidates AS BIGINT) AS n_candidates
 FROM fan f JOIN m ON m.mention = f.surface_form"""
 
+    # entity co-occurrence PMI (doc-count probabilities)
+    o["kg_entity_pmi"] = f"""WITH {_kg_ctes()},
+ents AS (SELECT DISTINCT doc_id, entity_uri FROM linked),
+nn AS (SELECT count(DISTINCT doc_id) AS n FROM ents),
+marg AS (SELECT entity_uri, count(*) AS c FROM ents GROUP BY 1),
+pairs AS (
+  SELECT a.entity_uri AS uri_a, b.entity_uri AS uri_b, count(*) AS n_both
+  FROM ents a JOIN ents b
+    ON a.doc_id = b.doc_id AND a.entity_uri < b.entity_uri
+  GROUP BY 1, 2)
+SELECT p.uri_a, p.uri_b, cast(p.n_both AS BIGINT) AS n_both,
+       round(log2((cast(p.n_both AS DOUBLE) * cast(nn.n AS DOUBLE))
+                  / (cast(ma.c AS DOUBLE) * cast(mb.c AS DOUBLE))), 6)
+           AS pmi
+FROM pairs p
+CROSS JOIN nn
+JOIN marg ma ON ma.entity_uri = p.uri_a
+JOIN marg mb ON mb.entity_uri = p.uri_b"""
+
     # type co-occurrence PMI: doc-count probabilities, Thing excluded to
     # mirror join_types_batches' AVOID_TOP_CONCEPTS filter
     o["kg_type_pmi"] = f"""WITH {_kg_ctes()},

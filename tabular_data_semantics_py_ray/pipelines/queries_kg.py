@@ -1899,3 +1899,58 @@ def kg_symmetry_census(sf_dir: str):
         per_pred["n_symmetric"].to_numpy().astype(np.float64)
         / per_pred["n_edges"].to_numpy().astype(np.float64), 6)
     return per_pred.sort_values("pred").reset_index(drop=True)
+
+
+def kg_entity_pmi(sf_dir: str):
+    """Entity co-occurrence PMI — the relation-STRENGTH score on top of
+    `cpa_cooccur`'s raw counts (two entities that co-occur often relative
+    to their marginals are the CPA relation candidates worth scoring):
+    (uri_a, uri_b, n_both, pmi) with doc-count probabilities,
+    uri_a < uri_b.
+
+    Scale shape: unlike the type variant (type pairs are
+    ontology-bounded), the ENTITY pair table is corpus-bounded, so the
+    marginals attach via two hash-partitioned bucket joins — never a
+    driver merge; N (docs with >= 1 link) is one distinct count."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..util import bucket_aggregate, bucket_distinct, bucket_join
+
+    linked = _linked_flat(sf_dir)
+    ents = bucket_distinct(
+        linked.map_batches(lambda b: b[["doc_id", "entity_uri"]],
+                           batch_format="pandas"),
+        ["doc_id", "entity_uri"]).materialize()
+    n_docs = bucket_distinct(ents, ["doc_id"]).count()
+    marg = bucket_aggregate(ents, ["entity_uri"],
+                            {"c": ("doc_id", "count")})
+
+    pairs = cpa_cooccur(sf_dir)  # (uri_a, uri_b, n_docs) distinct pairs
+
+    from ..util import rename_cols
+
+    pairs = rename_cols(pairs, {"n_docs": "n_both"})
+    j1 = bucket_join(
+        pairs, marg, key="uri_a", right_key="entity_uri",
+        left_cols={"uri_b": pa.string(), "n_both": pa.int64()},
+        right_cols={"c": pa.int64()}, key_type=pa.string())
+    j1 = rename_cols(j1, {"c": "ca"})
+    j2 = bucket_join(
+        j1, marg, key="uri_b", right_key="entity_uri",
+        left_cols={"uri_a": pa.string(), "n_both": pa.int64(),
+                   "ca": pa.int64()},
+        right_cols={"c": pa.int64()}, key_type=pa.string())
+
+    def _pmi(t: pa.Table) -> pa.Table:
+        nb = t.column("n_both").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ca = t.column("ca").to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = t.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.round(np.log2((nb * float(n_docs)) / (ca * cb)), 6)
+        return pa.Table.from_arrays(
+            [t.column("uri_a"), t.column("uri_b"),
+             t.column("n_both"), pa.array(pmi)],
+            names=["uri_a", "uri_b", "n_both", "pmi"])
+
+    return j2.map_batches(_pmi, batch_format="pyarrow")
