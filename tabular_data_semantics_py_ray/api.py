@@ -72,6 +72,14 @@ def q_kg_cta_ancestors(sf_dir: str):
     return cta_type_ancestors(sf_dir)
 
 
+def q_kg_bfs_distances(sf_dir: str):
+    """BFS distances from the min-node seed over the undirected entity
+    graph: per-level join + distinct + anti-join frontier loop."""
+    from .pipelines.queries_kg import kg_bfs_distances
+
+    return kg_bfs_distances(sf_dir)
+
+
 def q_kg_entity_pmi(sf_dir: str):
     """Entity co-occurrence PMI (CPA relation strength): marginals
     attach via two hash-partitioned joins — never a driver merge."""
@@ -1320,6 +1328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_prop_cardinality": q_kg_prop_cardinality,
         "kg_symmetry_census": q_kg_symmetry_census,
         "kg_entity_pmi": q_kg_entity_pmi,
+        "kg_bfs_distances": q_kg_bfs_distances,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

@@ -2113,6 +2113,28 @@ r0 AS (SELECT n, CASE WHEN n = (SELECT mn FROM seed)
         "WITH " + ",\n".join(_ppr_parts)
         + "\nSELECT n AS node, round(r, 6) AS pagerank FROM r5")
 
+    # BFS distances from the min-node seed over the undirected KG graph
+    # (depth cap 32 mirrors the engine's max_depth)
+    o["kg_bfs_distances"] = f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT subj AS u, obj AS v FROM ({_TRIPLES_SUB})
+  WHERE NOT obj_is_literal
+),
+und AS (
+  SELECT u, v FROM e0
+  UNION
+  SELECT v, u FROM e0
+),
+seed AS (SELECT min(least(u, v)) AS mn FROM und),
+walk(node, d) AS (
+  SELECT mn, 0 FROM seed
+  UNION
+  SELECT und.v, walk.d + 1
+  FROM walk JOIN und ON walk.node = und.u
+  WHERE walk.d < 32
+)
+SELECT node, cast(min(d) AS BIGINT) AS distance FROM walk GROUP BY node"""
+
     # weakly-connected components of the URI-object KG graph
     o["kg_components"] = f"""
 WITH RECURSIVE e0 AS (

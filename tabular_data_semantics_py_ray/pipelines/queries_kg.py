@@ -1954,3 +1954,134 @@ def kg_entity_pmi(sf_dir: str):
             names=["uri_a", "uri_b", "n_both", "pmi"])
 
     return j2.map_batches(_pmi, batch_format="pyarrow")
+
+
+def _bfs_single_task(und, *, max_depth: int):
+    """Vectorized numpy BFS over a coalesced undirected edge block (the
+    components/pagerank single-task rationale: per-level distributed
+    rounds cost 3 barriers each, which dwarfs an in-memory CSR sweep for
+    any edge list that fits a worker). Seed = min node = index 0 of the
+    sorted np.unique factorization."""
+    import numpy as np
+    import pyarrow as pa
+
+    def _bfs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        eu, ev = inv[: len(u)], inv[len(u):]
+        order = np.argsort(eu, kind="stable")
+        eu_s, ev_s = eu[order], ev[order]
+        indptr = np.searchsorted(eu_s, np.arange(len(nodes) + 1))
+        dist = np.full(len(nodes), -1, dtype=np.int64)
+        dist[0] = 0
+        frontier = np.array([0], dtype=np.int64)
+        for d in range(1, max_depth + 1):
+            counts = indptr[frontier + 1] - indptr[frontier]
+            total = int(counts.sum())
+            if total == 0:
+                break
+            flat = np.arange(total) + np.repeat(
+                indptr[frontier] - np.concatenate(
+                    [[0], np.cumsum(counts)[:-1]]), counts)
+            nbrs = np.unique(ev_s[flat])
+            fresh = nbrs[dist[nbrs] < 0]
+            if len(fresh) == 0:
+                break
+            dist[fresh] = d
+            frontier = fresh
+        keep = dist >= 0
+        return pa.Table.from_arrays(
+            [pa.array(nodes[keep]), pa.array(dist[keep])],
+            names=["node", "distance"])
+
+    return und.repartition(1).map_batches(
+        _bfs, batch_format="pyarrow", batch_size=None)
+
+
+def kg_bfs_distances(sf_dir: str, *, max_depth: int = 32,
+                     single_task_max_edges: int = 50_000_000):
+    """BFS shortest-path distances from the seed (lexicographically
+    smallest node) over the UNDIRECTED entity graph — the distributed
+    frontier algorithm behind neighborhood radius queries and
+    connectivity QA. -> (node, distance) for every node reachable within
+    ``max_depth`` hops (the oracle's recursive walk carries the same
+    cap; a graph deeper than that truncates identically on both sides).
+
+    Scale shape: up to ``single_task_max_edges`` one numpy CSR sweep
+    (``_bfs_single_task``); beyond that the classic frontier loop — per
+    level ONE hash-partitioned join of the (node-bounded) frontier
+    against the edge list, one distinct, one anti-join against the
+    visited set; the loop exits when a frontier joins to nothing.
+    Visited and frontier are node-bounded; the edge list is materialized
+    once and re-scanned per level."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..util import bucket_anti_join, bucket_distinct, bucket_join
+
+    edges = _kg_uri_edges(sf_dir)
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["u", "v"])
+
+    und = bucket_distinct(
+        edges.map_batches(_undirect, batch_format="pyarrow"),
+        ["u", "v"]).materialize()
+
+    if und.count() <= single_task_max_edges:
+        return _bfs_single_task(und, max_depth=max_depth)
+
+    def _bmin(t: pa.Table) -> pa.Table:
+        # per-block partial min: only one string per block reaches the
+        # driver (iter_batches would stream the whole edge list)
+        if t.num_rows == 0:
+            return pa.Table.from_arrays([pa.array([], type=pa.string())],
+                                        names=["mn"])
+        v = pc.min(pc.min_element_wise(t.column("u"),
+                                       t.column("v"))).as_py()
+        return pa.Table.from_arrays([pa.array([v], type=pa.string())],
+                                    names=["mn"])
+
+    seed = und.map_batches(
+        _bmin, batch_format="pyarrow").to_pandas()["mn"].min()
+
+    visited = rd.from_arrow(pa.table({
+        "node": pa.array([seed], type=pa.string()),
+        "distance": pa.array([0], type=pa.int64()),
+    })).materialize()
+    frontier = visited
+
+    for depth in range(1, max_depth + 1):
+        # frontier x edges -> candidate next nodes at this depth
+        nxt = bucket_join(
+            frontier, und, key="node", right_key="u",
+            left_cols={}, right_cols={"v": pa.string()},
+            key_type=pa.string())
+        # distinct over BOTH columns (bucket_distinct keeps only its key
+        # columns); every row of a level shares the same distance, so
+        # this equals a per-node distinct
+        nxt = bucket_distinct(
+            nxt.map_batches(
+                lambda t, d=depth: pa.Table.from_arrays(
+                    [t.column("v"),
+                     pa.array([d] * t.num_rows, type=pa.int64())],
+                    names=["node", "distance"]),
+                batch_format="pyarrow"),
+            ["node", "distance"])
+        fresh = bucket_anti_join(
+            nxt, visited, key="node",
+            left_cols={"distance": pa.int64()},
+            key_type=pa.string()).materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+
+    return visited

@@ -111,3 +111,38 @@ def test_kg_components_paths_agree(ray_session):
     comp = s.set_index("node")["component_id"]
     assert set(comp[["a", "b", "c", "d", "e"]]) == {"a"}
     assert set(comp[["x", "y"]]) == {"x"}
+
+
+def test_bfs_paths_agree(ray_session):
+    from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+        _bfs_single_task)
+    import tabular_data_semantics_py_ray.pipelines.queries_kg as qk
+
+    pairs = GRAPH + [("x", "y")]  # second island is unreachable from 'a'
+    edges = _edges_ds(pairs)
+
+    def _undirect(t):
+        u = t.column("u").combine_chunks()
+        v = t.column("v").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["u", "v"])
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+    single = _bfs_single_task(und, max_depth=32).to_pandas()
+
+    # drive the DISTRIBUTED frontier loop by monkeypatching the edge
+    # source and forcing the fast-path guard off
+    orig = qk._kg_uri_edges
+    qk._kg_uri_edges = lambda sf: edges
+    try:
+        dist = qk.kg_bfs_distances("unused", single_task_max_edges=0
+                                   ).to_pandas()
+    finally:
+        qk._kg_uri_edges = orig
+    s = single.sort_values("node").reset_index(drop=True)
+    d = dist.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s, d)
+    got = s.set_index("node")["distance"]
+    assert got["a"] == 0 and got["b"] == 1 and got["e"] == 2
+    assert "x" not in got.index  # other island unreachable
