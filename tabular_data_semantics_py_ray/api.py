@@ -1301,6 +1301,29 @@ def q_kg_cea_link_ingested(sf_dir: str):
     return cea_link(sf_dir, backend="ingested")
 
 
+def q_kg_cta_ingested(sf_dir: str):
+    """CTA voting with BOTH the linker and the type table served by the
+    dump-ingested backend — extends the round-3 'backend everywhere'
+    routing past CEA: output equals the fixture-backend CTA (the dump
+    serializes the fixture KG plus non-colliding noise), so it shares
+    that oracle."""
+    import ray as _ray
+
+    from .constants import AVOID_TOP_CONCEPTS
+    from .pipelines.kg_ingest import ensure_ingested_backend
+    from .pipelines.queries_kg import _linked_flat
+    from .stages.canonicalize import (join_types_batches,
+                                      vote_types_from_typed)
+    from .state.backends import get_backend
+
+    ensure_ingested_backend("ingested")
+    t = get_backend("ingested").entity_types()
+    t = t[~t["type_uri"].isin(AVOID_TOP_CONCEPTS)]
+    typed = join_types_batches(_linked_flat(sf_dir, backend="ingested"),
+                               types_ref=_ray.put(t))
+    return vote_types_from_typed(typed, "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_cea_link": q_kg_cea_link,
@@ -1329,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_symmetry_census": q_kg_symmetry_census,
         "kg_entity_pmi": q_kg_entity_pmi,
         "kg_bfs_distances": q_kg_bfs_distances,
+        "kg_cta_ingested": q_kg_cta_ingested,
         "kg_cpa_relation": q_kg_cpa_relation,
         "kg_fuzzy_match": q_kg_fuzzy_match,
         "kg_triples": q_kg_triples,

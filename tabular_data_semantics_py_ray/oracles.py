@@ -497,6 +497,9 @@ JOIN votes v ON v.doc_id = w.doc_id AND v.type_uri = w.type_uri
 JOIN tot ON tot.doc_id = w.doc_id
 WHERE w.rn = 1"""
 
+    # ingested-backend CTA shares the fixture CTA oracle (same KG content)
+    o["kg_cta_ingested"] = o["kg_cta_doc_type"]
+
     o["kg_cta_ancestors"] = f"""WITH {_kg_ctes()},{_VOTE_CTES},
 closure(cls_uri, ancestor_uri, distance) AS (VALUES
     {class_closure_values_sql()})
