@@ -111,3 +111,40 @@ def test_rfm_tiny_population(edge_sf):
     assert out.loc[10, "frequency"] == 2
     assert out.loc[10, "monetary"] == 200.0
     assert out["m_score"].idxmax() == 10
+
+
+def test_topn_matches_pandas_groundtruth_random(tmp_path):
+    """Randomized (seeded) block-split invariance: the combiner-first
+    top-n must equal the single-frame pandas rank on skewed key
+    distributions (one hot customer owning most rows)."""
+    from tabular_data_semantics_py_ray.pipelines.relational import (
+        orders_topn_per_customer)
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    cust = np.where(rng.random(n) < 0.5, 1,
+                    rng.integers(2, 200, n))  # hot key 1
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_custkey": cust.astype(np.int64),
+        "o_orderstatus": ["F"] * n,
+        "o_totalprice": np.round(rng.random(n) * 1000, 2),
+        "o_orderdate": pd.to_datetime("2024-01-01"),
+        "o_orderpriority": ["1-URGENT"] * n,
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(d / "orders.parquet"))
+
+    got = orders_topn_per_customer(str(d), n=3).to_pandas().sort_values(
+        ["o_custkey", "rn"]).reset_index(drop=True)
+
+    ref = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                         ascending=[True, False, True], kind="mergesort")
+    ref["rn"] = ref.groupby("o_custkey", sort=False).cumcount() + 1
+    ref = ref[ref["rn"] <= 3][["o_custkey", "o_orderkey",
+                               "o_totalprice", "rn"]]
+    ref["rn"] = ref["rn"].astype("int64")
+    ref = ref.sort_values(["o_custkey", "rn"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, ref)
