@@ -481,6 +481,67 @@ def run_scaling():
     }))
 
 
+def run_graph_scale(n_nodes: int = 4_000_000, n_edges: int = 20_000_000):
+    """Graph-suite stress: PageRank (5 iters), connected components and
+    BFS distances over a deterministic random digraph (seeded numpy,
+    string-URI nodes — the engine's actual key type) at 20M edges, far
+    past the bench corpus's edge counts but inside the documented
+    single-task caps. Prints one JSON line with per-op seconds."""
+    import json
+    import time
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from tabular_data_semantics_py_ray.pipelines.queries_kg import (
+        _bfs_single_task, _pagerank_single_task)
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        _components_single_task)
+
+    rng = np.random.default_rng(42)
+    # preferential-ish skew: target sampling squared -> hot nodes exist
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = (rng.random(n_edges) ** 2 * n_nodes).astype(np.int64)
+    uris = ("http://example.org/resource/E" +
+            pd.Series(src).astype(str)).to_numpy()
+    uris_d = ("http://example.org/resource/E" +
+              pd.Series(dst).astype(str)).to_numpy()
+    t = pa.table({"u": uris, "v": uris_d})
+    edges = rd.from_arrow(t).materialize()
+
+    def _undirect(b: pa.Table) -> pa.Table:
+        u = b.column("u").combine_chunks()
+        v = b.column("v").combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["u", "v"])
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+
+    out = {"metric": "graph_suite_20m_edges", "unit": "sec",
+           "n_edges": n_edges, "n_nodes_target": n_nodes, "ops": {}}
+    t0 = time.time()
+    pr = _pagerank_single_task(edges, iters=5, damping=0.85)
+    n_pr = pr.count()
+    out["ops"]["pagerank_5it"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    cc = _components_single_task(und)
+    n_cc = cc.count()
+    out["ops"]["components"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    bfs = _bfs_single_task(und, max_depth=64)
+    n_bfs = bfs.count()
+    out["ops"]["bfs_distances"] = round(time.time() - t0, 2)
+    out["rows"] = {"pagerank": n_pr, "components": n_cc, "bfs": n_bfs}
+    print(json.dumps(out))
+    ray.shutdown()
+
+
 def run_reason_scale():
     """Reasoning-at-scale stress: RDFS and OWL-Horst materialization over
     the replicated multi-namespace dump (reuses --ingest-scale's staged
@@ -532,5 +593,7 @@ if __name__ == "__main__":
         run_ingest_scale()
     elif "--reason-scale" in sys.argv:
         run_reason_scale()
+    elif "--graph-scale" in sys.argv:
+        run_graph_scale()
     else:
         run_default()
