@@ -134,6 +134,16 @@ def main(argv=None) -> int:
                 fn = (rdfs_materialize if args.materialize == "rdfs"
                       else owl_horst_materialize)
                 ent_dir = os.path.join(args.out, "entailed_triples.parquet")
+                # Ray appends uniquely-named part files without clearing —
+                # a re-run (the advertised resumable workflow) would keep
+                # stale parts next to new ones and double-count entailed
+                # rows. Clear first, exactly like kg_ingest._write.
+                import shutil
+
+                if os.path.isdir(ent_dir):
+                    shutil.rmtree(ent_dir)
+                elif os.path.exists(ent_dir):
+                    os.remove(ent_dir)
                 ent = fn(read_ntriples(dump))
                 ent.write_parquet(ent_dir)
                 report["entailed"] = ent_dir

@@ -1525,8 +1525,22 @@ def _stage_a_partition(files: list[str], stage_dir: str, p: int) -> None:
         content_hash=manifest.rows_hash_update(
             0, (f"{k}:{v}" for k, v in sorted(rows.items()))),
         lineage={"files": [os.path.basename(f) for f in files],
+                 "file_sigs": _file_sigs(files),
                  "partition": p, "per_table_rows": rows},
     )
+
+
+def _file_sigs(files: list[str]) -> list[list]:
+    """(basename, size, mtime_ns) per input file — the skip comparison in
+    the resumable ingest checks these so a dump file replaced IN PLACE
+    under an unchanged name (truncated upload retried, re-export) forces
+    the partition to recompute instead of silently leaking stale rows."""
+    import os
+
+    return [
+        [os.path.basename(f), os.stat(f).st_size, os.stat(f).st_mtime_ns]
+        for f in files
+    ]
 
 
 def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
@@ -1577,8 +1591,13 @@ def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
             # id may now cover a DIFFERENT file list — recompute exactly
             # those, keep the rest
             lineage = manifest.load(stage_dir, p)["lineage"]
-            if lineage.get("files") == [os.path.basename(f)
-                                        for f in part_files]:
+            names_ok = lineage.get("files") == [os.path.basename(f)
+                                                for f in part_files]
+            # content check: a file replaced in place under the same name
+            # (size or mtime changed) must recompute; manifests written
+            # before file_sigs existed fall back to the name-only check
+            sigs = lineage.get("file_sigs")
+            if names_ok and (sigs is None or sigs == _file_sigs(part_files)):
                 continue
         _stage_a_partition(part_files, stage_dir, p)
     # a shrunk partition count leaves orphaned committed ids past k — they
@@ -1662,8 +1681,26 @@ def ensure_ingested_backend(name: str = "ingested") -> str:
     out_dir = f"/tmp/tds_kg_backend_{digest}"
     marker = os.path.join(out_dir, "_SUCCESS")
     if not os.path.exists(marker):
-        ingest_backend_tables(nt, out_dir)
-        with open(marker, "w") as f:
+        # cross-process guard: two processes that both observe _SUCCESS
+        # missing must not ingest into the same directory (each _write's
+        # rmtree could delete the other's in-flight parts). Ingest into a
+        # pid-suffixed temp dir and atomically rename — first wins, the
+        # loser discards its copy (same dance as kg_dump.dump_path).
+        import shutil
+
+        tmp = f"{out_dir}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ingest_backend_tables(nt, tmp)
+        with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
             f.write("ok\n")
+        if os.path.isdir(out_dir) and not os.path.exists(marker):
+            # leftover of a CRASHED earlier run (no marker) — clear it so
+            # the rename below can land; a concurrent completed run would
+            # have the marker and take the except branch instead
+            shutil.rmtree(out_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
     register_backend(parquet_backend(name, out_dir))
     return out_dir

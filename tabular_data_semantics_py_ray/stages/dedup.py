@@ -319,6 +319,13 @@ def verify_pairs_broadcast(pairs_ds, signatures_ds, *, threshold: float = 0.8):
                 _SIG_BROADCAST_CACHE.pop(next(iter(_SIG_BROADCAST_CACHE)))
             got = _SIG_BROADCAST_CACHE[key] = _ray.get(ref)
         ids_s, blobs_s = got
+        if len(ids_s) == 0:
+            # empty signature table + non-empty pair batch: the clamped
+            # fancy-index below would hit index -1 of an empty array
+            return pa.Table.from_arrays(
+                [pa.array([], type=pa.int64()), pa.array([], type=pa.int64()),
+                 pa.array([], type=pa.float64())],
+                names=["doc_a", "doc_b", "jaccard"])
         ia = np.searchsorted(ids_s, a)
         ib = np.searchsorted(ids_s, b)
         ok = (ia < len(ids_s)) & (ib < len(ids_s))

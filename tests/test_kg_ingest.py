@@ -425,3 +425,41 @@ def test_resumable_ingest_delta_files(ray_session, tmp_path):
         kg_ingest.ingest_backend_tables(files, str(tmp_path / "ref")))
     for name in ref:
         pd.testing.assert_frame_equal(got[name], ref[name])
+
+
+def test_resumable_ingest_detects_inplace_file_change(ray_session, tmp_path):
+    """A dump file REPLACED IN PLACE under an unchanged name (truncated
+    upload retried, re-export) must force its partition to recompute — the
+    basename-only lineage check would silently skip it and leak stale
+    stage-A rows into the backend tables."""
+    from tabular_data_semantics_py_ray.pipelines import kg_ingest
+
+    files = _shard_dump(tmp_path, n=4)
+    out = str(tmp_path / "inplace")
+    kg_ingest.ingest_backend_tables_resumable(files, out, partitions=2)
+
+    # rewrite shard 3 (partition 1) in place: same name, new content
+    with open(kg_dump.dump_path(), encoding="utf-8") as f:
+        text = f.read()
+    new_text = text.replace("example.org/noise/", "example.org/CHANGED/")
+    with open(files[3], "w", encoding="utf-8") as f:
+        f.write(new_text)
+
+    real = kg_ingest._stage_a_partition
+    calls = []
+
+    def _spy(f, s, p):
+        calls.append(p)
+        return real(f, s, p)
+
+    kg_ingest._stage_a_partition = _spy
+    try:
+        got = _load_tables(kg_ingest.ingest_backend_tables_resumable(
+            files, out, partitions=2))
+    finally:
+        kg_ingest._stage_a_partition = real
+    assert calls == [1]  # only the changed partition recomputed
+    ref = _load_tables(
+        kg_ingest.ingest_backend_tables(files, str(tmp_path / "ref2")))
+    for name in ref:
+        pd.testing.assert_frame_equal(got[name], ref[name])

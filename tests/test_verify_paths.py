@@ -129,3 +129,21 @@ def test_broadcast_verify_empty_pairs():
     _, sigs = _pairs_and_sigs()
     out = verify_pairs_broadcast(pairs, sigs.materialize(), threshold=0.8)
     assert out.count() == 0
+
+
+def test_broadcast_verify_empty_signatures_nonempty_pairs():
+    """Empty signature table + non-empty pair batch: must return no
+    matches, not IndexError from fancy-indexing an empty array."""
+    from tabular_data_semantics_py_ray.stages.dedup import (
+        verify_pairs_broadcast)
+
+    pairs = rd.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2], type=pa.int64()),
+        "doc_b": pa.array([3, 4], type=pa.int64()),
+    }))
+    sigs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "shingles": pa.array([], type=pa.list_(pa.int64())),
+    }))
+    out = verify_pairs_broadcast(pairs, sigs.materialize(), threshold=0.8)
+    assert out.count() == 0
