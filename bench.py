@@ -263,6 +263,18 @@ def run_flagship_once():
     global REPLICATE
     REPLICATE = replicate  # actual corpus multiplier for this mode
     sink_mode = os.environ.get("GRAFT_SCALE_SINK", "stream")
+    # GRAFT_SCALE_BACKEND=ingested runs the SAME flagship with the linker
+    # pinned to the dump-INGESTED backend tables (kg_ingest output) instead
+    # of the in-memory fixture — the dump->backend->triples chain measured
+    # end-to-end at scale. The ingest itself is content-addressed in /tmp
+    # and shared by both scaling legs (untimed here; timed by --ingest).
+    backend = os.environ.get("GRAFT_SCALE_BACKEND") or None
+    if backend == "ingested":
+        from tabular_data_semantics_py_ray.pipelines.kg_ingest import (
+            ensure_ingested_backend,
+        )
+
+        ensure_ingested_backend("ingested")
     import ray.data as _rd
 
     base_count = _rd.read_parquet(
@@ -293,7 +305,8 @@ def run_flagship_once():
         # processes and actor imports, so the timed run is steady state
         warm_dir = "/tmp/graft_scale_warm"
         _sh.rmtree(warm_dir, ignore_errors=True)
-        triples_stream_to_parquet(docs.limit(2000), warm_dir, concurrency=2)
+        triples_stream_to_parquet(docs.limit(2000), warm_dir, concurrency=2,
+                                  backend=backend)
         sink = f"/tmp/graft_scale_out_{NCPU}"
         _sh.rmtree(sink, ignore_errors=True)
         t0 = time.time()
@@ -304,6 +317,7 @@ def run_flagship_once():
         # operator's tasks can never start.
         triples_stream_to_parquet(
             docs, sink, concurrency=max(2, (3 * NCPU) // 4),
+            backend=backend,
         )
         dt = time.time() - t0
         n_triples = read_stream_result(sink).count()  # verification, untimed
@@ -325,6 +339,7 @@ def run_flagship_once():
             concurrency=max(2, NCPU // 2),  # fixed pool: no autoscale lag
             num_blocks=4 * NCPU,
             link_batch_size=link_bs,
+            backend=backend,
         )
         if sink_mode == "parquet":
             import ray.data as _rd
@@ -345,6 +360,7 @@ def run_flagship_once():
         "triples_per_sec": round(n_triples / dt, 1),
         "replicate": replicate,
         "sink": sink_mode,
+        "backend": backend or "fixture",
     }))
 
 

@@ -29,6 +29,10 @@ def main(argv=None) -> int:
 
     val = sub.add_parser("validate", help="P/R gate vs sequential oracle")
     val.add_argument("--sf-dir", required=True)
+    val.add_argument("--backend", default=None,
+                     help="registered KGBackend for the linker; 'ingested' "
+                     "ingests the deterministic dump first and validates "
+                     "the dump->backend->triples chain")
 
     ing = sub.add_parser(
         "ingest",
@@ -152,7 +156,11 @@ def main(argv=None) -> int:
         elif args.cmd == "validate":
             from .pipelines.validate import validate_flagship
 
-            report = validate_flagship(args.sf_dir)
+            if args.backend == "ingested":
+                from .pipelines.kg_ingest import ensure_ingested_backend
+
+                ensure_ingested_backend("ingested")
+            report = validate_flagship(args.sf_dir, backend=args.backend)
             print(json.dumps({k: v for k, v in report.items()
                               if not k.endswith("_sample")}))
             if report["precision"] < 0.95 or report["recall"] < 0.95:

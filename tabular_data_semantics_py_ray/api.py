@@ -791,6 +791,18 @@ def q_knn_graph(sf_dir: str):
     return knn_graph(_embeddings(sf_dir), k=5)
 
 
+def q_knn_graph_ivf(sf_dir: str):
+    """IVF-bucketed kNN graph run at nprobe == n_clusters: every query
+    probes every cell, so the output is EXACT and oracle-comparable
+    against the brute-force kNN-graph SQL — the correctness gate for the
+    cell-emit / shuffle / tile-scoring machinery (the scale path
+    ``knn_mutual_pairs(method='auto')`` routes big corpora through).
+    Partial-probe recall is pytest-covered (test_similarity.py)."""
+    from .stages.similarity import knn_graph_ivf
+
+    return knn_graph_ivf(_embeddings(sf_dir), k=5, n_clusters=8, nprobe=8)
+
+
 def q_kg_closure_compute(sf_dir: str):
     from .pipelines.queries_kg import class_closure_compute
 
@@ -1480,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_closure_compute": q_kg_closure_compute,
         "orders_snapshot_diff": q_orders_snapshot_diff,
         "knn_graph": q_knn_graph,
+        "knn_graph_ivf": q_knn_graph_ivf,
         "emb_kmeans_train": q_emb_kmeans_train,
         "doc_len_decile": q_doc_len_decile,
         "events_transition_census": q_events_transition_census,

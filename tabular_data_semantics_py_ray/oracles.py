@@ -1614,6 +1614,9 @@ r AS (
 )
 SELECT vec_id, neighbor_id, knn_rank FROM r WHERE knn_rank <= 5"""
 
+    # IVF graph at nprobe == n_clusters probes every cell -> exact
+    o["knn_graph_ivf"] = o["knn_graph"]
+
     # mutual-kNN symmetrization: both directions rank <= 5
     o["knn_mutual"] = """
 WITH s AS (

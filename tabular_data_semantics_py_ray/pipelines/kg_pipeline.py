@@ -65,15 +65,18 @@ def linked_mentions(docs_ds, *, top_k: int = 3, concurrency=(1, 4), project=None
 
 
 def build_triples(sf_dir: str, *, salt_buckets: int = 0, concurrency=(1, 4),
-                  partition: tuple[int, int] | None = None):
+                  partition: tuple[int, int] | None = None,
+                  backend: str | None = None):
     """documents parquet -> distinct, sorted (subj,pred,obj,obj_is_literal).
 
     Uses the doc-local path (votes finalized inside the linker actors);
     ``triples_from_documents`` keeps the classic shuffle-based path — the
-    two are asserted equal in tests/test_doclocal.py."""
+    two are asserted equal in tests/test_doclocal.py. ``backend`` names a
+    registered KGBackend (e.g. the dump-ingested one) to link against."""
     return triples_from_documents_doclocal(
         read_documents(sf_dir, partition=partition),
         concurrency=concurrency,
+        backend=backend,
     )
 
 
@@ -126,7 +129,8 @@ def triples_from_documents(documents_ds, *, salt_buckets: int = 0,
 
 def triples_from_documents_doclocal(documents_ds, *, concurrency=(1, 4),
                                     num_blocks: int | None = None,
-                                    link_batch_size: int = 512):
+                                    link_batch_size: int = 512,
+                                    backend: str | None = None):
     """Doc-local flagship: the whole per-document pipeline (interleave ->
     mention detect -> link -> vote finalize) runs in ONE actor stage over
     DOCUMENT batches, so every doc completes inside its batch — the voting
@@ -148,12 +152,23 @@ def triples_from_documents_doclocal(documents_ds, *, concurrency=(1, 4),
     if num_blocks:
         documents_ds = documents_ds.repartition(num_blocks)
 
+    if backend is not None:
+        # named KG backend (state/backends.py) — e.g. one ingested from an
+        # RDF dump; the actors pin ITS tables instead of the fixture's
+        from ..state.backends import get_backend
+
+        b = get_backend(backend)
+        lex, alias, types = b.lexicon(), b.alias_edges(), b.entity_types()
+    else:
+        lex, alias, types = (fixture_kg.lexicon_df(),
+                             fixture_kg.alias_edges_df(),
+                             fixture_kg.entity_types_df())
     tagged = documents_ds.map_batches(
         DocPipeline,
         fn_constructor_kwargs={
-            "lexicon_ref": _broadcast(fixture_kg.lexicon_df()),
-            "alias_ref": _broadcast(fixture_kg.alias_edges_df()),
-            "types_ref": _broadcast(fixture_kg.entity_types_df()),
+            "lexicon_ref": _broadcast(lex),
+            "alias_ref": _broadcast(alias),
+            "types_ref": _broadcast(types),
         },
         batch_format="pyarrow",
         batch_size=link_batch_size,

@@ -85,9 +85,14 @@ def precision_recall(emitted: pd.DataFrame, expected: pd.DataFrame) -> dict:
     }
 
 
-def validate_flagship(sf_dir: str) -> dict:
-    """Run the distributed flagship and diff against the pandas oracle."""
+def validate_flagship(sf_dir: str, *, backend: str | None = None) -> dict:
+    """Run the distributed flagship and diff against the pandas oracle.
+
+    ``backend`` names a registered KGBackend for the linker (e.g. the
+    dump-INGESTED one) — the oracle side always derives from the fixture
+    tables, so a backend whose parse/derive round-trip is wrong shows up
+    as a P/R miss here, not just in the kg_ingest_* table oracles."""
     from .kg_pipeline import build_triples
 
-    emitted = build_triples(sf_dir).to_pandas()
+    emitted = build_triples(sf_dir, backend=backend).to_pandas()
     return precision_recall(emitted, expected_triples_pandas(sf_dir))

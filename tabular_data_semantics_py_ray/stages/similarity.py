@@ -373,6 +373,50 @@ def ann_topk_pq(embeddings_ds, queries_df: pd.DataFrame, *, k: int = 10,
         batch_format="pandas")
 
 
+def _side_topk(ids_q, ids_n, S, k: int):
+    """Per-row top-k of S (queries = ids_q, neighbors = ids_n) by
+    (cosine desc, neighbor id asc). An O(n) argpartition finds each
+    row's kth value, the candidate set keeps EVERY entry >= it (so
+    boundary TIES are never dropped by partition arbitrariness —
+    mass-duplicate corpora make exact score ties routine), and one
+    flat lexsort + group-rank pass takes the first kk per row —
+    full-row sorts (measured 10x slower at 4096-row blocks) never
+    happen."""
+    kk = min(k, S.shape[1])
+    vk = -np.partition(-S, kk - 1, axis=1)[:, kk - 1]
+    r, c = np.nonzero(S >= vk[:, None])
+    s = S[r, c]
+    order = np.lexsort((ids_n[c], -s, r))
+    rr = r[order]
+    starts = np.concatenate(([0], np.flatnonzero(rr[1:] != rr[:-1]) + 1))
+    sizes = np.diff(np.concatenate((starts, [len(rr)])))
+    rank = np.arange(len(rr)) - np.repeat(starts, sizes)
+    keep = order[rank < kk]
+    sims = S[r[keep], c[keep]]
+    fin = np.isfinite(sims)  # drop the -inf self marker (tiny blocks)
+    return ids_q[r[keep]][fin], ids_n[c[keep]][fin], sims[fin]
+
+
+def _knn_finalize(partial, k: int):
+    """(vec_id, neighbor_id, sim) partials -> global per-vector top-k
+    (vec_id, neighbor_id, knn_rank) via one vec_id-keyed bucket reduce.
+    The partial stream is edge-bounded (<= k rows per vector per opposing
+    block/cell), never the score matrix."""
+    from ..util import bucket_map_keyed
+
+    def _final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["vec_id", "sim", "neighbor_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("vec_id", sort=False).head(k)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(),
+            "neighbor_id": g["neighbor_id"].to_numpy(),
+            "knn_rank": (g.groupby("vec_id", sort=False).cumcount() + 1
+                         ).to_numpy(dtype=np.int64)})
+
+    return bucket_map_keyed(partial, ["vec_id"], _final)
+
+
 def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
               checkpoint_dir: str | None = None):
     """Exact k-nearest-neighbor GRAPH: every vector gets its global top-k
@@ -388,8 +432,9 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
     so the reduce input is <= 2k rows per vector per opposing block,
     never the n^2 score matrix. A vec_id-keyed bucket reduce finalizes
     global rank. Work is inherently O(n^2/block_rows) block reads — the
-    exact baseline; cap the corpus or swap the scorer for the IVF/PQ
-    bucketed variants past ~1e7 vectors."""
+    exact baseline; past ~1e7 vectors use ``knn_graph_ivf`` (same output
+    schema, sub-quadratic) — ``knn_mutual_pairs(method='auto')`` does
+    that routing for you."""
     import glob as _glob
     import shutil
     import tempfile
@@ -425,29 +470,6 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
     items = [{"fa": files[i], "fb": files[j]}
              for i in range(len(files)) for j in range(i, len(files))]
 
-    def _side_topk(ids_q, ids_n, S):
-        """Per-row top-k of S (queries = ids_q, neighbors = ids_n) by
-        (cosine desc, neighbor id asc). An O(n) argpartition finds each
-        row's kth value, the candidate set keeps EVERY entry >= it (so
-        boundary TIES are never dropped by partition arbitrariness —
-        mass-duplicate corpora make exact score ties routine), and one
-        flat lexsort + group-rank pass takes the first kk per row —
-        full-row sorts (measured 10x slower at 4096-row blocks) never
-        happen."""
-        kk = min(k, S.shape[1])
-        vk = -np.partition(-S, kk - 1, axis=1)[:, kk - 1]
-        r, c = np.nonzero(S >= vk[:, None])
-        s = S[r, c]
-        order = np.lexsort((ids_n[c], -s, r))
-        rr = r[order]
-        starts = np.concatenate(([0], np.flatnonzero(rr[1:] != rr[:-1]) + 1))
-        sizes = np.diff(np.concatenate((starts, [len(rr)])))
-        rank = np.arange(len(rr)) - np.repeat(starts, sizes)
-        keep = order[rank < kk]
-        sims = S[r[keep], c[keep]]
-        fin = np.isfinite(sims)  # drop the -inf self marker (tiny blocks)
-        return ids_q[r[keep]][fin], ids_n[c[keep]][fin], sims[fin]
-
     def _score(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
@@ -460,16 +482,16 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
             if fa == fb:
                 S = A @ A.T
                 np.fill_diagonal(S, -np.inf)
-                r, c, s = _side_topk(ids_a, ids_a, S)
+                r, c, s = _side_topk(ids_a, ids_a, S, k)
                 out_v.append(r); out_n.append(c); out_s.append(s)
             else:
                 tb = pq.read_table(fb, columns=["vec_id", "nvec"])
                 ids_b = tb.column("vec_id").to_numpy()
                 B = list_column_matrix(tb.column("nvec"))
                 S = A @ B.T
-                r, c, s = _side_topk(ids_a, ids_b, S)
+                r, c, s = _side_topk(ids_a, ids_b, S, k)
                 out_v.append(r); out_n.append(c); out_s.append(s)
-                r, c, s = _side_topk(ids_b, ids_a, S.T)
+                r, c, s = _side_topk(ids_b, ids_a, S.T, k)
                 out_v.append(r); out_n.append(c); out_s.append(s)
         if not out_v:
             return pa.table({"vec_id": pa.array([], type=pa.int64()),
@@ -483,23 +505,98 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
                .repartition(len(items))
                .map_batches(_score, batch_format="pyarrow"))
 
-    def _final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["vec_id", "sim", "neighbor_id"],
-                          ascending=[True, False, True], kind="mergesort")
-        g = g.groupby("vec_id", sort=False).head(k)
-        return pd.DataFrame({
-            "vec_id": g["vec_id"].to_numpy(),
-            "neighbor_id": g["neighbor_id"].to_numpy(),
-            "knn_rank": (g.groupby("vec_id", sort=False).cumcount() + 1
-                         ).to_numpy(dtype=np.int64)})
-
-    out = bucket_map_keyed(partial, ["vec_id"], _final)
+    out = _knn_finalize(partial, k)
     if owned:
         # the edge list is k*n rows (output-sized); materializing it lets
         # the O(n*d) checkpoint be deleted before this call returns
         out = out.materialize()
         shutil.rmtree(checkpoint_dir, ignore_errors=True)
     return out
+
+
+def knn_graph_ivf(embeddings_ds, *, k: int = 5, n_clusters: int = 16,
+                  nprobe: int = 4, query_chunk: int = 2048,
+                  member_chunk: int = 8192, num_buckets: int | None = None):
+    """APPROXIMATE k-nearest-neighbor graph via IVF cell probing — the
+    scale path past ``knn_graph``'s exact O(n^2/block) wall. Same output
+    schema (vec_id, neighbor_id, knn_rank); ``nprobe == n_clusters``
+    degrades to the exact graph (oracle-checked in api.q_knn_graph_ivf).
+
+    Scale shape: centroids from a bounded driver sample (fit_centroids),
+    then ONE scan emits each vector once as a MEMBER of its primary cell
+    and ``nprobe`` times as a QUERY into its probed cells (float64 blob
+    payload, n*(1+nprobe) rows total), ONE cell-keyed shuffle co-locates
+    them, and each cell scores queries x members in bounded
+    query_chunk x member_chunk tiles emitting per-query top-k partials —
+    work is sum_cells |Q_c| x |M_c| instead of n^2. A vec_id-keyed bucket
+    reduce finalizes global rank (the shared ``_knn_finalize``). A (query,
+    member) pair is scored in exactly ONE cell (the member's primary), so
+    partials are duplicate-free. Hot cells cost |Q_c| x |M_c| inside one
+    group — pick n_clusters ~ sqrt(n) upstream to bound them; tiles cap
+    the peak score-matrix memory regardless.
+    """
+    C = fit_centroids(embeddings_ds, n_clusters=n_clusters)
+    nprobe = min(nprobe, len(C))
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        X = _normalize(list_column_matrix(batch.column("embedding")))
+        S = X @ C.T
+        primary = S.argmax(axis=1).astype(np.int64)
+        # stable argsort: probe-set boundary ties break by cell id, so the
+        # probe sets (and hence recall) are run-deterministic
+        probe = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+        blobs = pa.array([row.tobytes() for row in X], type=pa.binary())
+        rep = np.repeat(np.arange(len(ids)), nprobe)
+        return pa.Table.from_arrays(
+            [pa.array(np.concatenate([primary, probe.ravel()])),
+             pa.array(np.concatenate(
+                 [np.zeros(len(ids), dtype=np.int8),
+                  np.ones(len(rep), dtype=np.int8)])),
+             pa.array(np.concatenate([ids, ids[rep]])),
+             pa.concat_arrays([blobs, blobs.take(pa.array(rep))])],
+            names=["cell", "role", "vec_id", "nvec"])
+
+    tagged = embeddings_ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _emit, batch_format="pyarrow")
+
+    def _unpack(col) -> np.ndarray:
+        return np.stack([np.frombuffer(b, dtype=np.float64)
+                         for b in col.to_numpy()])
+
+    def _score_cells(g: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_n, out_s = [], [], []
+        for _cell, sub in g.groupby("cell", sort=False):
+            qs = sub[sub["role"] == 1]
+            ms = sub[sub["role"] == 0]
+            if not len(qs) or not len(ms):
+                continue
+            ids_q = qs["vec_id"].to_numpy()
+            ids_m = ms["vec_id"].to_numpy()
+            Q, M = _unpack(qs["nvec"]), _unpack(ms["nvec"])
+            for q0 in range(0, len(ids_q), query_chunk):
+                qsl = slice(q0, q0 + query_chunk)
+                for m0 in range(0, len(ids_m), member_chunk):
+                    msl = slice(m0, m0 + member_chunk)
+                    S = Q[qsl] @ M[msl].T
+                    S[ids_q[qsl][:, None] == ids_m[msl][None, :]] = -np.inf
+                    r, c, s = _side_topk(ids_q[qsl], ids_m[msl], S, k)
+                    out_v.append(r); out_n.append(c); out_s.append(s)
+        if not out_v:
+            return pd.DataFrame({
+                "vec_id": np.array([], dtype=np.int64),
+                "neighbor_id": np.array([], dtype=np.int64),
+                "sim": np.array([], dtype=np.float64)})
+        return pd.DataFrame({"vec_id": np.concatenate(out_v),
+                             "neighbor_id": np.concatenate(out_n),
+                             "sim": np.concatenate(out_s)})
+
+    from ..util import bucket_map_keyed
+
+    partial = bucket_map_keyed(tagged, ["cell"], _score_cells,
+                               num_buckets=num_buckets)
+    return _knn_finalize(partial, k)
 
 
 def emb_kmeans_train(embeddings_ds, *, iters: int = 3):
@@ -565,21 +662,39 @@ def emb_kmeans_train(embeddings_ds, *, iters: int = 3):
     return embeddings_ds.map_batches(_final, batch_format="pyarrow")
 
 
-def knn_mutual_pairs(embeddings_ds, *, k: int = 5, block_rows: int = 4096):
+def knn_mutual_pairs(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
+                     method: str = "auto",
+                     exact_max_rows: int = 200_000,
+                     n_clusters: int | None = None, nprobe: int = 8):
     """Mutual-kNN graph symmetrization: (vec_a, vec_b) with a < b where
     EACH vector is in the other's top-k — the standard denoising step
     before graph clustering (one-directional edges from a dense region
     into an outlier drop out).
 
-    Scale shape: the ``knn_graph`` partial-top-k pipeline unchanged, then
-    pairs normalize to (min, max) and ONE pair-keyed combiner count; an
-    edge surviving with count 2 is mutual. Nothing beyond the k*n edge
-    list is ever shuffled."""
+    Scale shape: a kNN-graph build, then pairs normalize to (min, max)
+    and ONE pair-keyed combiner count; an edge surviving with count 2 is
+    mutual. Nothing beyond the k*n edge list is ever shuffled.
+
+    ``method``: 'exact' = the O(n^2/block) ``knn_graph`` baseline;
+    'ivf' = the sub-quadratic ``knn_graph_ivf``; 'auto' (default) counts
+    the corpus once and routes past ``exact_max_rows`` vectors to the IVF
+    graph with ``n_clusters ~ sqrt(n)`` — the guard that keeps mutual-kNN
+    usable at 100 TB instead of inheriting the exact graph's quadratic
+    wall."""
     import pyarrow.compute as pc
 
     from ..util import bucket_aggregate
 
-    edges = knn_graph(embeddings_ds, k=k, block_rows=block_rows)
+    if method == "auto":
+        n = embeddings_ds.count()
+        method = "exact" if n <= exact_max_rows else "ivf"
+    if method == "ivf":
+        n_clusters = n_clusters or max(
+            16, int(np.sqrt(embeddings_ds.count())))
+        edges = knn_graph_ivf(embeddings_ds, k=k, n_clusters=n_clusters,
+                              nprobe=min(nprobe, n_clusters))
+    else:
+        edges = knn_graph(embeddings_ds, k=k, block_rows=block_rows)
 
     def _norm(t: pa.Table) -> pa.Table:
         a = t.column("vec_id").to_numpy(zero_copy_only=False)

@@ -188,3 +188,63 @@ def test_kmeans_train_reassigns_mislabeled_points(ray_session, tmp_path):
     # spatial cluster A (rows 0..29) all land in cluster 0, B in 1
     assert (out.loc[range(30), "cluster"] == 0).all()
     assert (out.loc[range(30, 60), "cluster"] == 1).all()
+
+
+def _edge_set(df: pd.DataFrame) -> set:
+    return set(map(tuple, df[["vec_id", "neighbor_id"]].itertuples(index=False)))
+
+
+def test_knn_graph_ivf_full_probe_equals_exact(sf_small):
+    """nprobe == n_clusters probes every cell -> the IVF graph IS the
+    exact graph, ranks included (also oracle-checked via knn_graph_ivf)."""
+    from tabular_data_semantics_py_ray.stages.similarity import (
+        knn_graph, knn_graph_ivf)
+
+    cols = ["vec_id", "neighbor_id", "knn_rank"]
+    exact = (knn_graph(_embeddings(sf_small), k=5).to_pandas()[cols]
+             .sort_values(cols).reset_index(drop=True))
+    full = (knn_graph_ivf(_embeddings(sf_small), k=5, n_clusters=8,
+                          nprobe=8).to_pandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, full)
+
+
+def test_knn_graph_ivf_partial_probe_recall(sf_small):
+    """Recall vs the exact graph grows with nprobe; deterministic seeded
+    centroids make the measured values stable (0.54 / 0.79 at sf0.001)."""
+    from tabular_data_semantics_py_ray.stages.similarity import (
+        knn_graph, knn_graph_ivf)
+
+    exact = _edge_set(knn_graph(_embeddings(sf_small), k=5).to_pandas())
+    r = {}
+    for nprobe in (2, 4):
+        ivf = _edge_set(knn_graph_ivf(_embeddings(sf_small), k=5,
+                                      n_clusters=8, nprobe=nprobe).to_pandas())
+        r[nprobe] = len(exact & ivf) / len(exact)
+    assert r[2] >= 0.5, r
+    assert r[4] >= 0.7, r
+    assert r[4] > r[2], r
+
+
+def test_knn_mutual_routes_through_ivf(sf_small):
+    """knn_mutual_pairs(method='ivf') at full probe == the exact method;
+    'auto' with a zero guard takes the IVF path and still returns a
+    well-formed pair set."""
+    from tabular_data_semantics_py_ray.stages.similarity import (
+        knn_mutual_pairs)
+
+    cols = ["vec_a", "vec_b"]
+    exact = (knn_mutual_pairs(_embeddings(sf_small), k=5, method="exact")
+             .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    ivf = (knn_mutual_pairs(_embeddings(sf_small), k=5, method="ivf",
+                            n_clusters=8, nprobe=8)
+           .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(exact, ivf)
+    auto = (knn_mutual_pairs(_embeddings(sf_small), k=5, method="auto",
+                             exact_max_rows=0, nprobe=4)
+            .to_pandas()[cols])
+    assert (auto["vec_a"] < auto["vec_b"]).all()
+    # approximate mutual pairs are a (large) subset-ish of exact ones:
+    # every reported pair must at least be mutual under SOME top-k, so it
+    # must appear in the exhaustive mutual set when probing misses nothing
+    assert len(auto) > 0
