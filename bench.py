@@ -95,7 +95,9 @@ def _replicated_documents(times: int):
     import pyarrow as pa
     import ray.data as rd
 
-    base = rd.read_parquet(
+    from tabular_data_semantics_py_ray.util import read_parquet_clean
+
+    base = read_parquet_clean(
         os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -204,7 +206,9 @@ def run_default():
 
     sink = "/tmp/graft_bench_stream_sink"
     _sh.rmtree(sink, ignore_errors=True)
-    docs = _rd.read_parquet(
+    from tabular_data_semantics_py_ray.util import read_parquet_clean
+
+    docs = read_parquet_clean(
         os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
     ).repartition(16)
     t0 = time.time()
@@ -277,7 +281,9 @@ def run_flagship_once():
         ensure_ingested_backend("ingested")
     import ray.data as _rd
 
-    base_count = _rd.read_parquet(
+    from tabular_data_semantics_py_ray.util import read_parquet_clean as _rpc
+
+    base_count = _rpc(
         os.path.join(SF_DIR, "documents.parquet")).count()  # metadata-only
     n_docs = base_count * replicate
     # ~6k docs per file -> read_parquet yields one ~0.2 s dispatch per file;
@@ -300,7 +306,9 @@ def run_flagship_once():
                 input_dir, min_rows_per_file=100_000,
                 max_rows_per_file=100_000)
             open(marker, "w").write(str(n_docs))
-        docs = _rd.read_parquet(input_dir, columns=["doc_id", "text"])
+        from tabular_data_semantics_py_ray.util import read_parquet_clean
+
+        docs = read_parquet_clean(input_dir, columns=["doc_id", "text"])
         # warm-up: tiny run through the same stages pre-starts worker
         # processes and actor imports, so the timed run is steady state
         warm_dir = "/tmp/graft_scale_warm"
@@ -345,7 +353,10 @@ def run_flagship_once():
             import ray.data as _rd
 
             pipeline.write_parquet(sink)
-            n_triples = _rd.read_parquet(sink).count()
+            from tabular_data_semantics_py_ray.util import \
+                read_parquet_clean as _rpc
+
+            n_triples = _rpc(sink).count()
         else:
             out = pipeline.materialize()  # fully parallel consume
             n_triples = out.count()

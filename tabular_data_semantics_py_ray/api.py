@@ -21,16 +21,18 @@ def _documents(sf_dir: str):
     # A shuffle-free repartition right after the read fans the corpus out;
     # guarded so a many-file corpus keeps its natural per-file blocks
     # (repartitioning DOWN coalesces into giant multi-chunk blocks).
-    from .util import guarded_fanout
+    from .util import guarded_fanout, read_parquet_clean
 
     path = os.path.join(sf_dir, "documents.parquet")
     return guarded_fanout(
-        rd.read_parquet(path, columns=["doc_id", "text"]),
+        read_parquet_clean(path, columns=["doc_id", "text"]),
         path, fanout_blocks())
 
 
 def _embeddings(sf_dir: str):
-    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from .util import read_parquet_clean
+
+    return read_parquet_clean(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def _query_vectors(sf_dir: str, n: int = 8):
@@ -1211,6 +1213,53 @@ def q_kg_ingest_lexicon(sf_dir: str):
     return derive_lexicon(read_ntriples(dump_path()))
 
 
+def q_kg_ingest_lexicon_annotations(sf_dir: str):
+    """Annotation-registry breadth: an OBO-style dump whose labels use the
+    reference's WIDER annotation vocabulary (IAO preferred terms, oboInOwl
+    exact synonyms, NCI FULL_SYN, NCBI names — annotations.py:29-94)
+    ingested through derive_lexicon's DEFAULT registry. Definitions
+    (IAO_0000115) and non-English labels must not reach the lexicon."""
+    from .kg_dump import annotations_dump_path
+    from .pipelines.kg_ingest import derive_lexicon, read_ntriples
+
+    return derive_lexicon(read_ntriples(annotations_dump_path()))
+
+
+def q_kg_ingest_owlxml(sf_dir: str):
+    """RDF/XML first mile: the reference's ontologies ship as .owl RDF/XML
+    (onto_access.py:42-98); this ingests the checked-in RDF/XML dump — the
+    SAME logical triples as the .nt dump, serialized in the other format —
+    and derives the lexicon. Output equals kg_ingest_lexicon, so the two
+    serializations of the first mile are interchangeable end-to-end."""
+    from .kg_dump import rdfxml_dump_path
+    from .pipelines.kg_ingest import derive_lexicon, read_rdfxml
+
+    return derive_lexicon(read_rdfxml(rdfxml_dump_path()))
+
+
+def q_kg_ingest_gzip(sf_dir: str):
+    """Compressed-dump first mile: a gzipped copy of the N-Triples dump,
+    decompressed INSIDE the distributed read tasks
+    (arrow_open_stream_args) — the layout real DBpedia/Wikidata dumps ship
+    in (.nt.gz). Output equals kg_ingest_types."""
+    import gzip
+    import os
+    import shutil
+
+    from .kg_dump import dump_path
+    from .pipelines.kg_ingest import derive_entity_types, read_ntriples
+
+    src = dump_path()
+    gz = "/tmp/tds_kg_dump_gz/kg_dump.nt.gz"
+    if not os.path.exists(gz):
+        os.makedirs(os.path.dirname(gz), exist_ok=True)
+        tmp = f"{gz}.tmp.{os.getpid()}"
+        with open(src, "rb") as fin, gzip.open(tmp, "wb") as fout:
+            shutil.copyfileobj(fin, fout)
+        os.replace(tmp, gz)
+    return derive_entity_types(read_ntriples(gz))
+
+
 def q_kg_ingest_types(sf_dir: str):
     from .kg_dump import dump_path
     from .pipelines.kg_ingest import derive_entity_types, read_ntriples
@@ -1340,6 +1389,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_cea_link": q_kg_cea_link,
         "kg_ingest_lexicon": q_kg_ingest_lexicon,
+        "kg_ingest_owlxml": q_kg_ingest_owlxml,
+        "kg_ingest_lexicon_annotations": q_kg_ingest_lexicon_annotations,
+        "kg_ingest_gzip": q_kg_ingest_gzip,
         "kg_ingest_types": q_kg_ingest_types,
         "kg_ingest_alias": q_kg_ingest_alias,
         "kg_ingest_closure": q_kg_ingest_closure,

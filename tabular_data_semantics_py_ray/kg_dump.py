@@ -58,9 +58,49 @@ REDIRECT_PRED = ONT + "wikiPageRedirects"
 
 # Predicates whose ENGLISH literal objects feed the lexical index —
 # the local analogue of annotations.py:14-103's preferred/alternative split.
+# These are what THIS dump writes; the ingest side ACCEPTS the reference's
+# full annotation registry below by default.
 PREF_LABEL_PREDS = (SKOS_PREF, RDFS_LABEL)
 ALT_LABEL_PREDS = (SKOS_ALT,)
 LABEL_PREDS = PREF_LABEL_PREDS + ALT_LABEL_PREDS
+
+# The reference's annotation-predicate registry
+# (ontology/annotations.py:29-94): ``mainLabelURIs`` = preferred terms,
+# ``synonymLabelURIs`` = accepted synonyms / alternatives. All are public
+# W3C / OBO / bio-ontology vocabulary IRIs used as string constants — the
+# default label registry for derive_lexicon (parameterizable per KG).
+ANNOTATION_PREF_PREDS = (
+    RDFS_LABEL,
+    SKOS_PREF,
+    "http://purl.obolibrary.org/obo/IAO_0000111",   # editor preferred term
+    "http://purl.obolibrary.org/obo/IAO_0000589",   # OBO foundry unique label
+)
+ANNOTATION_ALT_PREDS = (
+    SKOS_ALT,
+    "http://www.geneontology.org/formats/oboInOwl#hasRelatedSynonym",
+    "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym",
+    "http://www.geneontology.org/formats/oboInOWL#hasExactSynonym",
+    "http://purl.bioontology.org/ontology/SYN#synonym",
+    "http://scai.fraunhofer.de/CSEO#Synonym",
+    "http://purl.obolibrary.org/obo/synonym",
+    "http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#FULL_SYN",
+    "http://www.ebi.ac.uk/efo/alternative_term",
+    "http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#Synonym",
+    "http://bioontology.org/projects/ontologies/fma/"
+    "fmaOwlDlComponent_2_0#Synonym",
+    "http://www.geneontology.org/formats/oboInOwl#hasDefinition",
+    "http://bioontology.org/projects/ontologies/birnlex#preferred_label",
+    "http://bioontology.org/projects/ontologies/birnlex#synonyms",
+    "https://cfpub.epa.gov/ecotox#latinName",
+    "https://cfpub.epa.gov/ecotox#commonName",
+    "https://www.ncbi.nlm.nih.gov/taxonomy#scientific_name",
+    "https://www.ncbi.nlm.nih.gov/taxonomy#synonym",
+    "https://www.ncbi.nlm.nih.gov/taxonomy#equivalent_name",
+    "https://www.ncbi.nlm.nih.gov/taxonomy#genbank_synonym",
+    "https://www.ncbi.nlm.nih.gov/taxonomy#common_name",
+    "http://purl.obolibrary.org/obo/IAO_0000118",   # alternative term
+)
+ANNOTATION_LABEL_PREDS = ANNOTATION_PREF_PREDS + ANNOTATION_ALT_PREDS
 
 # Noise namespaces — disjoint from the fixture's so tests can split the
 # ingested tables back into "fixture portion" vs "noise portion" by prefix.
@@ -253,6 +293,70 @@ def all_triples() -> tuple[Triple, ...]:
 
 
 # --------------------------------------------------------------------------
+# Annotation-registry gauntlet dump: a small OBO-style KG whose labels use
+# the reference's WIDER annotation vocabulary (IAO preferred terms,
+# oboInOwl exact synonyms, NCI FULL_SYN, NCBI scientific names) — exercising
+# derive_lexicon's default registry beyond the skos/rdfs trio the main dump
+# writes. IAO_0000115 definitions are in the reference's *lexical* list but
+# NOT main/synonym, so they must NOT reach the lexicon (negative case).
+# --------------------------------------------------------------------------
+ABO = "http://example.org/obo-like/"
+_IAO_PREF = "http://purl.obolibrary.org/obo/IAO_0000111"
+_OBO_EXACT = "http://www.geneontology.org/formats/oboInOwl#hasExactSynonym"
+_NCI_FULLSYN = "http://ncicb.nci.nih.gov/xml/owl/EVS/Thesaurus.owl#FULL_SYN"
+_NCBI_SCI = "https://www.ncbi.nlm.nih.gov/taxonomy#scientific_name"
+_IAO_DEF = "http://purl.obolibrary.org/obo/IAO_0000115"
+
+
+@lru_cache(maxsize=1)
+def annotation_triples() -> tuple[Triple, ...]:
+    out: list[Triple] = []
+    for i in range(40):
+        e = f"{ABO}Term_{i:03d}"
+        out.append(_lit(e, _IAO_PREF, f"oboterm {i:03d}", "en"))
+        if i % 2 == 0:
+            out.append(_lit(e, _OBO_EXACT, f"obosyn {i:03d}", "en"))
+        if i % 3 == 0:  # shared surface claimed by several entities (alt)
+            out.append(_lit(e, _NCI_FULLSYN, f"shared obo name {(i // 3) % 5}", "en"))
+        if i % 5 == 0:
+            out.append(_lit(e, SKOS_ALT, f"oboalt {i:03d}", "en"))
+        if i % 7 == 0:  # non-English: filtered
+            out.append(_lit(e, _IAO_PREF, f"terme obo {i}", "fr"))
+        if i % 4 == 0:  # lexical-but-not-label predicate: filtered
+            out.append(_lit(e, _IAO_DEF, f"definition of term {i}", "en"))
+        if i % 11 == 0:  # untagged lang counts as English
+            out.append(_lit(e, _NCBI_SCI, f"Sci Name {i:03d}"))
+    for k in range(5):  # pref label on the shared surfaces -> rank 1
+        out.append(_lit(f"{ABO}Pref_{k}", _IAO_PREF, f"shared obo name {k}", "en"))
+    return tuple(out)
+
+
+@lru_cache(maxsize=1)
+def annotations_dump_path() -> str:
+    """N-Triples file of annotation_triples(), staged content-addressed."""
+    import hashlib
+    import os
+
+    text = to_ntriples(annotation_triples(), quirks=True)
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+    path = f"/tmp/tds_kg_annot_{digest}.nt"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    return path
+
+
+def annotation_triples_values_sql() -> str:
+    """``atrip(subj, pred, obj, kind, lang)`` VALUES body."""
+    return ",\n    ".join(
+        f"({_q(s)}, {_q(p)}, {_q(o)}, {_q(k)}, {_q(lng)})"
+        for s, p, o, k, lng, _ in annotation_triples()
+    )
+
+
+# --------------------------------------------------------------------------
 # N-Triples serialization (RDF 1.1 N-Triples grammar).
 # --------------------------------------------------------------------------
 def _escape_literal(s: str, ascii_only: bool) -> str:
@@ -343,6 +447,137 @@ def dump_path() -> str:
         with open(tmp, "w", encoding="utf-8") as f:
             f.write(text)
         os.replace(tmp, path)  # atomic: concurrent writers converge
+    return path
+
+
+# --------------------------------------------------------------------------
+# RDF/XML serialization — the SAME logical triples as the N-Triples dump,
+# in the format the reference's ontologies actually ship in
+# (TabularSemantics/ontologies/*.owl, loaded at ontology/onto_access.py:
+# 42-98). A parse of this file and a parse of the .nt dump must yield the
+# identical triple set, which is exactly what tests/test_kg_ingest.py
+# asserts. The serializer deliberately alternates RDF/XML idioms (typed
+# node elements vs rdf:Description, rdf:resource vs nested node elements)
+# by deterministic index so the reader's breadth is exercised by the
+# round-trip, not just by hand-written snippets.
+# --------------------------------------------------------------------------
+import re as _re
+
+_NCNAME = _re.compile(r"[A-Za-z_][A-Za-z0-9_.\-]*$")
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _split_uri(uri: str):
+    """(namespace, local) split usable as an XML element name, or None."""
+    for i in range(len(uri) - 1, -1, -1):
+        if uri[i] in "#/":
+            local = uri[i + 1:]
+            if local and _NCNAME.match(local):
+                return uri[: i + 1], local
+            return None
+    return None
+
+
+def _xesc_text(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace("\r", "&#13;"))
+
+
+def _xesc_attr(s: str) -> str:
+    return (_xesc_text(s).replace('"', "&quot;")
+            .replace("\n", "&#10;").replace("\t", "&#9;"))
+
+
+def to_rdfxml(triples) -> str:
+    """Serialize logical triples to RDF/XML. Requires every predicate (and
+    every class used as a typed node element) to QName-split; all fixture
+    and noise vocabulary does."""
+    groups: dict[str, list] = {}
+    order: list[str] = []
+    for t in triples:
+        if t[0] not in groups:
+            groups[t[0]] = []
+            order.append(t[0])
+        groups[t[0]].append(t)
+
+    namespaces: dict[str, str] = {_RDF_NS: "rdf"}
+
+    def prefix_of(ns: str) -> str:
+        if ns not in namespaces:
+            namespaces[ns] = f"ns{len(namespaces)}"
+        return namespaces[ns]
+
+    body: list[str] = []
+    for si, subj in enumerate(order):
+        rows = groups[subj]
+        # typed node element for every other subject that has an IRI type
+        type_i = next(
+            (i for i, r in enumerate(rows)
+             if r[1] == RDF_TYPE and r[3] == "iri" and _split_uri(r[2])),
+            None,
+        )
+        if si % 2 == 0 and type_i is not None:
+            ns, local = _split_uri(rows[type_i][2])
+            el = f"{prefix_of(ns)}:{local}"
+            rows = rows[:type_i] + rows[type_i + 1:]
+        else:
+            el = "rdf:Description"
+        sattr = (f'rdf:nodeID="{subj[2:]}"' if subj.startswith("_:")
+                 else f'rdf:about="{_xesc_attr(subj)}"')
+        body.append(f"  <{el} {sattr}>")
+        for pi, (s, p, o, kind, lang, dtype) in enumerate(rows):
+            pns, plocal = _split_uri(p) or (None, None)
+            if pns is None:
+                raise ValueError(f"predicate not QName-splittable: {p}")
+            pel = f"{prefix_of(pns)}:{plocal}"
+            if kind == "iri":
+                if pi % 5 == 3:  # nested node element object
+                    body.append(f"    <{pel}>")
+                    body.append(
+                        f'      <rdf:Description rdf:about="{_xesc_attr(o)}"/>')
+                    body.append(f"    </{pel}>")
+                else:
+                    body.append(f'    <{pel} rdf:resource="{_xesc_attr(o)}"/>')
+            elif kind == "bnode":
+                body.append(f'    <{pel} rdf:nodeID="{o[2:]}"/>')
+            else:
+                attrs = ""
+                if lang:
+                    attrs = f' xml:lang="{lang}"'
+                elif dtype:
+                    attrs = f' rdf:datatype="{_xesc_attr(dtype)}"'
+                body.append(f"    <{pel}{attrs}>{_xesc_text(o)}</{pel}>")
+        body.append(f"  </{el}>")
+
+    decls = "".join(
+        f'\n    xmlns:{pfx}="{_xesc_attr(ns)}"'
+        for ns, pfx in sorted(namespaces.items(), key=lambda kv: kv[1])
+    )
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        f"<rdf:RDF{decls}>\n" + "\n".join(body) + "\n</rdf:RDF>\n"
+    )
+
+
+@lru_cache(maxsize=1)
+def rdfxml_dump_path() -> str:
+    """Path of the RDF/XML dump: the checked-in copy
+    (``data/kg_dump.owl``, drift-guarded by tests/test_kg_ingest.py) when
+    present, else staged once per process under /tmp, content-addressed."""
+    import hashlib
+    import os
+
+    repo_copy = os.path.join(os.path.dirname(__file__), "data", "kg_dump.owl")
+    if os.path.exists(repo_copy):
+        return repo_copy
+    text = to_rdfxml(all_triples())
+    digest = hashlib.md5(text.encode("utf-8")).hexdigest()[:16]
+    path = f"/tmp/tds_kg_dump_{digest}.owl"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(text)
+        os.replace(tmp, path)
     return path
 
 

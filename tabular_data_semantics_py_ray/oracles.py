@@ -105,21 +105,25 @@ FROM linked GROUP BY 1, 2, 3"""
     # dump serializes), while the engine starts from the serialized TEXT —
     # so the distributed parse itself is under test, not just derivation.
     from .kg_dump import (
-        LABEL_PREDS,
+        ANNOTATION_LABEL_PREDS,
+        ANNOTATION_PREF_PREDS,
         OWL_CLASS,
         REDIRECT_PRED,
-        SKOS_ALT,
+        annotation_triples_values_sql,
         triples_values_sql,
     )
     from .constants import OWL_SAMEAS, RDFS_SUBCLASSOF
 
     _trip = f"trip(subj, pred, obj, kind, lang) AS (VALUES\n    {triples_values_sql()})"
-    _label_in = ", ".join(f"'{p}'" for p in LABEL_PREDS)
+    # the ingest default registry = the reference's full annotation list
+    # (annotations.py:29-94); the main dump only writes the skos/rdfs trio,
+    # so widening the IN list keeps kg_ingest_lexicon's result unchanged
+    _label_in = ", ".join(f"'{p}'" for p in ANNOTATION_LABEL_PREDS)
+    _pref_in = ", ".join(f"'{p}'" for p in ANNOTATION_PREF_PREDS)
 
-    o["kg_ingest_lexicon"] = f"""WITH {_trip},
-lab AS (
+    _lex_select = f"""lab AS (
   SELECT lower(obj) AS surface_form, subj AS entity_uri,
-         CASE WHEN pred = '{SKOS_ALT}' THEN 1 ELSE 0 END AS is_alt
+         CASE WHEN pred IN ({_pref_in}) THEN 0 ELSE 1 END AS is_alt
   FROM trip
   WHERE kind = 'literal' AND lang IN ('', 'en') AND pred IN ({_label_in})
 ),
@@ -131,9 +135,23 @@ SELECT surface_form, entity_uri,
             AS INTEGER) AS "rank"
 FROM d"""
 
+    o["kg_ingest_lexicon"] = f"WITH {_trip},\n{_lex_select}"
+
+    _atrip = ("trip(subj, pred, obj, kind, lang) AS (VALUES\n    "
+              f"{annotation_triples_values_sql()})")
+    o["kg_ingest_lexicon_annotations"] = f"WITH {_atrip},\n{_lex_select}"
+
     o["kg_ingest_types"] = f"""WITH {_trip}
 SELECT DISTINCT subj AS entity_uri, obj AS type_uri FROM trip
 WHERE pred = '{RDF_TYPE}' AND kind = 'iri' AND obj <> '{OWL_CLASS}'"""
+
+    # kg_ingest_owlxml ingests the RDF/XML serialization of the SAME
+    # logical triples (kg_dump.to_rdfxml), so its oracle is the lexicon
+    # oracle verbatim; likewise kg_ingest_gzip reads a gzipped copy of the
+    # .nt dump and shares the types oracle. What's under test is the
+    # alternate first mile (format / codec), not a new derivation.
+    o["kg_ingest_owlxml"] = o["kg_ingest_lexicon"]
+    o["kg_ingest_gzip"] = o["kg_ingest_types"]
 
     o["kg_ingest_alias"] = f"""WITH {_trip}
 SELECT DISTINCT subj AS uri_a, obj AS uri_b,

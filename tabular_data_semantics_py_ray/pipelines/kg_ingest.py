@@ -43,8 +43,9 @@ from ..constants import (
     RDFS_SUBCLASSOF,
     RDFS_SUBPROPERTYOF,
 )
-from ..kg_dump import LABEL_PREDS, OWL_CLASS, PREF_LABEL_PREDS, REDIRECT_PRED
+from ..kg_dump import OWL_CLASS, REDIRECT_PRED
 from ..util import (
+    _to_arrow,
     bucket_aggregate,
     bucket_anti_join,
     bucket_distinct,
@@ -124,16 +125,50 @@ def _parse_batch(t: pa.Table) -> pa.Table:
     )
 
 
+_COMPRESSION_EXT = {".gz": "gzip", ".bz2": "bz2", ".zst": "zstd", ".lz4": "lz4"}
+
+
+def _compression_for(path) -> str | None:
+    """Codec implied by the file extension(s), or None for plain text.
+    Real DBpedia / Wikidata dumps ship as .nt.gz / .nt.bz2; a directory or
+    list must be uniformly compressed (mixed codecs in one read are a
+    layout error, reported rather than guessed)."""
+    import os
+
+    if isinstance(path, (list, tuple)):
+        files = list(path)
+    elif os.path.isdir(path):
+        files = [f for f in os.listdir(path) if not f.startswith(".")]
+    else:
+        files = [path]
+    codecs = {_COMPRESSION_EXT.get(os.path.splitext(f)[1]) for f in files}
+    if len(codecs) > 1:
+        raise ValueError(
+            f"mixed compression codecs in one read: {sorted(map(str, codecs))}"
+        )
+    return codecs.pop() if codecs else None
+
+
 def read_ntriples(path, *, blocks: int | None = None):
     """Distributed N-Triples reader: (subj, pred, obj, kind, lang, dtype)
     string columns; kind in {'iri','literal','bnode'}, lang/dtype '' when
     absent. ``read_text`` splits files into line blocks so one 100 GB dump
-    parses across the cluster; small single-file dumps are fanned out."""
+    parses across the cluster; small single-file dumps are fanned out.
+    ``.nt.gz`` / ``.nt.bz2`` dumps decompress inside the read tasks
+    (``arrow_open_stream_args``) — no driver-side staging."""
     import os
 
     import ray.data as rd
 
-    ds = rd.read_text(path)
+    codec = _compression_for(path)
+    if codec is not None:
+        ds = rd.read_text(
+            path,
+            arrow_open_stream_args={"compression": codec},
+            file_extensions=None,
+        )
+    else:
+        ds = rd.read_text(path)
     blocks = blocks if blocks is not None else fanout_blocks()
     # a small single-file dump arrives as ONE block; split it so the parse
     # parallelizes (shuffle-free). Multi-file dumps (the corpus-scale
@@ -310,34 +345,259 @@ def read_turtle_dir(paths, *, blocks: int | None = None):
 
 
 # --------------------------------------------------------------------------
+# Driver-side RDF/XML (.owl / .rdf) -> N-Triples lines. The reference's
+# ontologies ship as RDF/XML (TabularSemantics/ontologies/dbpedia.owl,
+# schema.org.owl; loaded at ontology/onto_access.py:42-98) — this closes its
+# actual first mile. Ontology files are MB-sized, so expansion is a
+# driver-side step exactly like read_turtle; corpus-scale dumps ship as
+# N-Triples. Subset: rdf:RDF, node elements (rdf:Description or typed) with
+# rdf:about / rdf:ID / rdf:nodeID, property elements with rdf:resource /
+# rdf:nodeID / nested nodes / literals (xml:lang inherited, rdf:datatype),
+# parseType Resource / Collection / Literal, property attributes, xml:base,
+# rdf:li, and internal-DTD ENTITY declarations. Unsupported constructs
+# raise (reification attributes rdf:ID on property elements are ignored).
+# --------------------------------------------------------------------------
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XMLNS = "http://www.w3.org/XML/1998/namespace"
+_XML_LANG = "{" + _XMLNS + "}lang"
+_XML_BASE = "{" + _XMLNS + "}base"
+_ENTITY_DECL = re.compile(r"<!ENTITY\s+([\w.\-]+)\s+(?:\"([^\"]*)\"|'([^']*)')\s*>")
+
+
+def _xml_tag_uri(tag: str) -> str:
+    if tag.startswith("{"):
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+    return tag
+
+
+def _nt_escape(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+class _RdfXmlState:
+    __slots__ = ("lines", "bnode_n")
+
+    def __init__(self) -> None:
+        self.lines: list[str] = []
+        self.bnode_n = 0
+
+    def fresh_bnode(self) -> str:
+        self.bnode_n += 1
+        return f"_:genid{self.bnode_n}"
+
+    def emit(self, s: str, p: str, o: str) -> None:
+        self.lines.append(f"{s} {p} {o} .")
+
+
+def _resolve_iri(base: str, iri: str) -> str:
+    """Minimal base resolution (same policy as the Turtle reader): absolute
+    IRIs pass through; '#frag' and relative names concatenate onto base."""
+    if not base or "://" in iri or iri.startswith("urn:"):
+        return iri
+    return base + iri
+
+
+def _rdfxml_node(el, base: str, lang: str, st: _RdfXmlState) -> str:
+    """Process a node element; returns its subject TERM ('<iri>' / '_:b')."""
+    base = el.get(_XML_BASE, base)
+    lang = el.get(_XML_LANG, lang)
+    about = el.get("{%s}about" % _RDF_NS)
+    rid = el.get("{%s}ID" % _RDF_NS)
+    node_id = el.get("{%s}nodeID" % _RDF_NS)
+    if about is not None:
+        subj = f"<{_resolve_iri(base, about)}>"
+    elif rid is not None:
+        subj = f"<{base}#{rid}>"
+    elif node_id is not None:
+        subj = f"_:{node_id}"
+    else:
+        subj = st.fresh_bnode()
+
+    tag_uri = _xml_tag_uri(el.tag)
+    if tag_uri != _RDF_NS + "Description":
+        st.emit(subj, f"<{_RDF_NS}type>", f"<{tag_uri}>")
+
+    # property attributes on the node element
+    for k, v in el.attrib.items():
+        ku = _xml_tag_uri(k)
+        if ku.startswith(_RDF_NS) or ku.startswith(_XMLNS):
+            continue
+        obj = f'"{_nt_escape(v)}"' + (f"@{lang}" if lang else "")
+        st.emit(subj, f"<{ku}>", obj)
+
+    li_n = 0
+    for child in el:
+        li_n = _rdfxml_property(subj, child, base, lang, st, li_n)
+    return subj
+
+
+def _rdfxml_property(subj: str, child, base: str, lang: str,
+                     st: _RdfXmlState, li_n: int) -> int:
+    base = child.get(_XML_BASE, base)
+    lang = child.get(_XML_LANG, lang)
+    p_uri = _xml_tag_uri(child.tag)
+    if p_uri == _RDF_NS + "li":
+        li_n += 1
+        p_uri = f"{_RDF_NS}_{li_n}"
+    pred = f"<{p_uri}>"
+
+    resource = child.get("{%s}resource" % _RDF_NS)
+    node_id = child.get("{%s}nodeID" % _RDF_NS)
+    dtype = child.get("{%s}datatype" % _RDF_NS)
+    ptype = child.get("{%s}parseType" % _RDF_NS)
+
+    if ptype == "Resource":
+        b = st.fresh_bnode()
+        st.emit(subj, pred, b)
+        inner_li = 0
+        for gc in child:
+            inner_li = _rdfxml_property(b, gc, base, lang, st, inner_li)
+        return li_n
+    if ptype == "Collection":
+        members = [_rdfxml_node(gc, base, lang, st) for gc in child]
+        prev = subj, pred
+        for m in members:
+            cell = st.fresh_bnode()
+            st.emit(prev[0], prev[1], cell)
+            st.emit(cell, f"<{_RDF_NS}first>", m)
+            prev = cell, f"<{_RDF_NS}rest>"
+        st.emit(prev[0], prev[1], f"<{_RDF_NS}nil>")
+        return li_n
+    if ptype == "Literal":
+        from xml.etree import ElementTree as ET
+
+        inner = (child.text or "") + "".join(
+            ET.tostring(gc, encoding="unicode") for gc in child
+        )
+        st.emit(subj, pred,
+                f'"{_nt_escape(inner)}"^^<{_RDF_NS}XMLLiteral>')
+        return li_n
+
+    if resource is not None or node_id is not None:
+        obj = (f"<{_resolve_iri(base, resource)}>" if resource is not None
+               else f"_:{node_id}")
+        st.emit(subj, pred, obj)
+        # property attributes on an object-valued property element assert
+        # triples about the OBJECT (RDF/XML §2.12 shorthand)
+        for k, v in child.attrib.items():
+            ku = _xml_tag_uri(k)
+            if ku.startswith(_RDF_NS) or ku.startswith(_XMLNS):
+                continue
+            st.emit(obj, f"<{ku}>",
+                    f'"{_nt_escape(v)}"' + (f"@{lang}" if lang else ""))
+        return li_n
+
+    elems = list(child)
+    if elems:  # nested node element as object
+        if len(elems) > 1:
+            raise ValueError(
+                f"rdf/xml: property element <{p_uri}> has {len(elems)} "
+                "node children (expected 1)")
+        obj = _rdfxml_node(elems[0], base, lang, st)
+        st.emit(subj, pred, obj)
+        return li_n
+
+    text = child.text or ""
+    lit = f'"{_nt_escape(text)}"'
+    if dtype:
+        lit += f"^^<{dtype}>"
+    elif lang:
+        lit += f"@{lang}"
+    st.emit(subj, pred, lit)
+    return li_n
+
+
+def rdfxml_to_nt_lines(text: str) -> list[str]:
+    """Expand an RDF/XML document into N-Triples lines (driver-side;
+    ontology files are MB-sized). Internal-DTD ENTITY declarations (the
+    header idiom of real .owl exports) are honored."""
+    from xml.etree import ElementTree as ET
+
+    parser = ET.XMLParser()
+    di = text.find("<!DOCTYPE")
+    if di != -1:
+        end = text.find("]>", di)
+        end = text.find(">", di) + 1 if end == -1 else end + 2
+        for m in _ENTITY_DECL.finditer(text[di:end]):
+            parser.entity[m.group(1)] = m.group(2) or m.group(3) or ""
+    root = ET.fromstring(text, parser=parser)
+    st = _RdfXmlState()
+    base = root.get(_XML_BASE, "")
+    lang = root.get(_XML_LANG, "")
+    if _xml_tag_uri(root.tag) == _RDF_NS + "RDF":
+        for el in root:
+            _rdfxml_node(el, base, lang, st)
+    else:  # single node element document
+        _rdfxml_node(root, base, lang, st)
+    return st.lines
+
+
+def read_rdfxml(path: str, *, blocks: int | None = None):
+    """RDF/XML file -> parsed triples Dataset (driver-side expansion to
+    N-Triples lines, then the distributed parse kernel — the same shape as
+    ``read_turtle``)."""
+    import ray.data as rd
+
+    with open(path, encoding="utf-8") as f:
+        lines = rdfxml_to_nt_lines(f.read())
+    ds = rd.from_items([{"text": ln} for ln in lines])
+    ds = ds.repartition(blocks if blocks is not None else fanout_blocks())
+    return ds.map_batches(_parse_batch, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
 # Derivations: triples Dataset -> the four backend tables.
 # --------------------------------------------------------------------------
-def _label_rows_batch(t: pa.Table) -> pa.Table:
-    """triples batch -> raw (surface_form, entity_uri, is_alt) label rows."""
+def make_label_rows_batch(pref_preds=None, alt_preds=None):
+    """Batch kernel factory: triples batch -> raw (surface_form,
+    entity_uri, is_alt) label rows for a configurable label-predicate
+    registry. Defaults to the REFERENCE's full annotation registry
+    (ontology/annotations.py:29-94 — rdfs:label / skos / OBO IAO /
+    oboInOwl synonyms / NCI / NCBI ...), exposed as
+    kg_dump.ANNOTATION_PREF_PREDS / ANNOTATION_ALT_PREDS; pass explicit
+    tuples to index a KG with its own label vocabulary."""
     import pyarrow.compute as pc
 
-    mask = pc.and_(
-        pc.and_(
-            pc.is_in(t.column("pred"), value_set=pa.array(LABEL_PREDS)),
-            pc.equal(t.column("kind"), "literal"),
-        ),
-        pc.is_in(t.column("lang"), value_set=pa.array(["", "en"])),
-    )
-    f = t.filter(mask)
-    return pa.Table.from_arrays(
-        [
-            pc.utf8_lower(f.column("obj")),
-            f.column("subj"),
-            pc.cast(
-                pc.invert(
-                    pc.is_in(f.column("pred"),
-                             value_set=pa.array(list(PREF_LABEL_PREDS)))
-                ),
-                pa.int8(),
+    from ..kg_dump import ANNOTATION_ALT_PREDS, ANNOTATION_PREF_PREDS
+
+    pref = tuple(ANNOTATION_PREF_PREDS if pref_preds is None else pref_preds)
+    alt = tuple(ANNOTATION_ALT_PREDS if alt_preds is None else alt_preds)
+    all_arr = pa.array(list(pref) + list(alt))
+    pref_arr = pa.array(list(pref))
+
+    def _label_rows(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(
+                pc.is_in(t.column("pred"), value_set=all_arr),
+                pc.equal(t.column("kind"), "literal"),
             ),
-        ],
-        names=["surface_form", "entity_uri", "is_alt"],
-    )
+            pc.is_in(t.column("lang"), value_set=pa.array(["", "en"])),
+        )
+        f = t.filter(mask)
+        return pa.Table.from_arrays(
+            [
+                pc.utf8_lower(f.column("obj")),
+                f.column("subj"),
+                pc.cast(
+                    pc.invert(
+                        pc.is_in(f.column("pred"), value_set=pref_arr)
+                    ),
+                    pa.int8(),
+                ),
+            ],
+            names=["surface_form", "entity_uri", "is_alt"],
+        )
+
+    return _label_rows
+
+
+# default-registry instance (stage-A of the resumable ingest and all
+# dump-path derivations use this)
+_label_rows_batch = make_label_rows_batch()
 
 
 def lexicon_from_labels(labels_ds):
@@ -357,15 +617,24 @@ def lexicon_from_labels(labels_ds):
     return bucket_map_keyed(dedup, ["surface_form"], _rank)
 
 
-def derive_lexicon(triples_ds):
+def derive_lexicon(triples_ds, *, pref_preds=None, alt_preds=None):
     """Label triples -> (surface_form, entity_uri, rank int32).
 
     surface_form = lowercased English (or untagged) label literal; pref
-    labels (skos:prefLabel / rdfs:label) outrank alt labels (skos:altLabel);
-    rank = row_number within surface_form ordered by (is_alt, entity_uri) —
-    the deterministic stand-in for the lookup service's relevance order.
-    One bucket shuffle on surface_form (complete groups per bucket); the
-    lexicon is KG-bounded, not corpus-bounded."""
+    labels outrank alt labels; rank = row_number within surface_form
+    ordered by (is_alt, entity_uri) — the deterministic stand-in for the
+    lookup service's relevance order. The label-predicate registry
+    defaults to the reference's full annotation list
+    (annotations.py:29-94; kg_dump.ANNOTATION_*_PREDS) and is
+    parameterizable per KG. One bucket shuffle on surface_form (complete
+    groups per bucket); the lexicon is KG-bounded, not corpus-bounded."""
+    if pref_preds is not None or alt_preds is not None:
+        return lexicon_from_labels(
+            triples_ds.map_batches(
+                make_label_rows_batch(pref_preds, alt_preds),
+                batch_format="pyarrow",
+            )
+        )
     return lexicon_from_labels(
         triples_ds.map_batches(_label_rows_batch, batch_format="pyarrow")
     )
@@ -915,7 +1184,7 @@ def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
                 "lang": np.full(len(spc), "", dtype=object),
             }
         )
-        out = out.union(rd.from_pandas(sp_trip))
+        out = out.union(rd.from_arrow(_to_arrow(sp_trip)))
     return bucket_distinct(out, cols)
 
 
@@ -1237,7 +1506,7 @@ def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
                 "lang": np.full(len(spx), "", dtype=object),
             }
         )
-        out = out.union(rd.from_pandas(sp_trip))
+        out = out.union(rd.from_arrow(_to_arrow(sp_trip)))
     return bucket_distinct(out, cols)
 
 
@@ -1632,7 +1901,9 @@ def ingest_backend_tables_resumable(nt_files, out_dir: str, *,
             return rd.from_arrow(pa.table(
                 {c: pa.array([], type=t)
                  for c, t in _STAGE_SCHEMAS[name].items()}))
-        return rd.read_parquet(files)
+        from ..util import read_parquet_clean
+
+        return read_parquet_clean(files)
 
     derived = {
         "lexicon": lexicon_from_labels(_staged("labels")),

@@ -32,8 +32,10 @@ def read_documents(sf_dir: str, *, partition: tuple[int, int] | None = None, **k
     ``doc_id % n_partitions == partition_id`` (the resumable-materialize
     partitioning key — see pipelines/materialize.py)."""
     blocks = kwargs.pop("blocks", None)
+    from ..util import read_parquet_clean
+
     path = os.path.join(sf_dir, "documents.parquet")
-    ds = rd.read_parquet(path, columns=["doc_id", "text"], **kwargs)
+    ds = read_parquet_clean(path, columns=["doc_id", "text"], **kwargs)
     if blocks:
         from ..util import guarded_fanout
 
@@ -334,8 +336,9 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
 def read_stream_result(out_dir: str):
     """Read a ``triples_stream_to_parquet`` output as one Dataset."""
     cols = ["subj", "pred", "obj", "obj_is_literal"]
-    main = rd.read_parquet(os.path.join(out_dir, "doc_triples"), columns=cols)
-    et = rd.read_parquet(
-        os.path.join(out_dir, "entity_type_triples"), columns=cols
-    )
+    from ..util import read_parquet_clean
+
+    main = read_parquet_clean(os.path.join(out_dir, "doc_triples"), columns=cols)
+    et = read_parquet_clean(
+        os.path.join(out_dir, "entity_type_triples"), columns=cols)
     return main.union(et)

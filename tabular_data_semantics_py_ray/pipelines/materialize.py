@@ -124,4 +124,7 @@ def read_result(out_dir: str):
             )
     # explicit columns: dir names are hive-style (part=NNNNN) and pyarrow
     # would otherwise add an inferred 'part' partition column
-    return rd.read_parquet(files, columns=["subj", "pred", "obj", "obj_is_literal"])
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(
+        files, columns=["subj", "pred", "obj", "obj_is_literal"])

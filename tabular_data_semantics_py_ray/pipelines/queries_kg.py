@@ -15,7 +15,7 @@ import ray
 
 from .. import fixture_kg
 from ..stages.canonicalize import partial_count, vote_types
-from ..util import drop_cols, fanout_blocks, rename_cols
+from ..util import _to_arrow, drop_cols, fanout_blocks, rename_cols
 from ..stages.linking import LinkScore
 from ..stages.mention_detect import detect_mentions_flat_batch
 from .kg_pipeline import read_documents
@@ -504,7 +504,7 @@ def prop_kind(sf_dir: str):
 
     from ..util import bucket_aggregate, bucket_distinct
 
-    st = rd.from_pandas(fixture_kg.statements_df())
+    st = rd.from_arrow(_to_arrow(fixture_kg.statements_df()))
     d = bucket_distinct(st, ["pred", "obj"], num_buckets=8)
 
     def _flag(b: pd.DataFrame) -> pd.DataFrame:
@@ -794,7 +794,9 @@ def gt_repair_customer(sf_dir: str):
     from ..constants import ENT
     from .gt_repair import repair_cea_gt
 
-    cust = rd.read_parquet(
+    from ..util import read_parquet_clean
+
+    cust = read_parquet_clean(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_name", "c_nationkey"],
     ).repartition(fanout_blocks(0.25))
@@ -1335,7 +1337,7 @@ def class_closure_compute(sf_dir: str, *, max_depth: int = 32,
     closure = _bk(backend).class_closure()
     edges = closure[closure["distance"] == 1][
         ["cls_uri", "ancestor_uri"]].reset_index(drop=True)
-    edges_ds = rd.from_pandas(edges)
+    edges_ds = rd.from_arrow(_to_arrow(edges))
 
     frontier = edges_ds.map_batches(
         lambda t: pa.Table.from_arrays(
@@ -1521,8 +1523,10 @@ def type_by_source(sf_dir: str):
     import ray.data as rd
 
     winners = cta_doc_type(sf_dir)  # (doc_id, type_uri), 1 row per doc
-    src = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                          columns=["doc_id", "source"])
+    from ..util import read_parquet_clean
+
+    src = read_parquet_clean(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["doc_id", "source"])
 
     joined = bucket_join(
         winners, src, key="doc_id",

@@ -21,7 +21,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
-from ..util import fanout_blocks, list_column_matrix
+from ..util import _to_arrow, fanout_blocks, list_column_matrix
 
 
 def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
@@ -35,10 +35,10 @@ def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
     blocks — measured 87 s vs 7.7 s for one map_batches pass over a
     5M-doc/50-file staged corpus (26x) — while adding nothing.
     """
-    from ..util import guarded_fanout
+    from ..util import guarded_fanout, read_parquet_clean
 
     path = os.path.join(sf_dir, f"{table}.parquet")
-    ds = rd.read_parquet(path, columns=columns)
+    ds = read_parquet_clean(path, columns=columns)
     return guarded_fanout(ds, path, blocks) if blocks else ds
 
 
@@ -583,7 +583,7 @@ def orders_ship_window(sf_dir: str, *, window_days: int = 3):
         partials, ["o_orderkey"],
         {"n_items": ("n", "sum"), "sum_qty": ("sum_value", "sum")})
     return agg.map_batches(
-        lambda b: b.assign(sum_qty=b["sum_qty"].round(2)),
+        lambda b: _to_arrow(b.assign(sum_qty=b["sum_qty"].round(2))),
         batch_format="pandas")
 
 
@@ -609,7 +609,9 @@ def doc_tfidf_topk(sf_dir: str, *, k: int = 5):
     from ..util import bucket_aggregate
 
     # metadata-only count (works for single-file and directory tables)
-    n_docs = rd.read_parquet(
+    from ..util import read_parquet_clean
+
+    n_docs = read_parquet_clean(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]).count()
     docs = _read(sf_dir, "documents", ["doc_id", "text"],
                  blocks=fanout_blocks(0.5))
@@ -2165,7 +2167,7 @@ def events_hll_users(sf_dir: str, *, m_log2: int = 10):
         df = pd.DataFrame({"event_type": et, "bucket": bucket, "rho": rho})
         g = df.groupby(["event_type", "bucket"], sort=False)["rho"].max(
         ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     regs = bucket_aggregate(
         ev.map_batches(_regs, batch_format="pyarrow"),
@@ -2374,7 +2376,8 @@ def doc_len_percentile(sf_dir: str):
                     "n_chars": t.column("n_chars").cast(pa.int64())
                     .to_numpy(zero_copy_only=False),
                 }).groupby(["lang", "n_chars"], sort=False).size()
-                .reset_index(name="c"), preserve_index=False),
+                .reset_index(name="c"), preserve_index=False)
+                .replace_schema_metadata(None),
             batch_format="pyarrow"),
         ["lang", "n_chars"], {"c": ("c", "sum")}).to_pandas()
 
@@ -4166,7 +4169,7 @@ def doc_pack_census(sf_dir: str, *, seq_len: int = 2048):
             n_docs=("doc_id", "size"), n_cross=("n_cross", "sum")
         ).reset_index()
         g["n_docs"] = g["n_docs"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     return bucket_aggregate(
         packed.map_batches(_partial, batch_format="pyarrow"),
@@ -4208,7 +4211,7 @@ def vocab_growth(sf_dir: str, *, n_ranges: int = 16):
             "doc_id": ids.to_pandas(),
         })
         g = df.groupby("token", sort=False)["doc_id"].min().reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     first = bucket_aggregate(
         docs.map_batches(_partial, batch_format="pyarrow"),
@@ -4336,7 +4339,7 @@ def emb_quantize_census(sf_dir: str, *, levels: int = 255):
         g = df.groupby("label", sort=False).agg(
             n_values=("n_values", "sum"), sum_err=("sum_err", "sum"),
             max_err=("max_err", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     tot = bucket_aggregate(
         emb.map_batches(_err, batch_format="pyarrow"),
@@ -4429,7 +4432,7 @@ def lang_token_fertility(sf_dir: str):
             n_docs=("ws", "size"), n_tokens_ws=("ws", "sum"),
             n_tokens_bpe=("bpe", "sum")).reset_index()
         g["n_docs"] = g["n_docs"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     agg = bucket_aggregate(
         docs.map_batches(_partial, batch_format="pyarrow"),
@@ -4643,7 +4646,7 @@ def events_user_lifespan(sf_dir: str):
         # (user, day) pairs with ts extrema, not counts
         g = df.groupby(["user_id", "day"], sort=False).agg(
             first_ts=("ts", "min"), last_ts=("ts", "max")).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     pairs = ev.map_batches(_partial, batch_format="pyarrow")
     agg = bucket_aggregate(

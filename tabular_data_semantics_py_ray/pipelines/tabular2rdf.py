@@ -18,6 +18,7 @@ import ray.data as rd
 
 from ..constants import RDF_TYPE, RDFS_LABEL, TAB, ONT
 from ..schemas import TRIPLES_SCHEMA
+from ..util import read_parquet_clean
 
 
 def table_to_rdf(ds, *, table_name: str, key_col: str, cls_uri: str,
@@ -70,7 +71,7 @@ def table_to_rdf(ds, *, table_name: str, key_col: str, cls_uri: str,
 def nation_to_rdf(sf_dir: str):
     """nation -> triples (the oracle-verified instantiation of
     ``table_to_rdf``; columns: 1=n_name, 2=n_regionkey)."""
-    ds = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "nation.parquet"))
     return table_to_rdf(
         ds,
         table_name="nation",
@@ -82,7 +83,7 @@ def nation_to_rdf(sf_dir: str):
 
 
 def region_to_rdf(sf_dir: str):
-    ds = rd.read_parquet(os.path.join(sf_dir, "region.parquet"))
+    ds = read_parquet_clean(os.path.join(sf_dir, "region.parquet"))
     return table_to_rdf(
         ds,
         table_name="region",

@@ -60,10 +60,12 @@ def read_interleaved(path: str, *, columns: list[str] | None = None):
                 "package is not installed; install 'pylance' or convert the "
                 "corpus to parquet" % path
             )
-        ds = rd.read_lance(path, columns=cols)
-    else:
-        ds = rd.read_parquet(path, columns=cols)
-    return ds
+        from ..util import strip_schema_metadata
+
+        return strip_schema_metadata(rd.read_lance(path, columns=cols))
+    from ..util import read_parquet_clean
+
+    return read_parquet_clean(path, columns=cols)
 
 
 def validate_interleaved_schema(schema: pa.Schema) -> None:

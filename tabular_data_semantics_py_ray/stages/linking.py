@@ -326,5 +326,6 @@ class DocTriples(DocPipeline):
         key = et["entity_uri"] + "\x1f" + et["type_uri"]
         fresh = ~key.isin(self.emitted)
         self.emitted.update(key[fresh])
-        return pa.Table.from_pandas(et[fresh].reset_index(drop=True),
-                                    preserve_index=False)
+        return pa.Table.from_pandas(
+            et[fresh].reset_index(drop=True), preserve_index=False
+        ).replace_schema_metadata(None)

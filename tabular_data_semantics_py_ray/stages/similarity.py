@@ -753,7 +753,7 @@ def pq_distortion(embeddings_ds, *, m: int = 4):
         g = df.groupby("label", sort=False)["err"].agg(
             n_vecs="size", sum_err="sum", max_err="max").reset_index()
         g["n_vecs"] = g["n_vecs"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     tot = bucket_aggregate(
         embeddings_ds.map_batches(_partial, batch_format="pyarrow"),

@@ -54,7 +54,7 @@ def mention_triples_batch(batch) -> pa.Table:
     """(doc_id, entity_uri) pairs -> (doc uri, ont:mentions, entity) triples,
     deduped per batch (global distinct happens at materialize)."""
     if isinstance(batch, pd.DataFrame):
-        batch = pa.Table.from_pandas(batch, preserve_index=False)
+        batch = pa.Table.from_pandas(batch, preserve_index=False).replace_schema_metadata(None)
     d = _distinct_rows(batch, ["doc_id", "entity_uri"])
     return _assemble(
         _doc_uri(d.column("doc_id").combine_chunks()),
@@ -67,7 +67,7 @@ def mention_triples_batch(batch) -> pa.Table:
 def type_triples_batch(typed) -> pa.Table:
     """rows with (entity_uri, type_uri) -> rdf:type triples, batch-deduped."""
     if isinstance(typed, pd.DataFrame):
-        typed = pa.Table.from_pandas(typed, preserve_index=False)
+        typed = pa.Table.from_pandas(typed, preserve_index=False).replace_schema_metadata(None)
     d = _distinct_rows(typed, ["entity_uri", "type_uri"])
     return _assemble(
         d.column("entity_uri").combine_chunks(),
@@ -80,7 +80,7 @@ def type_triples_batch(typed) -> pa.Table:
 def doc_type_triples_batch(winners, key: str = "doc_id") -> pa.Table:
     """per-doc winning type -> (doc uri, rdf:type, type) triples."""
     if isinstance(winners, pd.DataFrame):
-        winners = pa.Table.from_pandas(winners, preserve_index=False)
+        winners = pa.Table.from_pandas(winners, preserve_index=False).replace_schema_metadata(None)
     return _assemble(
         _doc_uri(winners.column(key).combine_chunks()),
         RDF_TYPE,

@@ -59,9 +59,16 @@ def _to_arrow(df: pd.DataFrame) -> pa.Table:
     ``pa.Table.from_pandas`` maps an empty object column to ``null`` type,
     which poisons downstream shuffles/joins with mismatched block schemas
     (zero-column/null-typed empties). Empty object columns are typed as
-    string — the only thing object columns hold in this engine."""
+    string — the only thing object columns hold in this engine.
+
+    Schema metadata is stripped: ``from_pandas`` attaches a ``pandas`` dict
+    that makes the Arrow schema UNHASHABLE, so every Ray block-schema
+    unification logs 'Failed to hash the schemas (for deduplication)' and
+    skips its dedup fast path."""
     if len(df):
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(
+            df, preserve_index=False
+        ).replace_schema_metadata(None)
     sch = pa.Schema.from_pandas(df, preserve_index=False)
     fields = [
         pa.field(f.name, pa.string() if pa.types.is_null(f.type) else f.type)
@@ -70,6 +77,49 @@ def _to_arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_arrays(
         [pa.array([], type=f.type) for f in fields], schema=pa.schema(fields)
     )
+
+
+def strip_schema_metadata(ds):
+    """Drop Arrow schema metadata from every block.
+
+    Parquet files written via pandas embed a ``pandas`` schema-metadata
+    dict; pyarrow schemas WITH metadata are unhashable, so every Ray
+    block-schema unification (repartition / sort / union / aggregate)
+    logs 'Failed to hash the schemas (for deduplication)' and falls off
+    its dedup fast path. The strip fuses into the upstream read task
+    (zero-copy) — no extra pass over the data. For parquet READS prefer
+    ``read_parquet_clean``, which fixes the schema at the source (Ray's
+    read-side block splitting unifies schemas BEFORE any downstream
+    stage can strip them)."""
+
+    def _strip(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None) if t.schema.metadata else t
+
+    return ds.map_batches(_strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with an explicit METADATA-FREE schema.
+
+    See strip_schema_metadata for why: the embedded ``pandas`` metadata
+    dict makes every derived block schema unhashable. Passing the footer
+    schema with metadata removed makes the read itself emit clean blocks —
+    no extra stage, and the read-side SplitBlocks dedup fast path works."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    probe = path[0] if isinstance(path, (list, tuple)) else path
+    if os.path.isdir(probe):
+        for root, _, files in os.walk(probe):
+            hits = sorted(f for f in files if f.endswith(".parquet"))
+            if hits:
+                probe = os.path.join(root, hits[0])
+                break
+    full = pq.read_schema(probe).remove_metadata()
+    sch = pa.schema([full.field(c) for c in columns]) if columns else full
+    return rd.read_parquet(path, columns=columns, schema=sch, **kwargs)
 
 
 def conform_schema(ds, schema: pa.Schema):

@@ -463,3 +463,131 @@ def test_resumable_ingest_detects_inplace_file_change(ray_session, tmp_path):
         kg_ingest.ingest_backend_tables(files, str(tmp_path / "ref2")))
     for name in ref:
         pd.testing.assert_frame_equal(got[name], ref[name])
+
+
+# ---- RDF/XML (.owl) first mile (round 4) -----------------------------------
+
+def _triple_set(cols):
+    return sorted(zip(cols["subj"], cols["pred"], cols["obj"],
+                      cols["kind"], cols["lang"], cols["dtype"]))
+
+
+def test_rdfxml_round_trip_equals_nt():
+    """The RDF/XML serialization of all_triples parses to EXACTLY the
+    triple set of the N-Triples dump — the two first-mile formats are
+    interchangeable (reference ships .owl: onto_access.py:42-98)."""
+    xml = kg_dump.to_rdfxml(kg_dump.all_triples())
+    got = _triple_set(kg_ingest.parse_nt_lines(kg_ingest.rdfxml_to_nt_lines(xml)))
+    want = _triple_set(kg_ingest.parse_nt_lines(
+        kg_dump.to_ntriples(kg_dump.all_triples(), quirks=True).splitlines()))
+    assert got == want
+
+
+def test_checked_in_owl_matches_generator():
+    path = os.path.join(os.path.dirname(kg_dump.__file__), "data", "kg_dump.owl")
+    with open(path, encoding="utf-8") as f:
+        assert f.read() == kg_dump.to_rdfxml(kg_dump.all_triples())
+
+
+def test_rdfxml_feature_gauntlet():
+    """Hand-written RDF/XML exercising the subset beyond what the
+    serializer emits: DOCTYPE entities, xml:base + rdf:ID, parseType
+    Resource/Collection, rdf:li, property attributes, nested typed nodes,
+    inherited xml:lang."""
+    xml = """<?xml version="1.0"?>
+<!DOCTYPE rdf:RDF [ <!ENTITY ex "http://ex.org/"> ]>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:eg="http://ex.org/" xml:base="http://base.org/doc"
+         xml:lang="en">
+  <eg:Widget rdf:ID="w1" eg:shortName="tiny">
+    <eg:partOf rdf:resource="&ex;whole"/>
+    <eg:meta rdf:parseType="Resource">
+      <eg:score rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">3</eg:score>
+    </eg:meta>
+    <eg:members rdf:parseType="Collection">
+      <rdf:Description rdf:about="&ex;m1"/>
+      <rdf:Description rdf:about="&ex;m2"/>
+    </eg:members>
+    <rdf:li>first</rdf:li>
+    <rdf:li>second</rdf:li>
+    <eg:made>
+      <eg:Factory rdf:about="&ex;f1"/>
+    </eg:made>
+  </eg:Widget>
+</rdf:RDF>"""
+    cols = kg_ingest.parse_nt_lines(kg_ingest.rdfxml_to_nt_lines(xml))
+    trips = set(zip(cols["subj"], cols["pred"], cols["obj"],
+                    cols["kind"], cols["lang"], cols["dtype"]))
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    w = "http://base.org/doc#w1"
+    assert (w, RDFNS + "type", "http://ex.org/Widget", "iri", "", "") in trips
+    assert (w, "http://ex.org/shortName", "tiny", "literal", "en", "") in trips
+    assert (w, "http://ex.org/partOf", "http://ex.org/whole", "iri", "", "") in trips
+    # parseType=Resource bnode carries the typed score
+    meta_b = [o for s, p, o, k, *_ in trips
+              if s == w and p == "http://ex.org/meta"][0]
+    assert (meta_b, "http://ex.org/score", "3", "literal", "",
+            "http://www.w3.org/2001/XMLSchema#integer") in trips
+    # collection: first/rest chain ending in nil
+    firsts = {o for s, p, o, k, *_ in trips if p == RDFNS + "first"}
+    assert firsts == {"http://ex.org/m1", "http://ex.org/m2"}
+    assert any(o == RDFNS + "nil" for s, p, o, k, *_ in trips
+               if p == RDFNS + "rest")
+    # rdf:li -> rdf:_1 / rdf:_2, inheriting xml:lang
+    assert (w, RDFNS + "_1", "first", "literal", "en", "") in trips
+    assert (w, RDFNS + "_2", "second", "literal", "en", "") in trips
+    # nested typed node: object triple + type triple on the object
+    assert (w, "http://ex.org/made", "http://ex.org/f1", "iri", "", "") in trips
+    assert ("http://ex.org/f1", RDFNS + "type", "http://ex.org/Factory",
+            "iri", "", "") in trips
+
+
+def test_rdfxml_parses_reference_ontologies():
+    """The reference's actual shipped ontologies (RDF/XML .owl) parse
+    without error and yield their full class inventories. Skipped when the
+    reference checkout is absent."""
+    ref = "/root/reference/TabularSemantics/ontologies/dbpedia.owl"
+    if not os.path.exists(ref):
+        pytest.skip("reference ontologies not present")
+    with open(ref, encoding="utf-8") as f:
+        cols = kg_ingest.parse_nt_lines(kg_ingest.rdfxml_to_nt_lines(f.read()))
+    RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    owl_classes = {
+        s for s, p, o in zip(cols["subj"], cols["pred"], cols["obj"])
+        if p == RDFNS + "type" and o == "http://www.w3.org/2002/07/owl#Class"
+    }
+    assert len(owl_classes) > 500  # dbpedia 2016 taxonomy
+
+
+def test_read_rdfxml_backend_tables_match_nt(ray_session):
+    """Distributed check: backend tables derived from read_rdfxml(.owl)
+    equal those derived from read_ntriples(.nt) bit-for-bit."""
+    owl = kg_ingest.read_rdfxml(kg_dump.rdfxml_dump_path())
+    nt = kg_ingest.read_ntriples(kg_dump.dump_path())
+    for derive in (kg_ingest.derive_lexicon, kg_ingest.derive_entity_types,
+                   kg_ingest.derive_alias_edges):
+        a = _canon(derive(owl).to_pandas())
+        b = _canon(derive(nt).to_pandas())
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_read_ntriples_gzip_matches_plain(ray_session, tmp_path):
+    """A .nt.gz dump ingests to the identical parsed triples (in-task
+    decompression via arrow_open_stream_args)."""
+    import gzip
+    import shutil
+
+    gz = str(tmp_path / "dump.nt.gz")
+    with open(kg_dump.dump_path(), "rb") as fin, gzip.open(gz, "wb") as fout:
+        shutil.copyfileobj(fin, fout)
+    a = _canon(kg_ingest.read_ntriples(gz).to_pandas())
+    b = _canon(kg_ingest.read_ntriples(kg_dump.dump_path()).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mixed_compression_raises(tmp_path):
+    (tmp_path / "a.nt").write_text("")
+    (tmp_path / "b.nt.gz").write_bytes(b"")
+    with pytest.raises(ValueError, match="mixed compression"):
+        kg_ingest._compression_for([str(tmp_path / "a.nt"),
+                                    str(tmp_path / "b.nt.gz")])
