@@ -7,12 +7,22 @@ checks (kg_matching.py:476-584, A1-A6 in SURVEY §2.3). Here the same
 "heavy singleton" shape becomes callable classes whose ``__init__`` pins the
 fixture tables (broadcast once via ``ray.put``), passed to
 ``ds.map_batches(Cls, concurrency=N)`` so state loads once per actor, not
-once per batch. Per-batch work is vectorized pandas merges — no row loops.
+once per batch.
+
+The per-occurrence result of the candidate-generation + scoring cascade
+(top-k lexicon candidates -> redirect closure -> disambiguation drop ->
+lowest-rank winner) depends ONLY on the mention's surface form, so the
+cascade has a closed form: ``surface_resolution`` folds it into a
+surface_form -> entity_uri table at actor init, and the per-batch body is
+one zero-copy ``pc.index_in`` against the pinned form array plus an
+integer gather — no pandas frame in the hot path.
 """
 
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import fixture_kg
 from ..fixture_kg import DISAMBIGUATION_CLASS
@@ -25,15 +35,71 @@ def _broadcast(obj):
     return ray.put(obj)
 
 
-class CandidateGen:
-    """mention -> ranked candidate entities (top-k), lexicon pinned per actor.
+def resolution_maps(alias_edges=None, entity_types=None):
+    """(redirect-canonical map, disambiguation-page set) from raw edges.
 
-    ~ lookup-service call per distinct cell (kg/lookup.py:212-219, J1/T1);
-    memoization (A8 dict caches) becomes a plain dict join — O(1) per row,
-    vectorized via pandas merge against the pinned lexicon table.
-    """
+    Semantics mirror the reference's cascade, made deterministic:
+    redirects resolve with exactly two closure iterations, not a fixpoint
+    (challenge_utils.py:441-453); disambiguation pages are the wikidata
+    Q4167410 analogue (matching/kg_matching.py:417-420)."""
+    alias = alias_edges if alias_edges is not None else fixture_kg.alias_edges_df()
+    types = (entity_types if entity_types is not None
+             else fixture_kg.entity_types_df())
+    redirects = alias[alias["kind"] == "redirect"]
+    one_hop = dict(zip(redirects["uri_a"], redirects["uri_b"]))
+    canonical = {
+        s: one_hop.get(one_hop.get(s, s), one_hop.get(s, s)) for s in one_hop
+    }
+    disambig = set(
+        types.loc[types["type_uri"] == DISAMBIGUATION_CLASS, "entity_uri"]
+    )
+    return canonical, disambig
 
-    def __init__(self, lexicon_ref=None, top_k: int = 3):
+
+def surface_resolution(lexicon: pd.DataFrame, top_k: int,
+                       alias_edges: pd.DataFrame | None = None,
+                       entity_types: pd.DataFrame | None = None) -> pd.DataFrame:
+    """surface_form -> linked entity (lowest rank, canonical, non-disambig)
+    — the closed form of the A1/A6/T1 cascade over the lexicon: per-
+    occurrence linking reduces to a lookup in this table because nothing in
+    the cascade depends on the occurrence's position, only its surface."""
+    canonical, disambig = resolution_maps(alias_edges, entity_types)
+    lex = lexicon[lexicon["rank"] <= top_k].copy()
+    lex["entity_uri"] = lex["entity_uri"].map(lambda u: canonical.get(u, u))
+    lex = lex[~lex["entity_uri"].isin(disambig)]
+    lex = lex.sort_values(["surface_form", "rank"], kind="mergesort")
+    return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
+
+
+class LinkScore:
+    """Driver-side holder of the resolution maps (redirect closure +
+    disambiguation set). Kept as a named class because downstream pipelines
+    (queries_kg._cell_norm_resolution) consume ``.canonical`` / ``.disambig``
+    to build their own candidate unions."""
+
+    def __init__(self, alias_ref=None, types_ref=None):
+        import ray
+
+        alias = (
+            ray.get(alias_ref) if alias_ref is not None else None
+        )
+        types = (
+            ray.get(types_ref) if types_ref is not None else None
+        )
+        self.canonical, self.disambig = resolution_maps(alias, types)
+
+
+class EntityLinker:
+    """mention occurrences -> linked entity per occurrence, Arrow-native.
+
+    ``__init__`` folds lexicon + alias + types into the surface-resolution
+    arrays once per actor (A8 memo caches become this precomputation);
+    ``__call__`` is ``pc.index_in`` + ``take`` — zero-copy in, no pandas.
+    Occurrences whose surface resolves to no surviving candidate are
+    dropped (inner-join semantics of the reference's lookup)."""
+
+    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3,
+                 project=None):
         import ray
 
         lex = (
@@ -41,77 +107,24 @@ class CandidateGen:
             if lexicon_ref is not None
             else fixture_kg.lexicon_df()
         )
-        self.lex = lex[lex["rank"] <= top_k]
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch.merge(
-            self.lex, left_on="mention", right_on="surface_form", how="inner"
-        )
-        return out.drop(columns=["surface_form"])
-
-
-class LinkScore:
-    """candidates -> best linked entity per mention occurrence.
-
-    Semantics (mirrors the reference's cascade, made deterministic):
-    1. resolve redirects with the 2-iteration closure
-       (challenge_utils.py:441-453) — computed at actor init from raw edges;
-    2. drop candidates whose canonical entity is a disambiguation page
-       (wikidata Q4167410 analogue, matching/kg_matching.py:417-420);
-    3. keep the lowest-rank surviving candidate per (doc_id, span_idx,
-       tok_idx) — lookup relevance order, T1.
-    """
-
-    def __init__(self, alias_ref=None, types_ref=None):
-        import ray
-
-        alias = (
-            ray.get(alias_ref) if alias_ref is not None else fixture_kg.alias_edges_df()
-        )
-        types = (
-            ray.get(types_ref) if types_ref is not None else fixture_kg.entity_types_df()
-        )
-        redirects = alias[alias["kind"] == "redirect"]
-        one_hop = dict(zip(redirects["uri_a"], redirects["uri_b"]))
-        # exactly two closure iterations, not a fixpoint
-        self.canonical = {
-            s: one_hop.get(one_hop.get(s, s), one_hop.get(s, s)) for s in one_hop
-        }
-        self.disambig = set(
-            types.loc[types["type_uri"] == DISAMBIGUATION_CLASS, "entity_uri"]
-        )
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return batch.drop(columns=["rank"], errors="ignore")
-        b = batch.copy()
-        b["entity_uri"] = b["entity_uri"].map(lambda u: self.canonical.get(u, u))
-        b = b[~b["entity_uri"].isin(self.disambig)]
-        b = b.sort_values(["doc_id", "span_idx", "tok_idx", "rank"], kind="mergesort")
-        b = b.drop_duplicates(subset=["doc_id", "span_idx", "tok_idx"], keep="first")
-        return b.drop(columns=["rank"]).reset_index(drop=True)
-
-
-class EntityLinker:
-    """Fused CandidateGen + LinkScore in one actor stage.
-
-    Fused deliberately: the min-rank-per-occurrence reduction must see every
-    candidate of an occurrence in the same batch; candidate expansion happens
-    inside this call, so re-batching between stages can never split a
-    candidate group. Also halves the inter-stage (de)serialization.
-    """
-
-    def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3,
-                 project=None):
-        self.gen = CandidateGen(lexicon_ref, top_k)
-        self.score = LinkScore(alias_ref, types_ref)
+        alias = ray.get(alias_ref) if alias_ref is not None else None
+        types = ray.get(types_ref) if types_ref is not None else None
+        res = surface_resolution(lex, top_k, alias, types)
+        self.forms_arr = pa.array(list(res["surface_form"]), type=pa.string())
+        self.ent_arr = pa.array(list(res["entity_uri"]), type=pa.string())
         self.project = list(project) if project else None
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        out = self.score(self.gen(batch))
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = batch.column("mention")
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        idx = pc.index_in(m.cast(pa.string()), value_set=self.forms_arr)
+        keep = idx.is_valid()
+        out = batch.filter(keep).append_column(
+            "entity_uri", self.ent_arr.take(idx.filter(keep)))
         if self.project:
             # project early: downstream shuffles move only what they need
-            out = out[self.project]
+            out = out.select(self.project)
         return out
 
 
@@ -137,7 +150,7 @@ def link_entities(mentions_ds, *, top_k: int = 3, concurrency=(1, 4), batch_size
             "top_k": top_k,
             "project": project,
         },
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
@@ -168,22 +181,24 @@ class DocPipeline:
         from ..constants import AVOID_TOP_CONCEPTS
         from .. import fixture_kg as _fk
 
-        self.gen = CandidateGen(lexicon_ref, top_k)
-        self.score = LinkScore(alias_ref, types_ref)
+        self.linker = EntityLinker(lexicon_ref, alias_ref, types_ref, top_k)
         types = (
             _ray.get(types_ref) if types_ref is not None else _fk.entity_types_df()
         )
         self.types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
 
     def _link_batch(self, batch) -> pd.DataFrame:
-        """documents batch -> linked mention rows (shared by subclasses)."""
+        """documents batch -> linked (doc_id, entity_uri) occurrence rows.
+
+        Mention detect + link stay Arrow end-to-end; only the two-column
+        result crosses into pandas for the doc-local voting body."""
         from .interleave import interleave_batch
         from .mention_detect import detect_mentions_batch
 
         docs_tbl = interleave_batch(batch)
         mentions_tbl = detect_mentions_batch(docs_tbl)
-        m = mentions_tbl.to_pandas()
-        return self.score(self.gen(m))
+        linked = self.linker(mentions_tbl)
+        return linked.select(["doc_id", "entity_uri"]).to_pandas()
 
     def __call__(self, batch):
         import pyarrow as pa

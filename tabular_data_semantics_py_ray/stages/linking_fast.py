@@ -25,35 +25,7 @@ import pyarrow.compute as pc
 from .. import fixture_kg
 from ..constants import AVOID_PREDICATES, AVOID_TOP_CONCEPTS, DOC, MENTIONS_PRED, RDF_TYPE
 from ..schemas import TRIPLES_SCHEMA
-from .linking import LinkScore
-
-
-def _surface_resolution(lexicon: pd.DataFrame, top_k: int,
-                        alias_edges: pd.DataFrame | None = None,
-                        entity_types: pd.DataFrame | None = None) -> pd.DataFrame:
-    """surface_form -> linked entity (lowest rank, canonical, non-disambig)
-    — the closed form of LinkScore over the lexicon (linking.py LinkScore).
-
-    ``alias_edges`` / ``entity_types`` default to the fixture backend;
-    passing frames makes the stage backend-pluggable (state/backends.py)."""
-    if alias_edges is None and entity_types is None:
-        scorer = LinkScore()
-        canonical, disambig = scorer.canonical, scorer.disambig
-    else:
-        alias = (alias_edges if alias_edges is not None
-                 else fixture_kg.alias_edges_df())
-        types = (entity_types if entity_types is not None
-                 else fixture_kg.entity_types_df())
-        red = alias[alias["kind"] == "redirect"]
-        one = dict(zip(red["uri_a"], red["uri_b"]))
-        canonical = {s: one.get(one.get(s, s), one.get(s, s)) for s in one}
-        disambig = set(types.loc[
-            types["type_uri"] == fixture_kg.DISAMBIGUATION_CLASS, "entity_uri"])
-    lex = lexicon[lexicon["rank"] <= top_k].copy()
-    lex["entity_uri"] = lex["entity_uri"].map(lambda u: canonical.get(u, u))
-    lex = lex[~lex["entity_uri"].isin(disambig)]
-    lex = lex.sort_values(["surface_form", "rank"], kind="mergesort")
-    return lex.drop_duplicates("surface_form")[["surface_form", "entity_uri"]]
+from .linking import surface_resolution as _surface_resolution
 
 
 class DocTriplesFast:

@@ -44,8 +44,10 @@ def test_custom_backend_drives_linker(tmp_path):
         alias_ref=ray.put(b.alias_edges()),
         types_ref=ray.put(b.entity_types()),
     )
-    batch = pd.DataFrame(
+    import pyarrow as pa
+
+    batch = pa.table(
         {"doc_id": ["d"], "span_idx": [0], "tok_idx": [0], "mention": ["spark"]}
     )
     out = linker(batch)
-    assert list(out["entity_uri"]) == [fixture_kg._e("Spark")]
+    assert out.column("entity_uri").to_pylist() == [fixture_kg._e("Spark")]

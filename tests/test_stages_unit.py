@@ -17,7 +17,7 @@ from tabular_data_semantics_py_ray.stages.canonicalize import (
     resolve_alias_closure,
 )
 from tabular_data_semantics_py_ray.stages.interleave import spans_for_text
-from tabular_data_semantics_py_ray.stages.linking import CandidateGen, LinkScore
+from tabular_data_semantics_py_ray.stages.linking import EntityLinker, LinkScore
 from tabular_data_semantics_py_ray.stages.mention_detect import detect_mentions_batch
 from tabular_data_semantics_py_ray.functions.hashing import (
     FastMinHasher,
@@ -115,38 +115,56 @@ class TestMentionDetect:
         assert got == {("b", 1, 0, "merge"), ("b", 1, 1, "sort")}
 
 
+def _mention_batch(rows):
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.string()),
+        "span_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+        "tok_idx": pa.array([r[2] for r in rows], type=pa.int32()),
+        "mention": pa.array([r[3] for r in rows], type=pa.string()),
+    })
+
+
 class TestLinking:
     def test_candidate_rank_order_and_topk(self):
-        gen = CandidateGen(top_k=1)
-        b = pd.DataFrame({"doc_id": ["d"], "span_idx": [0], "tok_idx": [0],
-                          "mention": ["order"]})
-        out = gen(b)
-        assert list(out["entity_uri"]) == [ENT + "Order_Commerce"]
+        linker = EntityLinker(top_k=1)
+        out = linker(_mention_batch([("d", 0, 0, "order")]))
+        assert out.column("entity_uri").to_pylist() == [ENT + "Order_Commerce"]
+        # rank-2 candidate is out of the top-1 window for an unambiguous form
+        assert linker(_mention_batch([("d", 0, 0, "line")])).num_rows == 0
 
     def test_redirect_chain_two_hops(self):
         score = LinkScore()
         # Spark_Legacy -> Spark_Mid -> Spark resolved in 2 iterations
         assert score.canonical[ENT + "Spark_Legacy"] == ENT + "Spark"
-        b = pd.DataFrame({"doc_id": ["d"], "span_idx": [0], "tok_idx": [0],
-                          "mention": ["spark"], "entity_uri": [ENT + "Spark_Legacy"],
-                          "rank": [1]})
-        assert list(score(b)["entity_uri"]) == [ENT + "Spark"]
+        # rank-1 candidate of 'spark' is the redirect head; linker lands on
+        # the canonical entity
+        out = EntityLinker()(_mention_batch([("d", 0, 0, "spark")]))
+        assert out.column("entity_uri").to_pylist() == [ENT + "Spark"]
 
     def test_disambiguation_page_skipped(self):
-        gen, score = CandidateGen(), LinkScore()
-        b = pd.DataFrame({"doc_id": ["d"], "span_idx": [0], "tok_idx": [0],
-                          "mention": ["line"]})
-        out = score(gen(b))
+        out = EntityLinker()(_mention_batch([("d", 0, 0, "line")]))
         # rank-1 Line_Dab is a disambiguation page -> rank-2 Line_Item wins
-        assert list(out["entity_uri"]) == [ENT + "Line_Item"]
+        assert out.column("entity_uri").to_pylist() == [ENT + "Line_Item"]
 
     def test_one_link_per_occurrence(self):
-        gen, score = CandidateGen(), LinkScore()
-        b = pd.DataFrame({"doc_id": ["d", "d"], "span_idx": [0, 0],
-                          "tok_idx": [0, 1], "mention": ["table", "table"]})
-        out = score(gen(b))
-        assert len(out) == 2
-        assert set(out["entity_uri"]) == {ENT + "Table_Relation"}
+        out = EntityLinker()(
+            _mention_batch([("d", 0, 0, "table"), ("d", 0, 1, "table")]))
+        assert out.num_rows == 2
+        assert set(out.column("entity_uri").to_pylist()) == {
+            ENT + "Table_Relation"}
+
+    def test_unknown_mention_dropped_and_batch_columns_kept(self):
+        out = EntityLinker()(
+            _mention_batch([("d", 0, 0, "zzz-nolex"), ("d", 1, 2, "order")]))
+        assert out.num_rows == 1
+        assert out.column_names == [
+            "doc_id", "span_idx", "tok_idx", "mention", "entity_uri"]
+        assert out.column("span_idx").to_pylist() == [1]
+
+    def test_projection(self):
+        linker = EntityLinker(project=["doc_id", "entity_uri"])
+        out = linker(_mention_batch([("d", 0, 0, "order")]))
+        assert out.column_names == ["doc_id", "entity_uri"]
 
 
 class TestCanonicalize:
