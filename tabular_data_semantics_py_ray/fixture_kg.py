@@ -277,6 +277,49 @@ PROP_EQUIV: list[tuple[str, str]] = [
     ("runsOn", "executesOn"),
 ]
 
+# --------------------------------------------------------------------------
+# Data-property axioms (ontology_projection.py:557-607). Data properties
+# range over literals, so the projection emits no domain x range triple for
+# them; it records the rdfs:domain (12a, :575-580), propagates ONLY the
+# domain for data restrictions (12b, :582-587 — add_triple=False), carries
+# data role assertions through (12c, :589-591) and propagates data-property
+# equivalences over those assertions (12d, :593-599).
+# --------------------------------------------------------------------------
+DATA_PROP_DOMAIN: dict[str, str] = {
+    "opLabel": "DBOperation",
+    "opCost": "DBOperation",
+}
+# C subClassOf (dp some <datatype>): only C subClassOf domain(dp) projected.
+DATA_RESTRICTIONS: list[tuple[str, str]] = [
+    ("CostedOperation", "opCost"),
+]
+# (entity, data_prop, literal) role assertions.
+DATA_STATEMENTS: list[tuple[str, str, str]] = [
+    ("Join_Op", "opLabel", "hash join"),
+    ("Sort_Op", "opLabel", "merge sort"),
+    ("Join_Op", "opCost", "42"),
+]
+# owl:equivalentProperty among data properties.
+DATA_PROP_EQUIV: list[tuple[str, str]] = [
+    ("opLabel", "caption"),
+]
+
+# --------------------------------------------------------------------------
+# Complex class-expression axioms (ontology_projection.py:797-935):
+# C sub/equiv of an intersection/union whose members are atomic classes or
+# existential restrictions; a restriction target is either one atomic class
+# or a union/intersection of atomics. Member forms here:
+#   ("cls", name)                — atomic member
+#   ("some", prop, (t1, ...))    — existential restriction over targets
+# --------------------------------------------------------------------------
+COMPLEX_AXIOMS: list[tuple[str, tuple]] = [
+    # StreamProcess subClassOf (Process and (usesOp some RowStruct))
+    ("StreamProcess", (("cls", "Process"),
+                       ("some", "usesOp", ("RowStruct",)))),
+    # DistributedOp equivalentTo (runsOn some (Framework or Collection))
+    ("DistributedOp", (("some", "runsOn", ("Framework", "Collection")),)),
+]
+
 
 # --------------------------------------------------------------------------
 # Derived closures (computed, not hand-written).
@@ -507,3 +550,44 @@ def prop_inverses_values_sql() -> str:
 def prop_equiv_values_sql() -> str:
     rows = [(_c(p), _c(q)) for p, q in PROP_EQUIV]
     return _values(rows, quote_cols={0, 1})
+
+
+def data_prop_domain_values_sql() -> str:
+    rows = [(_c(p), _c(d)) for p, d in sorted(DATA_PROP_DOMAIN.items())]
+    return _values(rows, quote_cols={0, 1})
+
+
+def data_restrictions_values_sql() -> str:
+    rows = [(_c(c), _c(p)) for c, p in DATA_RESTRICTIONS]
+    return _values(rows, quote_cols={0, 1})
+
+
+def data_statements_values_sql() -> str:
+    rows = [(_e(s), _c(p), lit) for s, p, lit in DATA_STATEMENTS]
+    return _values(rows, quote_cols={0, 1, 2})
+
+
+def data_prop_equiv_values_sql() -> str:
+    rows = [(_c(p), _c(q)) for p, q in DATA_PROP_EQUIV]
+    return _values(rows, quote_cols={0, 1})
+
+
+def complex_members_values_sql() -> str:
+    """Atomic-class members of complex expressions: (cls, member)."""
+    rows = [(_c(c), _c(m[1])) for c, members in COMPLEX_AXIOMS
+            for m in members if m[0] == "cls"]
+    return _values(rows, quote_cols={0, 1})
+
+
+def complex_restrictions_values_sql() -> str:
+    """Restriction members flattened to (cls, prop, target, is_single):
+    is_single=1 when the restriction's target was one atomic class (range
+    propagation applies only then, ontology_projection.py:884-910)."""
+    rows = []
+    for c, members in COMPLEX_AXIOMS:
+        for m in members:
+            if m[0] == "some":
+                single = 1 if len(m[2]) == 1 else 0
+                for t in m[2]:
+                    rows.append((_c(c), _c(m[1]), _c(t), single))
+    return _values(rows, quote_cols={0, 1, 2})

@@ -902,6 +902,12 @@ SELECT type_uri, entity_uri, sample_rank FROM r WHERE sample_rank <= 3"""
     from .fixture_kg import (
         class_equiv_values_sql,
         class_parent_values_sql,
+        complex_members_values_sql,
+        complex_restrictions_values_sql,
+        data_prop_domain_values_sql,
+        data_prop_equiv_values_sql,
+        data_restrictions_values_sql,
+        data_statements_values_sql,
         prop_equiv_values_sql,
         prop_inverses_values_sql,
         restrictions_values_sql,
@@ -925,7 +931,19 @@ inv(p, q) AS (VALUES
 peq(p, q) AS (VALUES
     {prop_equiv_values_sql()}),
 stmts(subj, pred, obj) AS (VALUES
-    {statements_values_sql()})
+    {statements_values_sql()}),
+dpd(p, dom) AS (VALUES
+    {data_prop_domain_values_sql()}),
+dres(c, p) AS (VALUES
+    {data_restrictions_values_sql()}),
+dst(subj, pred, obj) AS (VALUES
+    {data_statements_values_sql()}),
+dpeq(p, q) AS (VALUES
+    {data_prop_equiv_values_sql()}),
+cxm(c, m) AS (VALUES
+    {complex_members_values_sql()}),
+cxr(c, p, t, single) AS (VALUES
+    {complex_restrictions_values_sql()})
 SELECT DISTINCT subj, pred, obj, axiom FROM (
   SELECT child AS subj, '{RDFS_SUBCLASSOF}' AS pred, parent AS obj,
          'subclassof' AS axiom FROM cp
@@ -945,6 +963,22 @@ SELECT DISTINCT subj, pred, obj, axiom FROM (
             JOIN inv i ON s.pred = i.p
   UNION ALL SELECT s.subj, e.q, s.obj, 'prop_equiv' FROM stmts s
             JOIN peq e ON s.pred = e.p
+  UNION ALL SELECT r.c, '{RDFS_SUBCLASSOF}', d.dom, 'data_restriction_domain'
+            FROM dres r JOIN dpd d ON r.p = d.p WHERE r.c <> d.dom
+  UNION ALL SELECT subj, pred, obj, 'data_assertion' FROM dst
+  UNION ALL SELECT s.subj, e.q, s.obj, 'data_prop_equiv' FROM dst s
+            JOIN dpeq e ON s.pred = e.p
+  UNION ALL SELECT c, '{RDFS_SUBCLASSOF}', m, 'complex_member' FROM cxm
+  UNION ALL SELECT DISTINCT r.c, '{RDFS_SUBCLASSOF}', ps.dom, 'complex_domain'
+            FROM cxr r JOIN ps ON r.p = ps.pred WHERE r.c <> ps.dom
+  UNION ALL SELECT DISTINCT r.t, '{RDFS_SUBCLASSOF}', ps.rng, 'complex_range'
+            FROM cxr r JOIN ps ON r.p = ps.pred
+            WHERE r.single = 1 AND r.t <> ps.rng
+  UNION ALL SELECT c, p, t, 'complex_restriction' FROM cxr
+  UNION ALL SELECT r.t, i.q, r.c, 'complex_inverse' FROM cxr r
+            JOIN inv i ON r.p = i.p
+  UNION ALL SELECT r.c, e.q, r.t, 'complex_prop_equiv' FROM cxr r
+            JOIN peq e ON r.p = e.p
 ) t"""
 
     _NAT = TAB + "nation-row-"

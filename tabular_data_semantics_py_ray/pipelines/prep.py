@@ -36,6 +36,17 @@ def project_ontology() -> pa.Table:
       domain-range triples (:519-526)
     - owl:equivalentProperty propagation: (s, p, o) -> (s, q, o)
       (:529-537)
+    - data-property rules (:557-607): data role assertions carried
+      through (12c), data-property-equivalence propagation over them
+      (12d), and domain-only propagation for data restrictions (12b —
+      the restriction triple itself is NOT added, add_triple=False)
+    - complex class expressions (:797-935): for C sub/equiv of an
+      intersection/union, atomic members project as subsumptions; each
+      restriction member (R some D) projects (C, R, D_i) per atomic
+      target, C subClassOf domain(R) (skipping C == domain), D subClassOf
+      range(R) only when the target is a single atomic class, plus the
+      inverse and property-equivalence propagation of the (C, R, D_i)
+      triples
 
     Offline one-shot job (SURVEY §2.3 A10): runs on the driver once per
     ontology release; never on the hot path. Deterministic: sorted,
@@ -75,6 +86,44 @@ def project_ontology() -> pa.Table:
             rows.add((o, inv[p], s, "inverse"))
         if p in peq:
             rows.add((s, peq[p], o, "prop_equiv"))
+
+    # Data-property rules (ontology_projection.py:557-607)
+    dpd = {c(p): c(d) for p, d in fk.DATA_PROP_DOMAIN.items()}
+    dpeq = {c(p): c(q) for p, q in fk.DATA_PROP_EQUIV}
+    for cc, p in fk.DATA_RESTRICTIONS:
+        # 12b: domain-only propagation; the restriction triple is not added
+        dom = dpd.get(c(p))
+        if dom is not None and c(cc) != dom:
+            rows.add((c(cc), RDFS_SUBCLASSOF, dom, "data_restriction_domain"))
+    for s, p, lit in fk.DATA_STATEMENTS:
+        rows.add((fk._e(s), c(p), lit, "data_assertion"))  # 12c
+        if c(p) in dpeq:
+            rows.add((fk._e(s), dpeq[c(p)], lit, "data_prop_equiv"))  # 12d
+
+    # Complex class expressions (ontology_projection.py:797-935)
+    schema = {p: (d, r) for p, (d, r) in fk.PRED_SCHEMA.items()}
+    for cname, members in fk.COMPLEX_AXIOMS:
+        cu = c(cname)
+        for m in members:
+            if m[0] == "cls":
+                rows.add((cu, RDFS_SUBCLASSOF, c(m[1]), "complex_member"))
+                continue
+            _, pname, targets = m
+            pu = c(pname)
+            dom, rng = schema.get(pu, (None, None))
+            if dom is not None and cu != dom:
+                rows.add((cu, RDFS_SUBCLASSOF, dom, "complex_domain"))
+            if len(targets) == 1 and rng is not None:
+                tu = c(targets[0])
+                if tu != rng:
+                    rows.add((tu, RDFS_SUBCLASSOF, rng, "complex_range"))
+            for t in targets:
+                tu = c(t)
+                rows.add((cu, pu, tu, "complex_restriction"))
+                if pu in inv:
+                    rows.add((tu, inv[pu], cu, "complex_inverse"))
+                if pu in peq:
+                    rows.add((cu, peq[pu], tu, "complex_prop_equiv"))
 
     ordered = sorted(rows)
     return pa.table({

@@ -62,6 +62,50 @@ def test_rdf_type_assertions_projected():
     assert (E("Customer"), RDF_TYPE, ONT + "Customer", "type") in ROWS
 
 
+def test_data_property_rules():
+    # 12c: data role assertions carried through with their literal objects
+    assert (E("Join_Op"), C("opLabel"), "hash join", "data_assertion") in ROWS
+    assert (E("Join_Op"), C("opCost"), "42", "data_assertion") in ROWS
+    # 12d: data-property equivalence propagates over assertions
+    assert (E("Sort_Op"), C("caption"), "merge sort", "data_prop_equiv") in ROWS
+    # opCost has no equivalent property -> no propagated row
+    assert not any(r for r in ROWS if r[2] == "42" and r[3] == "data_prop_equiv")
+    # 12b: data restriction projects ONLY the domain subsumption, no triple
+    assert (C("CostedOperation"), RDFS_SUBCLASSOF, C("DBOperation"),
+            "data_restriction_domain") in ROWS
+    assert not any(r for r in ROWS if r[0] == C("CostedOperation")
+                   and r[1] == C("opCost"))
+
+
+def test_complex_axiom_rules():
+    # atomic member of the intersection -> subsumption
+    assert (C("StreamProcess"), RDFS_SUBCLASSOF, C("Process"),
+            "complex_member") in ROWS
+    # restriction member -> (C, R, D) triple + domain propagation
+    assert (C("StreamProcess"), C("usesOp"), C("RowStruct"),
+            "complex_restriction") in ROWS
+    assert (C("StreamProcess"), RDFS_SUBCLASSOF, C("Process"),
+            "complex_domain") in ROWS
+    # single atomic target -> range propagation; inverse of usesOp reversed
+    assert (C("RowStruct"), RDFS_SUBCLASSOF, C("DBOperation"),
+            "complex_range") in ROWS
+    assert (C("RowStruct"), C("usedBy"), C("StreamProcess"),
+            "complex_inverse") in ROWS
+    # union target: one triple per atomic, NO range propagation
+    assert (C("DistributedOp"), C("runsOn"), C("Framework"),
+            "complex_restriction") in ROWS
+    assert (C("DistributedOp"), C("runsOn"), C("Collection"),
+            "complex_restriction") in ROWS
+    assert not any(r for r in ROWS if r[3] == "complex_range"
+                   and r[0] in (C("Framework"), C("Collection")))
+    # domain of runsOn propagates to the equivalent class
+    assert (C("DistributedOp"), RDFS_SUBCLASSOF, C("DBOperation"),
+            "complex_domain") in ROWS
+    # runsOn ~ executesOn equivalence propagates over the new triples
+    assert (C("DistributedOp"), C("executesOn"), C("Framework"),
+            "complex_prop_equiv") in ROWS
+
+
 def test_projection_distinct_and_sorted():
     t = project_ontology()
     rows = list(zip(t.column("subj").to_pylist(), t.column("pred").to_pylist(),
