@@ -6,8 +6,12 @@ or pyav (frames) once per actor in ``__init__`` and runs a real decode over
 a ``media_bytes`` binary column; when the library is absent (this container
 ships no codecs) construction raises NotImplementedError at the exact seam,
 so the operator is real wherever codecs exist and an honest stub where they
-don't. The default (``real_decode=False``) is the deterministic md5 fake —
-the oracle-checkable path, with identical output schemas to the real one.
+don't. ``codec="builtin"`` instead routes the same real-decode seams
+through the vendored dependency-free PNG/WAV codecs in
+``stages/media_codecs.py``, so one genuinely-real decode is provable in
+environments without PIL/pyav. The default (``real_decode=False``) is the
+deterministic md5 fake — the oracle-checkable path, with identical output
+schemas to the real one.
 
 Scale notes: media batches are kept SMALL (``batch_size`` default 256) so a
 batch x concurrency of decoded frames fits a worker heap; decoded features
@@ -87,12 +91,18 @@ class MediaFeaturizer:
     float32 feature list column.
     """
 
-    def __init__(self, real_decode: bool = False, feature_dim: int = FEATURE_DIM):
+    def __init__(self, real_decode: bool = False,
+                 feature_dim: int = FEATURE_DIM, codec: str = "pil"):
         self.real_decode = real_decode
         self.feature_dim = feature_dim
+        self.codec = codec
         if real_decode:
-            # once-per-actor codec load (import-guarded seam)
-            self._pil = _import_codec("PIL.Image", "media decode")
+            if codec == "builtin":
+                from . import media_codecs as mc
+                self._mc = mc
+            else:
+                # once-per-actor codec load (import-guarded seam)
+                self._pil = _import_codec("PIL.Image", "media decode")
 
     def _fake_feature(self, media_ref: str, kind: str) -> np.ndarray:
         # deterministic fake: md5(kind:ref) bytes -> [0,1] floats. md5 (16
@@ -106,12 +116,41 @@ class MediaFeaturizer:
     def _real_feature(self, data: bytes) -> np.ndarray:
         # real decode: 4x4 grayscale thumbnail -> 16 floats in [0,1]
         # (same shape/range as the fake, so output schemas are identical)
+        if self.codec == "builtin":
+            return self._builtin_feature(data)
         import io
 
         img = self._pil.open(io.BytesIO(data)).convert("L").resize((4, 4))
         return (np.asarray(img, dtype=np.float32) / 255.0).reshape(-1)[
             : self.feature_dim
         ]
+
+    def _builtin_feature(self, data: bytes) -> np.ndarray:
+        """Vendored-codec real decode: PNG -> 4x4 box-mean gray thumbnail;
+        WAV -> feature_dim windowed mean-|amplitude| values. Both land in
+        [0,1] with the same shape as the PIL / fake paths."""
+        kind = self._mc.sniff(data)
+        if kind == "png":
+            px = self._mc.decode_png(data).astype(np.float32)
+            gray = px[:, :, :3].mean(axis=2) if px.shape[2] >= 3 else px[:, :, 0]
+            h, w = gray.shape
+            ys = np.linspace(0, h, 5).astype(np.int64)
+            xs = np.linspace(0, w, 5).astype(np.int64)
+            thumb = np.array([
+                gray[ys[i]:max(ys[i + 1], ys[i] + 1),
+                     xs[j]:max(xs[j + 1], xs[j] + 1)].mean()
+                for i in range(4) for j in range(4)
+            ], dtype=np.float32)
+            return (thumb / 255.0)[: self.feature_dim]
+        samples, _ = self._mc.decode_wav(data)
+        mono = np.abs(samples.astype(np.float32)).mean(axis=1)
+        edges = np.linspace(0, len(mono), self.feature_dim + 1).astype(np.int64)
+        feat = np.array([
+            mono[edges[i]:max(edges[i + 1], edges[i] + 1)].mean()
+            if len(mono) else 0.0
+            for i in range(self.feature_dim)
+        ], dtype=np.float32)
+        return feat / 32768.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.real_decode:
@@ -159,15 +198,32 @@ class FrameSampler:
 
     MAX_FRAMES = 4  # bounded expansion: real and fake paths both cap here
 
-    def __init__(self, real_decode: bool = False, stride_ms: int = 250):
+    def __init__(self, real_decode: bool = False, stride_ms: int = 250,
+                 codec: str = "av"):
         self.real_decode = real_decode
         self.stride_ms = stride_ms
+        self.codec = codec
         if real_decode:
-            self._av = _import_codec("av", "frame sampling")
+            if codec == "builtin":
+                from . import media_codecs as mc
+                self._mc = mc
+            else:
+                self._av = _import_codec("av", "frame sampling")
 
     def _real_frames(self, data: bytes) -> list[str]:
         """Decode up to MAX_FRAMES video frames; md5 of raw frame pixels
         stands in the frame_md5 column exactly like the fake path."""
+        if self.codec == "builtin":
+            # vendored WAV decode: each stride_ms window of real PCM is a
+            # "frame"; frame_md5 is the md5 of the window's raw samples
+            samples, rate = self._mc.decode_wav(data)
+            spf = max(1, rate * self.stride_ms // 1000)
+            n = min(self.MAX_FRAMES,
+                    max(1, -(-samples.shape[0] // spf)))
+            return [
+                hashlib.md5(samples[i * spf:(i + 1) * spf].tobytes()).hexdigest()
+                for i in range(n)
+            ]
         import io
 
         with self._av.open(io.BytesIO(data)) as container:
@@ -234,11 +290,17 @@ class ImageResizer:
     md5('<ref>:<out_w>x<out_h>'), so engine and oracle agree bit-for-bit.
     """
 
-    def __init__(self, real_decode: bool = False, max_side: int = 64):
+    def __init__(self, real_decode: bool = False, max_side: int = 64,
+                 codec: str = "pil"):
         self.real_decode = real_decode
         self.max_side = max_side
+        self.codec = codec
         if real_decode:
-            self._pil = _import_codec("PIL.Image", "image resize")
+            if codec == "builtin":
+                from . import media_codecs as mc
+                self._mc = mc
+            else:
+                self._pil = _import_codec("PIL.Image", "image resize")
 
     def _plan(self, src_w: np.ndarray, src_h: np.ndarray):
         """Aspect-preserving integer scaling of the long side to max_side —
@@ -249,7 +311,38 @@ class ImageResizer:
         out_h = np.where(wide, np.maximum(1, (src_h * m) // src_w), m)
         return out_w, out_h
 
+    def _builtin_resize_md5(self, data: bytes, out_w: int, out_h: int) -> str:
+        """Vendored-codec real resize: decode the PNG, nearest-neighbor
+        resample to (out_w, out_h), md5 the RGB bytes (gray replicated,
+        alpha dropped — same md5-of-resized-pixels contract as PIL)."""
+        px = self._mc.decode_png(data)
+        h, w = px.shape[:2]
+        yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
+        xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
+        small = px[yi][:, xi]
+        rgb = (np.repeat(small, 3, axis=2) if small.shape[2] < 3
+               else small[:, :, :3])
+        return hashlib.md5(np.ascontiguousarray(rgb).tobytes()).hexdigest()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.real_decode and self.codec == "builtin":
+            blobs = _media_bytes(batch)
+            sizes = [self._mc.png_size(b) for b in blobs]
+            src_w = np.array([s[0] for s in sizes], dtype=np.int64)
+            src_h = np.array([s[1] for s in sizes], dtype=np.int64)
+            out_w, out_h = self._plan(src_w, src_h)
+            data_md5 = pa.array(
+                [self._builtin_resize_md5(b, int(w), int(h))
+                 for b, w, h in zip(blobs, out_w, out_h)],
+                type=pa.string(),
+            )
+            return pa.Table.from_arrays(
+                [batch.column(c) for c in batch.column_names]
+                + [pa.array(src_w), pa.array(src_h),
+                   pa.array(out_w), pa.array(out_h), data_md5],
+                names=batch.column_names
+                + ["src_w", "src_h", "out_w", "out_h", "data_md5"],
+            )
         if self.real_decode:
             import io
 
