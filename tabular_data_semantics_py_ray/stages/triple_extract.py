@@ -156,6 +156,11 @@ def materialize_sorted(triples_ds):
 
     @ray.remote
     def _dedupe_block(block: pa.Table, prev_last) -> pa.Table:
+        # Ray's sort shuffle routes through pandas blocks; their Arrow
+        # conversion attaches a pandas metadata dict that is unhashable,
+        # so every downstream schema-unify logs "Failed to hash the
+        # schemas". Strip it here — the last producer of these blocks.
+        block = block.replace_schema_metadata(None)
         n = block.num_rows
         if n == 0:
             return block

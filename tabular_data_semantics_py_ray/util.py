@@ -312,11 +312,17 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int | None = None):
         g["_b"] = _bucket_of(g, keys, num_buckets)
         return _to_arrow(g)
 
-    def _final(g: pd.DataFrame):
-        return _to_arrow(g[keys].drop_duplicates())
+    def _final(g: pa.Table):
+        # Arrow group_by distinct (nulls compare equal, same as pandas
+        # drop_duplicates). pyarrow batch format also keeps Ray's
+        # synthesized empty-partition blocks Arrow-typed — pandas-format
+        # map_groups emits empty PANDAS blocks whose arrow conversion
+        # carries schema metadata, tripping schema-unify hashing at the
+        # consume boundary.
+        return g.group_by(keys, use_threads=False).aggregate([]).select(keys)
 
     partials = ds.map_batches(_partial, batch_format="pandas")
-    return partials.groupby("_b").map_groups(_final, batch_format="pandas")
+    return partials.groupby("_b").map_groups(_final, batch_format="pyarrow")
 
 
 def bucket_join(left_ds, right_ds, *, key: str, right_key: str | None = None,
