@@ -95,6 +95,12 @@ def project_ontology() -> pa.Table:
         dom = dpd.get(c(p))
         if dom is not None and c(cc) != dom:
             rows.add((c(cc), RDFS_SUBCLASSOF, dom, "data_restriction_domain"))
+    # 12c/12d carry the assertion + property-equivalence edges only. The
+    # reference's 12c path additionally calls __propagateDomainAbox__ when
+    # propagate_domain_range is on (subject rdf:type domain(dp)); that ABox
+    # type propagation is intentionally omitted here — engine and oracle
+    # both omit it, matching the pre-existing treatment of object-property
+    # assertions. See COVERAGE.md (A10 notes).
     for s, p, lit in fk.DATA_STATEMENTS:
         rows.add((fk._e(s), c(p), lit, "data_assertion"))  # 12c
         if c(p) in dpeq:

@@ -146,6 +146,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(
                     f"builtin WAV codec supports PCM-16 only "
                     f"(got format={fmt_code}, bits={bits})")
+            if n_ch < 1:
+                raise ValueError("WAV fmt chunk declares 0 channels")
         elif cid == b"data":
             pcm = body
     if rate is None or pcm is None:

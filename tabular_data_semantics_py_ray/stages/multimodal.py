@@ -320,7 +320,7 @@ class ImageResizer:
         yi = (np.arange(out_h, dtype=np.int64) * h) // out_h
         xi = (np.arange(out_w, dtype=np.int64) * w) // out_w
         small = px[yi][:, xi]
-        rgb = (np.repeat(small, 3, axis=2) if small.shape[2] < 3
+        rgb = (np.repeat(small[:, :, :1], 3, axis=2) if small.shape[2] < 3
                else small[:, :, :3])
         return hashlib.md5(np.ascontiguousarray(rgb).tobytes()).hexdigest()
 

@@ -155,6 +155,100 @@ def test_builtin_codec_roundtrip_and_filters():
         mc.sniff(b"GIF89a....")
 
 
+def _encode_png_filtered(px: np.ndarray, filters: list[int]) -> bytes:
+    """Fixture encoder: per-scanline forward filtering (types 0-4 per the
+    PNG spec), so decode_png's Sub/Up/Average/Paeth reconstruction branches
+    — the code externally-encoded files exercise — are testable."""
+    import struct
+    import zlib
+
+    h, w, ch = px.shape
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    raw = bytearray()
+    for y in range(h):
+        line, f = flat[y], filters[y % len(filters)]
+        a = np.concatenate([np.zeros(ch, dtype=np.int64), line[:-ch]])
+        b = prev
+        c = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+        if f == 0:
+            out = line
+        elif f == 1:  # Sub
+            out = line - a
+        elif f == 2:  # Up
+            out = line - b
+        elif f == 3:  # Average
+            out = line - ((a + b) >> 1)
+        else:  # Paeth
+            p = a + b - c
+            pa_, pb_, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), a,
+                            np.where(pb_ <= pc_, b, c))
+            out = line - pred
+        raw += bytes([f]) + (out & 0xFF).astype(np.uint8).tobytes()
+        prev = line
+
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ct, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_builtin_png_decode_filters_1_to_4():
+    """Externally-encoded PNGs use filters 1-4; decode_png must reconstruct
+    each (the builtin encoder only emits filter 0, so this needs its own
+    filtered fixture encoder)."""
+    from tabular_data_semantics_py_ray.stages import media_codecs as mc
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(8, 5, ch), dtype=np.uint8)
+        # each filter type alone, then a mixed sequence hitting all five
+        for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            dec = mc.decode_png(_encode_png_filtered(px, filters))
+            assert np.array_equal(dec, px), (ch, filters)
+
+
+def test_builtin_resize_gray_alpha_drops_alpha():
+    """A 2-channel gray+alpha PNG resizes to gray-replicated RGB with the
+    alpha plane dropped (PIL convert('RGB') semantics)."""
+    import hashlib
+
+    from tabular_data_semantics_py_ray.stages import media_codecs as mc
+    from tabular_data_semantics_py_ray.stages.multimodal import ImageResizer
+
+    h, w = 8, 8
+    gray = np.full((h, w), 77, dtype=np.uint8)
+    alpha = np.full((h, w), 200, dtype=np.uint8)
+    png = mc.encode_png(np.stack([gray, alpha], axis=2))
+    batch = pa.Table.from_pydict(
+        {"media_ref": ["m://ga"], "media_bytes": [png]})
+    rs = ImageResizer(real_decode=True, codec="builtin",
+                      max_side=4)(batch).to_pandas()
+    assert list(rs["out_w"]) == [4] and list(rs["out_h"]) == [4]
+    want = hashlib.md5(
+        np.full((4, 4, 3), 77, dtype=np.uint8).tobytes()).hexdigest()
+    assert rs["data_md5"][0] == want
+
+
+def test_builtin_wav_zero_channels_raises_value_error():
+    from tabular_data_semantics_py_ray.stages import media_codecs as mc
+
+    wav = bytearray(mc.encode_wav(np.zeros(10, dtype=np.int16)))
+    # fmt chunk starts at byte 12+8; n_channels is its 3rd-4th byte
+    assert wav[12:16] == b"fmt "
+    wav[22:24] = (0).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="0 channels"):
+        mc.decode_wav(bytes(wav))
+
+
 def test_frame_sampler_builtin_wav_frames():
     """Real WAV decode through the frame sampler: frame count tracks the
     real duration / stride, frame_md5 is the md5 of the real PCM window."""
