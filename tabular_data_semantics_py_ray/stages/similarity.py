@@ -514,7 +514,7 @@ def knn_graph(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
     return out
 
 
-def knn_graph_ivf(embeddings_ds, *, k: int = 5, n_clusters: int = 16,
+def knn_graph_ivf(embeddings_ds, *, k: int = 5, n_clusters: int | None = None,
                   nprobe: int = 4, query_chunk: int = 2048,
                   member_chunk: int = 8192, num_buckets: int | None = None):
     """APPROXIMATE k-nearest-neighbor graph via IVF cell probing — the
@@ -532,9 +532,13 @@ def knn_graph_ivf(embeddings_ds, *, k: int = 5, n_clusters: int = 16,
     reduce finalizes global rank (the shared ``_knn_finalize``). A (query,
     member) pair is scored in exactly ONE cell (the member's primary), so
     partials are duplicate-free. Hot cells cost |Q_c| x |M_c| inside one
-    group — pick n_clusters ~ sqrt(n) upstream to bound them; tiles cap
-    the peak score-matrix memory regardless.
+    group; ``n_clusters=None`` (default) auto-sizes to max(16, sqrt(n)) —
+    expected cell work n^2/sqrt(n)·nprobe, sub-quadratic — so a direct
+    caller at 10^7 vectors can't accidentally keep a constant cell count;
+    tiles cap the peak score-matrix memory regardless.
     """
+    if n_clusters is None:
+        n_clusters = max(16, int(np.sqrt(embeddings_ds.count())))
     C = fit_centroids(embeddings_ds, n_clusters=n_clusters)
     nprobe = min(nprobe, len(C))
 
@@ -689,10 +693,10 @@ def knn_mutual_pairs(embeddings_ds, *, k: int = 5, block_rows: int = 4096,
         n = embeddings_ds.count()
         method = "exact" if n <= exact_max_rows else "ivf"
     if method == "ivf":
-        n_clusters = n_clusters or max(
-            16, int(np.sqrt(embeddings_ds.count())))
+        # n_clusters=None auto-sizes to max(16, sqrt(n)) inside knn_graph_ivf,
+        # which also clamps nprobe to the cluster count
         edges = knn_graph_ivf(embeddings_ds, k=k, n_clusters=n_clusters,
-                              nprobe=min(nprobe, n_clusters))
+                              nprobe=nprobe)
     else:
         edges = knn_graph(embeddings_ds, k=k, block_rows=block_rows)
 
