@@ -176,6 +176,7 @@ class DocPipeline:
     """
 
     def __init__(self, lexicon_ref=None, alias_ref=None, types_ref=None, top_k=3):
+        import numpy as np
         import ray as _ray
 
         from ..constants import AVOID_TOP_CONCEPTS
@@ -185,25 +186,97 @@ class DocPipeline:
         types = (
             _ray.get(types_ref) if types_ref is not None else _fk.entity_types_df()
         )
-        self.types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
+        types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
 
-    def _link_batch(self, batch) -> pd.DataFrame:
-        """documents batch -> linked (doc_id, entity_uri) occurrence rows.
+        # Integer-code structures (the linking_fast kernel, shared semantics
+        # equality-tested in tests/test_doclocal.py): global entity codes
+        # over the resolution targets + a CSR entity->type-codes table, so
+        # the per-batch vote body is np.unique over int64 keys — no pandas
+        # frame is allocated per batch.
+        ent_uris = sorted(set(self.linker.ent_arr.to_pylist()))
+        ent_code = {e: i for i, e in enumerate(ent_uris)}
+        self.n_ent = max(len(ent_uris), 1)
+        self.ent_uri_arr = pa.array(ent_uris, type=pa.string())
+        type_uris = sorted(types["type_uri"].unique())
+        t_code = {t: i for i, t in enumerate(type_uris)}
+        self.n_type = max(len(type_uris), 1)
+        self.type_uri_arr = pa.array(type_uris, type=pa.string())
+        per_ent: list[list[int]] = [[] for _ in range(self.n_ent)]
+        for r in types.itertuples(index=False):
+            c = ent_code.get(r.entity_uri)
+            if c is not None:
+                per_ent[c].append(t_code[r.type_uri])
+        self.ent_tcount = np.array([len(v) for v in per_ent], dtype=np.int64)
+        self.ent_toff = np.concatenate(
+            ([0], np.cumsum(self.ent_tcount)[:-1])).astype(np.int64)
+        self.tcodes_flat = np.array(
+            [t for v in per_ent for t in sorted(v)], dtype=np.int64)
 
-        Mention detect + link stay Arrow end-to-end; only the two-column
-        result crosses into pandas for the doc-local voting body."""
+    def _link_codes(self, batch):
+        """documents batch -> (didx, ent_k, ddict): per linked occurrence,
+        the batch-local doc dictionary code and the GLOBAL entity code.
+
+        Mention detect + link stay Arrow end-to-end; the two result columns
+        are dictionary/index-encoded straight to int64 — no pandas."""
+        import numpy as np
+
         from .interleave import interleave_batch
         from .mention_detect import detect_mentions_batch
 
         docs_tbl = interleave_batch(batch)
         mentions_tbl = detect_mentions_batch(docs_tbl)
         linked = self.linker(mentions_tbl)
-        return linked.select(["doc_id", "entity_uri"]).to_pandas()
+        d = linked.column("doc_id")
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        denc = d.dictionary_encode()
+        didx = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        e = linked.column("entity_uri")
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        ent_k = pc.index_in(e, value_set=self.ent_uri_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        assert len(denc.dictionary) * max(self.n_ent, self.n_type) < (1 << 62)
+        return didx, ent_k, denc.dictionary
+
+    def _expand_types(self, ent_codes):
+        """CSR expansion: entity codes -> (repeated parent index, flat type
+        codes). Parent repeat counts come from ent_tcount."""
+        import numpy as np
+
+        tc = self.ent_tcount[ent_codes]
+        tot = int(tc.sum())
+        if not tot:
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        first = np.cumsum(tc) - tc
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
+        tflat = self.tcodes_flat[np.repeat(self.ent_toff[ent_codes], tc) + within]
+        return np.repeat(np.arange(len(ent_codes), dtype=np.int64), tc), tflat
+
+    def _votes(self, didx, ent_k):
+        """(winning doc code, winning type code) per doc: occurrence x type
+        expansion, int64-key count, deterministic (n desc, type asc) pick."""
+        import numpy as np
+
+        parent, tflat = self._expand_types(ent_k)
+        if not len(parent):
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        ukey, cnt = np.unique(didx[parent] * self.n_type + tflat,
+                              return_counts=True)
+        wd, wt = ukey // self.n_type, ukey % self.n_type
+        order = np.lexsort((wt, -cnt, wd))  # (doc asc, n desc, type asc)
+        wd_o = wd[order]
+        firsts = np.unique(wd_o, return_index=True)[1]
+        return wd_o[firsts], wt[order][firsts]
+
+    @staticmethod
+    def _const(value: str, n: int) -> pa.Array:
+        return pa.nulls(n, pa.string()).fill_null(value)
 
     def __call__(self, batch):
-        import pyarrow as pa
-
-        linked = self._link_batch(batch)
+        import numpy as np
 
         empty = pa.table({
             "kind": pa.array([], type=pa.string()),
@@ -211,39 +284,37 @@ class DocPipeline:
             "a": pa.array([], type=pa.string()),
             "b": pa.array([], type=pa.string()),
         })
-        if len(linked) == 0:
+        didx, ent_k, ddict = self._link_codes(batch)
+        if len(didx) == 0:
             return empty
-        pairs = linked[["doc_id", "entity_uri"]]
 
-        mentions = pairs.drop_duplicates(["doc_id", "entity_uri"])
-        typed = pairs.merge(self.types, on="entity_uri", how="inner")
-        votes = (
-            typed.groupby(["doc_id", "type_uri"], sort=False, observed=True)
-            .size().reset_index(name="n")
-        )
-        votes = votes.sort_values(["n", "type_uri"], ascending=[False, True],
-                                  kind="mergesort")
-        winners = votes.drop_duplicates(subset=["doc_id"], keep="first")
+        # distinct (doc, entity) mention pairs
+        uq = np.unique(didx * self.n_ent + ent_k)
+        mdoc, ment = uq // self.n_ent, uq % self.n_ent
+        # per-doc vote winners
+        win_doc, win_type = self._votes(didx, ent_k)
+        # all (entity, type) pairs for entities present in this batch
+        ents_present = np.unique(ent_k)
+        parent, e_tflat = self._expand_types(ents_present)
+        pair_ent = ents_present[parent]
 
-        ents = pairs["entity_uri"].drop_duplicates()
-        et = self.types[self.types["entity_uri"].isin(ents)]
-
-        parts = []
-
-        def tag(kind, doc_id, a, b=None):
-            n = len(a)
-            parts.append(pa.table({
-                "kind": pa.array([kind] * n, type=pa.string()),
-                "doc_id": pa.array(list(doc_id), type=pa.string()),
-                "a": pa.array(list(a), type=pa.string()),
-                "b": pa.array(list(b) if b is not None else [""] * n,
-                              type=pa.string()),
-            }))
-
-        tag("mention", mentions["doc_id"], mentions["entity_uri"])
-        tag("win", winners["doc_id"], winners["type_uri"])
-        tag("etype", [""] * len(et), et["entity_uri"], et["type_uri"])
-        return pa.concat_tables(parts) if parts else empty
+        n_m, n_w, n_e = len(mdoc), len(win_doc), len(pair_ent)
+        return pa.table({
+            "kind": pa.concat_arrays([self._const("mention", n_m),
+                                      self._const("win", n_w),
+                                      self._const("etype", n_e)]),
+            "doc_id": pa.concat_arrays([
+                ddict.take(pa.array(mdoc)).cast(pa.string()),
+                ddict.take(pa.array(win_doc)).cast(pa.string()),
+                self._const("", n_e)]),
+            "a": pa.concat_arrays([
+                self.ent_uri_arr.take(pa.array(ment)),
+                self.type_uri_arr.take(pa.array(win_type)),
+                self.ent_uri_arr.take(pa.array(pair_ent))]),
+            "b": pa.concat_arrays([
+                self._const("", n_m + n_w),
+                self.type_uri_arr.take(pa.array(e_tflat))]),
+        })
 
 
 class DocTriples(DocPipeline):
@@ -273,14 +344,15 @@ class DocTriples(DocPipeline):
         super().__init__(lexicon_ref, alias_ref, types_ref, top_k)
         if sink_dir is None:
             raise ValueError("DocTriples requires sink_dir")
-        self.sink_dir = sink_dir
-        self.emitted: set[str] = set()  # per-actor (entity, type) memo
+        import numpy as np
 
-    _EMPTY_PAIRS = None  # class-level lazy empty table
+        self.sink_dir = sink_dir
+        self.emitted = np.empty(0, dtype=np.int64)  # (ent, type) code memo
 
     def __call__(self, batch):
         import os
 
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -303,22 +375,22 @@ class DocTriples(DocPipeline):
             "entity_uri": pa.array([], type=pa.string()),
             "type_uri": pa.array([], type=pa.string()),
         })
-        linked = self._link_batch(batch)
-        if len(linked) == 0:
+        didx, ent_k, ddict = self._link_codes(batch)
+        if len(didx) == 0:
             return empty_pairs
-        pairs = linked[["doc_id", "entity_uri"]]
 
-        mention_t = mention_triples_batch(pairs)
+        uq = np.unique(didx * self.n_ent + ent_k)
+        mdoc, ment = uq // self.n_ent, uq % self.n_ent
+        mention_t = mention_triples_batch(pa.table({
+            "doc_id": ddict.take(pa.array(mdoc)).cast(pa.string()),
+            "entity_uri": self.ent_uri_arr.take(pa.array(ment)),
+        }))
 
-        typed = pairs.merge(self.types, on="entity_uri", how="inner")
-        votes = (
-            typed.groupby(["doc_id", "type_uri"], sort=False, observed=True)
-            .size().reset_index(name="n")
-        )
-        votes = votes.sort_values(["n", "type_uri"], ascending=[False, True],
-                                  kind="mergesort")
-        winners = votes.drop_duplicates(subset=["doc_id"], keep="first")
-        win_t = doc_type_triples_batch(winners[["doc_id", "type_uri"]])
+        win_doc, win_type = self._votes(didx, ent_k)
+        win_t = doc_type_triples_batch(pa.table({
+            "doc_id": ddict.take(pa.array(win_doc)).cast(pa.string()),
+            "type_uri": self.type_uri_arr.take(pa.array(win_type)),
+        }))
 
         out = pa.concat_tables([mention_t, win_t])
         # M6 blocklist (kept for semantics parity; minted preds never match)
@@ -333,14 +405,18 @@ class DocTriples(DocPipeline):
         pq.write_table(out, tmp)
         os.replace(tmp, dst)
 
-        # entity-type side stream, thinned by the per-actor memo (vectorized
-        # over a KG-bounded frame: at most |entity_types| rows per batch)
-        et = typed[["entity_uri", "type_uri"]].drop_duplicates()
-        if len(et) == 0:
+        # entity-type side stream, thinned by the per-actor integer memo
+        # (KG-bounded: at most |entity_types| codes per batch)
+        ents_present = np.unique(ent_k)
+        parent, tflat = self._expand_types(ents_present)
+        if not len(parent):
             return empty_pairs
-        key = et["entity_uri"] + "\x1f" + et["type_uri"]
-        fresh = ~key.isin(self.emitted)
-        self.emitted.update(key[fresh])
-        return pa.Table.from_pandas(
-            et[fresh].reset_index(drop=True), preserve_index=False
-        ).replace_schema_metadata(None)
+        pair_codes = ents_present[parent] * self.n_type + tflat
+        new = np.setdiff1d(pair_codes, self.emitted, assume_unique=False)
+        if len(new) == 0:
+            return empty_pairs
+        self.emitted = np.union1d(self.emitted, new)
+        return pa.table({
+            "entity_uri": self.ent_uri_arr.take(pa.array(new // self.n_type)),
+            "type_uri": self.type_uri_arr.take(pa.array(new % self.n_type)),
+        })
