@@ -16,6 +16,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -53,23 +54,33 @@ def q1_pricing(sf_dir: str):
         blocks=fanout_blocks(),
     )
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(disc_price=b["l_extendedprice"] * (1 - b["l_discount"]))
-        g = (
-            b.groupby(["l_returnflag", "l_linestatus"], sort=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_disc_price=("disc_price", "sum"),
-                n_rows=("l_quantity", "size"),
-            )
-            .reset_index()
-        )
-        g["n_rows"] = g["n_rows"].astype("int64")
-        return g
+    def _partial(t: pa.Table) -> pa.Table:
+        # Arrow-native combiner: corpus-sized input batches never convert
+        # to pandas; the C++ hash aggregate emits tiny per-batch partials
+        disc = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "qty": t.column("l_quantity"),
+            "base": t.column("l_extendedprice"),
+            "disc": disc,
+        }).group_by(["l_returnflag", "l_linestatus"],
+                    use_threads=False).aggregate(
+            [("qty", "sum"), ("base", "sum"), ("disc", "sum"),
+             ("qty", "count")])
+        return pa.table({
+            "l_returnflag": g.column("l_returnflag"),
+            "l_linestatus": g.column("l_linestatus"),
+            "sum_qty": g.column("qty_sum"),
+            "sum_base_price": g.column("base_sum"),
+            "sum_disc_price": g.column("disc_sum"),
+            "n_rows": g.column("qty_count").cast(pa.int64()),
+        })
 
     agg = (
-        ds.map_batches(_partial, batch_format="pandas")
+        ds.map_batches(_partial, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("sum_qty", alias_name="sum_qty"),
@@ -110,11 +121,17 @@ def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
 
     from ..util import bucket_aggregate, bucket_join
 
-    def _li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
-        return b.groupby("l_orderkey", sort=False)["revenue"].sum().reset_index()
+    def _li_partial(t: pa.Table) -> pa.Table:
+        # Arrow-native combiner over the corpus-sized lineitem batches
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": rev}) \
+            .group_by("l_orderkey", use_threads=False) \
+            .aggregate([("revenue", "sum")])
+        return g.select(["l_orderkey", "revenue_sum"]).rename_columns(
+            ["l_orderkey", "revenue"])
 
-    li_part = li.map_batches(_li_partial, batch_format="pandas")
+    li_part = li.map_batches(_li_partial, batch_format="pyarrow")
     j1 = bucket_join(
         li_part, orders, key="l_orderkey", right_key="o_orderkey",
         left_cols={"revenue": pa.float64()},
@@ -122,10 +139,14 @@ def revenue_by_nation(sf_dir: str, *, num_buckets: int = 16):
         num_buckets=num_buckets,
     )
 
-    def _cust_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return b.groupby("o_custkey", sort=False)["revenue"].sum().reset_index()
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "revenue"]) \
+            .group_by("o_custkey", use_threads=False) \
+            .aggregate([("revenue", "sum")])
+        return g.select(["o_custkey", "revenue_sum"]).rename_columns(
+            ["o_custkey", "revenue"])
 
-    cust_part = j1.map_batches(_cust_partial, batch_format="pandas")
+    cust_part = j1.map_batches(_cust_partial, batch_format="pyarrow")
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nation = nation.rename(columns={"n_nationkey": "c_nationkey"})
@@ -161,14 +182,19 @@ def top_parts_by_revenue(sf_dir: str, *, k: int = 10):
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"],
                blocks=fanout_blocks())
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
-        return b.groupby("l_partkey", sort=False)["revenue"].sum().reset_index()
+    def _partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"l_partkey": t.column("l_partkey"), "revenue": rev}) \
+            .group_by("l_partkey", use_threads=False) \
+            .aggregate([("revenue", "sum")])
+        return g.select(["l_partkey", "revenue_sum"]).rename_columns(
+            ["l_partkey", "revenue"])
 
     from ..util import bucket_aggregate
 
     agg = bucket_aggregate(
-        li.map_batches(_partial, batch_format="pandas"),
+        li.map_batches(_partial, batch_format="pyarrow"),
         ["l_partkey"],
         {"revenue": ("revenue", "sum")},
     )
@@ -2449,20 +2475,27 @@ def q3_shipping(sf_dir: str, *, cutoff: str = "1998-07-01",
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"],
                  blocks=fanout_blocks(0.25))
 
-    def _li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["l_shipdate"] > cut]
-        b = b.assign(revenue=b["l_extendedprice"] * (1 - b["l_discount"]))
-        return (b.groupby("l_orderkey", sort=False)["revenue"].sum()
-                .reset_index())
+    def _li_partial(t: pa.Table) -> pa.Table:
+        # Arrow-native: filter + revenue combiner on corpus-sized batches
+        t = t.filter(pc.greater(t.column("l_shipdate"),
+                                pa.scalar(cut.to_pydatetime())))
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        g = pa.table({"l_orderkey": t.column("l_orderkey"), "revenue": rev}) \
+            .group_by("l_orderkey", use_threads=False) \
+            .aggregate([("revenue", "sum")])
+        return g.select(["l_orderkey", "revenue_sum"]).rename_columns(
+            ["l_orderkey", "revenue"])
 
-    def _ord_filter(b: pd.DataFrame) -> pd.DataFrame:
-        b = b[b["o_orderdate"] < cut]
-        return pd.DataFrame({
-            "o_orderkey": b["o_orderkey"],
-            "o_custkey": b["o_custkey"],
-            "order_date_us": b["o_orderdate"].astype("datetime64[us]")
-            .astype("int64"),
-            "o_orderpriority": b["o_orderpriority"],
+    def _ord_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("o_orderdate"),
+                             pa.scalar(cut.to_pydatetime())))
+        return pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "o_custkey": t.column("o_custkey"),
+            "order_date_us": t.column("o_orderdate")
+            .cast(pa.timestamp("us")).cast(pa.int64()),
+            "o_orderpriority": t.column("o_orderpriority"),
         })
 
     def _finalize_rev(df: pd.DataFrame) -> pd.DataFrame:
@@ -2472,16 +2505,17 @@ def q3_shipping(sf_dir: str, *, cutoff: str = "1998-07-01",
                 .sum().reset_index())
 
     j1 = bucket_join(
-        li.map_batches(_li_partial, batch_format="pandas"),
-        orders.map_batches(_ord_filter, batch_format="pandas"),
+        li.map_batches(_li_partial, batch_format="pyarrow"),
+        orders.map_batches(_ord_filter, batch_format="pyarrow"),
         key="l_orderkey", right_key="o_orderkey",
         left_cols={"revenue": pa.float64()},
         right_cols={"o_custkey": pa.int64(), "order_date_us": pa.int64(),
                     "o_orderpriority": pa.string()},
         post=_finalize_rev)
 
-    def _cust_filter(b: pd.DataFrame) -> pd.DataFrame:
-        return b.loc[b["c_mktsegment"] == segment, ["c_custkey"]]
+    def _cust_filter(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("c_mktsegment"),
+                                 segment)).select(["c_custkey"])
 
     def _topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["revenue", "order_date_us", "l_orderkey"],
@@ -2491,7 +2525,7 @@ def q3_shipping(sf_dir: str, *, cutoff: str = "1998-07-01",
 
     j2 = bucket_join(
         j1,
-        cust.map_batches(_cust_filter, batch_format="pandas"),
+        cust.map_batches(_cust_filter, batch_format="pyarrow"),
         key="o_custkey", right_key="c_custkey",
         left_cols={"l_orderkey": pa.int64(), "revenue": pa.float64(),
                    "order_date_us": pa.int64(),
