@@ -270,8 +270,10 @@ def triples_stream_to_parquet(documents_ds, out_dir: str, *,
     os.makedirs(etype_dir, exist_ok=True)
 
     if fast:
-        # Arrow/numpy hot path (see stages/linking_fast.py) — same output,
-        # ~2x less memory traffic per doc than the pandas actor.
+        # Arrow/numpy hot path (see stages/linking_fast.py) — same output;
+        # fuses mention detection against the backend's surface set. The
+        # classic DocTriples actor below now shares the same integer-key
+        # vote kernel (round 5), differing only in the EntityLinker seam.
         # ``pre_interleaved=True`` accepts the input_hint table directly
         # (doc_id:string, spans) instead of deriving spans from raw docs.
         from ..stages.linking_fast import DocTriplesFast

@@ -219,15 +219,17 @@ def events_by_type(sf_dir: str):
     groupby pair first — no per-group nunique), sum_value."""
     ev = _read(sf_dir, "events", ["event_type", "user_id", "value"], blocks=fanout_blocks(0.5))
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("event_type", sort=False).agg(
-            n_events=("user_id", "size"), sum_value=("value", "sum")
-        ).reset_index()
-        g["n_events"] = g["n_events"].astype("int64")
-        return g
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("event_type", use_threads=False).aggregate(
+            [("user_id", "count"), ("value", "sum")])
+        return pa.table({
+            "event_type": g.column("event_type"),
+            "n_events": g.column("user_id_count").cast(pa.int64()),
+            "sum_value": g.column("value_sum"),
+        })
 
     totals = (
-        ev.map_batches(_partial, batch_format="pandas")
+        ev.map_batches(_partial, batch_format="pyarrow")
         .groupby("event_type")
         .aggregate(Sum("n_events", alias_name="n_events"),
                    Sum("sum_value", alias_name="sum_value"))
