@@ -963,11 +963,17 @@ SELECT DISTINCT subj, pred, obj, axiom FROM (
             JOIN inv i ON s.pred = i.p
   UNION ALL SELECT s.subj, e.q, s.obj, 'prop_equiv' FROM stmts s
             JOIN peq e ON s.pred = e.p
+  UNION ALL SELECT s.subj, '{RDF_TYPE}', ps.dom, 'abox_domain'
+            FROM stmts s JOIN ps ON s.pred = ps.pred
+  UNION ALL SELECT s.obj, '{RDF_TYPE}', ps.rng, 'abox_range'
+            FROM stmts s JOIN ps ON s.pred = ps.pred
   UNION ALL SELECT r.c, '{RDFS_SUBCLASSOF}', d.dom, 'data_restriction_domain'
             FROM dres r JOIN dpd d ON r.p = d.p WHERE r.c <> d.dom
   UNION ALL SELECT subj, pred, obj, 'data_assertion' FROM dst
   UNION ALL SELECT s.subj, e.q, s.obj, 'data_prop_equiv' FROM dst s
             JOIN dpeq e ON s.pred = e.p
+  UNION ALL SELECT s.subj, '{RDF_TYPE}', d.dom, 'abox_domain'
+            FROM dst s JOIN dpd d ON s.pred = d.p
   UNION ALL SELECT c, '{RDFS_SUBCLASSOF}', m, 'complex_member' FROM cxm
   UNION ALL SELECT DISTINCT r.c, '{RDFS_SUBCLASSOF}', ps.dom, 'complex_domain'
             FROM cxr r JOIN ps ON r.p = ps.pred WHERE r.c <> ps.dom

@@ -36,10 +36,16 @@ def project_ontology() -> pa.Table:
       domain-range triples (:519-526)
     - owl:equivalentProperty propagation: (s, p, o) -> (s, q, o)
       (:529-537)
+    - ABox domain/range propagation (:706-719): every role assertion
+      (s, p, o) also types s with domain(p) and o with range(p)
+      (__propagateDomainAbox__ / __propagateRangeAbox__ under
+      propagate_domain_range)
     - data-property rules (:557-607): data role assertions carried
-      through (12c), data-property-equivalence propagation over them
-      (12d), and domain-only propagation for data restrictions (12b —
-      the restriction triple itself is NOT added, add_triple=False)
+      through (12c) with ABox DOMAIN propagation (the range attempt
+      raises on the literal target and is swallowed, :718-720),
+      data-property-equivalence propagation over them (12d), and
+      domain-only propagation for data restrictions (12b — the
+      restriction triple itself is NOT added, add_triple=False)
     - complex class expressions (:797-935): for C sub/equiv of an
       intersection/union, atomic members project as subsumptions; each
       restriction member (R some D) projects (C, R, D_i) per atomic
@@ -80,12 +86,21 @@ def project_ontology() -> pa.Table:
             rows.add((d, peq[p], r, "prop_equiv"))
     for cc, p, dd in fk.RESTRICTIONS:
         rows.add((c(cc), c(p), c(dd), "restriction"))
+    sch = {p: (d, r) for p, (d, r) in fk.PRED_SCHEMA.items()}
     for s, p, o in fk.STATEMENTS:
         rows.add((s, p, o, "assertion"))
         if p in inv:
             rows.add((o, inv[p], s, "inverse"))
         if p in peq:
             rows.add((s, peq[p], o, "prop_equiv"))
+        # ABox domain/range propagation (ontology_projection.py:706-719 ->
+        # __propagateDomainAbox__/__propagateRangeAbox__, active under
+        # propagate_domain_range): the assertion types its subject with
+        # domain(p) and its object with range(p)
+        if p in sch:
+            d_, r_ = sch[p]
+            rows.add((s, RDF_TYPE, d_, "abox_domain"))
+            rows.add((o, RDF_TYPE, r_, "abox_range"))
 
     # Data-property rules (ontology_projection.py:557-607)
     dpd = {c(p): c(d) for p, d in fk.DATA_PROP_DOMAIN.items()}
@@ -95,16 +110,17 @@ def project_ontology() -> pa.Table:
         dom = dpd.get(c(p))
         if dom is not None and c(cc) != dom:
             rows.add((c(cc), RDFS_SUBCLASSOF, dom, "data_restriction_domain"))
-    # 12c/12d carry the assertion + property-equivalence edges only. The
-    # reference's 12c path additionally calls __propagateDomainAbox__ when
-    # propagate_domain_range is on (subject rdf:type domain(dp)); that ABox
-    # type propagation is intentionally omitted here — engine and oracle
-    # both omit it, matching the pre-existing treatment of object-property
-    # assertions. See COVERAGE.md (A10 notes).
+    # 12c also propagates the ABox domain (__propagateDomainAbox__ under
+    # propagate_domain_range): subject rdf:type domain(dp). The range
+    # attempt raises on a literal target and is swallowed (:718-720), so
+    # data assertions propagate DOMAIN ONLY.
     for s, p, lit in fk.DATA_STATEMENTS:
         rows.add((fk._e(s), c(p), lit, "data_assertion"))  # 12c
         if c(p) in dpeq:
             rows.add((fk._e(s), dpeq[c(p)], lit, "data_prop_equiv"))  # 12d
+        dom = dpd.get(c(p))
+        if dom is not None:
+            rows.add((fk._e(s), RDF_TYPE, dom, "abox_domain"))
 
     # Complex class expressions (ontology_projection.py:797-935)
     schema = {p: (d, r) for p, (d, r) in fk.PRED_SCHEMA.items()}

@@ -77,6 +77,19 @@ def test_data_property_rules():
                    and r[1] == C("opCost"))
 
 
+def test_abox_domain_range_propagation():
+    """ontology_projection.py:706-719: (s, p, o) assertions type s with
+    domain(p) and o with range(p); data assertions type the subject with
+    domain(dp) only (the range attempt raises on a literal, :718-720)."""
+    # (Stream_Proc usesOp Join_Op), usesOp: Process x DBOperation
+    assert (E("Stream_Proc"), RDF_TYPE, C("Process"), "abox_domain") in ROWS
+    assert (E("Join_Op"), RDF_TYPE, C("DBOperation"), "abox_range") in ROWS
+    # (Join_Op opCost "42"), domain(opCost) = DBOperation — domain only
+    assert (E("Join_Op"), RDF_TYPE, C("DBOperation"), "abox_domain") in ROWS
+    assert not any(r for r in ROWS if r[3] == "abox_range"
+                   and not r[2].startswith("http"))
+
+
 def test_complex_axiom_rules():
     # atomic member of the intersection -> subsumption
     assert (C("StreamProcess"), RDFS_SUBCLASSOF, C("Process"),
