@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_exact",
     "ann_topk",
+    "knn_graph_ivf",
     "orders_ship_window",
     "doc_tfidf_top5",
     "contamination_8gram",
