@@ -53,8 +53,9 @@ def stage() -> None:
 def main() -> int:
     stage()
     import ray
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False,
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
@@ -75,7 +76,7 @@ def main() -> int:
     wall = time.time() - t0
     recall = partials["hit"].sum() / partials["tot"].sum()
     out = {"op": "knn_graph_ivf", "n_vectors": n, "dim": 64, "k": 5,
-           "n_clusters": "auto(1414)", "nprobe": 4,
+           "num_cpus": ncpu, "n_clusters": "auto(1414)", "nprobe": 4,
            "wall_sec": round(wall, 1), "vecs_per_sec": round(n / wall),
            "edges": int(partials["tot"].sum()),
            "planted_dup_recall": round(float(recall), 4)}
