@@ -1197,16 +1197,29 @@ def quality_filter_census(sf_dir: str, *, q: float = 0.1):
     thr = dict(bucket_map_keyed(hist, ["lang"], _thresholds)
                .to_pandas().itertuples(index=False, name=None))
 
-    def _census(b: pd.DataFrame) -> pd.DataFrame:
-        t = b["lang"].map(thr)
-        keep = b["n_chars"] >= t
-        g = pd.DataFrame({"lang": b["lang"], "k": keep.astype("int64"),
-                          "d": (~keep).astype("int64")})
-        return g.groupby("lang", sort=False).agg(
-            n_kept=("k", "sum"), n_dropped=("d", "sum")).reset_index()
+    # Arrow-native pass 2: the |langs|-row threshold map becomes a pinned
+    # value_set + integer gather (every lang is present in the histogram
+    # by construction), so corpus-sized batches never convert to pandas
+    thr_langs = pa.array(list(thr.keys()), type=pa.string())
+    thr_vals = np.array(list(thr.values()), dtype=np.int64)
+
+    def _census(t: pa.Table) -> pa.Table:
+        idx_a = pc.index_in(t.column("lang"), value_set=thr_langs)
+        assert idx_a.null_count == 0  # pass 1 saw every lang
+        idx = idx_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (t.column("n_chars").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) >= thr_vals[idx])
+        g = pa.table({
+            "lang": t.column("lang"),
+            "n_kept": pa.array(keep.astype(np.int64)),
+            "n_dropped": pa.array((~keep).astype(np.int64)),
+        }).group_by("lang", use_threads=False).aggregate(
+            [("n_kept", "sum"), ("n_dropped", "sum")])
+        return g.select(["lang", "n_kept_sum", "n_dropped_sum"]) \
+            .rename_columns(["lang", "n_kept", "n_dropped"])
 
     return bucket_aggregate(
-        docs.map_batches(_census, batch_format="pandas"), ["lang"],
+        docs.map_batches(_census, batch_format="pyarrow"), ["lang"],
         {"n_kept": ("n_kept", "sum"), "n_dropped": ("n_dropped", "sum")})
 
 
@@ -2562,9 +2575,11 @@ def customer_orders_left(sf_dir: str):
     orders = _read(sf_dir, "orders", ["o_custkey"],
                    blocks=fanout_blocks(0.5))
 
-    def _ord_counts(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("o_custkey", sort=False).size().reset_index(name="n")
-        return g
+    def _ord_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey", use_threads=False).aggregate(
+            [("o_custkey", "count")])
+        return g.select(["o_custkey", "o_custkey_count"]).rename_columns(
+            ["o_custkey", "n"])
 
     def _seg_partial(df: pd.DataFrame) -> pd.DataFrame:
         # several count partials may land per customer; sum them first
@@ -2582,7 +2597,7 @@ def customer_orders_left(sf_dir: str):
         })
 
     j = bucket_join(
-        cust, orders.map_batches(_ord_counts, batch_format="pandas"),
+        cust, orders.map_batches(_ord_counts, batch_format="pyarrow"),
         key="c_custkey", right_key="o_custkey",
         left_cols={"c_mktsegment": pa.string()},
         right_cols={"n": pa.int64()},
@@ -2823,12 +2838,14 @@ def pivot_lang_source(sf_dir: str):
     docs = _read(sf_dir, "documents", ["source", "lang"],
                  blocks=fanout_blocks(0.25))
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        return (b.groupby(["source", "lang"], sort=False).size()
-                .reset_index(name="c"))
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["source", "lang"], use_threads=False).aggregate(
+            [("lang", "count")])
+        return g.select(["source", "lang", "lang_count"]).rename_columns(
+            ["source", "lang", "c"])
 
     cnt = bucket_aggregate(
-        docs.map_batches(_partial, batch_format="pandas"),
+        docs.map_batches(_partial, batch_format="pyarrow"),
         ["source", "lang"], {"c": ("c", "sum")}).to_pandas()
     unknown = set(cnt["lang"]) - set(PIVOT_LANGS)
     if unknown:
@@ -2896,11 +2913,19 @@ def curate_corpus(sf_dir: str, *, seq_len: int = 2048, q: float = 0.1):
     thr = dict(bucket_map_keyed(hist, ["lang"], _thresholds)
                .to_pandas().itertuples(index=False, name=None))
 
-    def _quality(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b["n_chars"] >= b["lang"].map(thr)
-        return b.loc[keep, ["doc_id", "text", "lang"]]
+    thr_langs = pa.array(list(thr.keys()), type=pa.string())
+    thr_vals = np.array(list(thr.values()), dtype=np.int64)
 
-    quality = docs.map_batches(_quality, batch_format="pandas")
+    def _quality(t: pa.Table) -> pa.Table:
+        # Arrow-native: the |langs|-row threshold map as value_set + gather
+        idx_a = pc.index_in(t.column("lang"), value_set=thr_langs)
+        assert idx_a.null_count == 0  # pass 1 saw every lang
+        idx = idx_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (t.column("n_chars").cast(pa.int64())
+                .to_numpy(zero_copy_only=False) >= thr_vals[idx])
+        return t.filter(pa.array(keep)).select(["doc_id", "text", "lang"])
+
+    quality = docs.map_batches(_quality, batch_format="pyarrow")
 
     # -- 2. exact dedup: semi-join on the per-hash min doc_id -------------
     keepers = bucket_aggregate(
@@ -4404,16 +4429,18 @@ def events_value_histogram(sf_dir: str, *, bin_width: float = 10.0):
     ev = _read(sf_dir, "events", ["event_type", "value"],
                blocks=fanout_blocks(0.5))
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(bin=np.floor(b["value"].to_numpy() / bin_width)
-                     .astype(np.int64))
-        g = b.groupby(["event_type", "bin"], sort=False).size().rename(
-            "n_events").reset_index()
-        g["n_events"] = g["n_events"].astype("int64")
-        return g
+    def _partial(t: pa.Table) -> pa.Table:
+        bins = np.floor(t.column("value").to_numpy(zero_copy_only=False)
+                        / bin_width).astype(np.int64)
+        g = pa.table({"event_type": t.column("event_type"),
+                      "bin": pa.array(bins)}) \
+            .group_by(["event_type", "bin"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.select(["event_type", "bin", "count_all"]).rename_columns(
+            ["event_type", "bin", "n_events"])
 
     return bucket_aggregate(
-        ev.map_batches(_partial, batch_format="pandas"),
+        ev.map_batches(_partial, batch_format="pyarrow"),
         ["event_type", "bin"], {"n_events": ("n_events", "sum")})
 
 
@@ -4609,14 +4636,14 @@ def events_user_entropy(sf_dir: str):
     ev = _read(sf_dir, "events", ["user_id", "event_type"],
                blocks=fanout_blocks(0.5))
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(["user_id", "event_type"], sort=False).size().rename(
-            "c").reset_index()
-        g["c"] = g["c"].astype("int64")
-        return g
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return g.select(["user_id", "event_type", "count_all"]) \
+            .rename_columns(["user_id", "event_type", "c"])
 
     counts = bucket_aggregate(
-        ev.map_batches(_partial, batch_format="pandas"),
+        ev.map_batches(_partial, batch_format="pyarrow"),
         ["user_id", "event_type"], {"c": ("c", "sum")})
 
     def _entropy(g: pd.DataFrame) -> pd.DataFrame:
@@ -4867,15 +4894,16 @@ def customer_rfm(sf_dir: str):
                    blocks=fanout_blocks(0.5))
     day_us = 86_400_000_000
 
-    def _partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby("o_custkey", sort=False).agg(
-            last_ts=("o_orderdate", "max"), f=("o_orderdate", "size"),
-            m=("o_totalprice", "sum")).reset_index()
-        g["f"] = g["f"].astype("int64")
-        return g
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey", use_threads=False).aggregate(
+            [("o_orderdate", "max"), ([], "count_all"),
+             ("o_totalprice", "sum")])
+        return g.select(["o_custkey", "o_orderdate_max", "count_all",
+                         "o_totalprice_sum"]).rename_columns(
+            ["o_custkey", "last_ts", "f", "m"])
 
     cust = bucket_aggregate(
-        orders.map_batches(_partial, batch_format="pandas"),
+        orders.map_batches(_partial, batch_format="pyarrow"),
         ["o_custkey"],
         {"last_ts": ("last_ts", "max"), "f": ("f", "sum"),
          "m": ("m", "sum")}).materialize()
