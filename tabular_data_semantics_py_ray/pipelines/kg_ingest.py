@@ -886,18 +886,19 @@ def pred_census(triples_ds):
     Combiner-first: indicators computed per batch, ONE predicate-sized
     bucket shuffle."""
 
-    def _ind(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "pred": b["pred"],
-                "one": np.ones(len(b), dtype=np.int64),
-                "iri": (b["kind"] == "iri").to_numpy(dtype=np.int64),
-                "lit": (b["kind"] == "literal").to_numpy(dtype=np.int64),
-                "en": (b["lang"] == "en").to_numpy(dtype=np.int64),
-            }
-        )
+    def _ind(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    ind = triples_ds.map_batches(_ind, batch_format="pandas")
+        kind, lang = t.column("kind"), t.column("lang")
+        return pa.table({
+            "pred": t.column("pred"),
+            "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "iri": pc.cast(pc.equal(kind, "iri"), pa.int64()),
+            "lit": pc.cast(pc.equal(kind, "literal"), pa.int64()),
+            "en": pc.cast(pc.equal(lang, "en"), pa.int64()),
+        })
+
+    ind = triples_ds.map_batches(_ind, batch_format="pyarrow")
     return bucket_aggregate(
         ind,
         ["pred"],
@@ -939,13 +940,18 @@ def dangling_census(triples_ds):
     )
     dangling = bucket_anti_join(objs, subs, key="uri", key_type=pa.string())
 
-    def _ns(b: pd.DataFrame) -> pd.DataFrame:
-        ns = b["uri"].str.extract(r"^(.*[/#])", expand=False).fillna("")
-        return pd.DataFrame({"namespace": ns,
-                             "one": np.ones(len(b), dtype=np.int64)})
+    def _ns(t: pa.Table) -> pa.Table:
+        # prefix through the last '/' or '#' ('' when neither occurs):
+        # anchored full-match replace keeping group 1 (RE2, greedy .*)
+        ns = pc.replace_substring_regex(
+            t.column("uri"), pattern=r"^(.*[/#])?[^/#]*$",
+            replacement=r"\1")
+        return pa.table({"namespace": ns,
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 dtype=np.int64))})
 
     return bucket_aggregate(
-        dangling.map_batches(_ns, batch_format="pandas"),
+        dangling.map_batches(_ns, batch_format="pyarrow"),
         ["namespace"],
         {"n_dangling": ("one", "sum")},
     )
@@ -1029,6 +1035,59 @@ def _close_pairs_local(edges: pd.DataFrame) -> pd.DataFrame:
     return clo.reset_index(drop=True)
 
 
+class _PairMap:
+    """Driver-built CSR over an ontology-bounded (key -> values) pair set,
+    for Arrow-native broadcast-join expansion inside corpus scans: a
+    schema-side pandas merge per batch becomes ``pc.index_in`` + two
+    integer gathers. Picklable (numpy + pyarrow arrays only), shipped once
+    per actor via ray.put."""
+
+    def __init__(self, pairs):
+        if isinstance(pairs, pd.DataFrame):
+            pairs = list(pairs.itertuples(index=False, name=None))
+        m: dict[str, list[str]] = {}
+        for a, b in pairs:
+            m.setdefault(a, []).append(b)
+        keys = sorted(m)
+        self.keys = pa.array(keys, type=pa.string())
+        self.counts = np.array([len(m[k]) for k in keys], dtype=np.int64)
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(self.counts)[:-1])).astype(np.int64)
+        self.flat_vals = pa.array(
+            [v for k in keys for v in sorted(m[k])], type=pa.string())
+
+    def expand(self, col) -> tuple[np.ndarray, pa.Array]:
+        """col (Array/ChunkedArray of keys) -> (parent row indices, value
+        array): one output row per (row, value) pair for rows whose key is
+        mapped; rows with unmapped keys emit nothing."""
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.fill_null(pc.index_in(col, value_set=self.keys), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.nonzero(idx >= 0)[0]
+        code = idx[sel]
+        tc = self.counts[code]
+        tot = int(tc.sum())
+        if not tot:
+            return (np.empty(0, dtype=np.int64),
+                    pa.array([], type=pa.string()))
+        first = np.cumsum(tc) - tc
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
+        flat_pos = np.repeat(self.offsets[code], tc) + within
+        parent = np.repeat(sel, tc)
+        return parent, self.flat_vals.take(pa.array(flat_pos))
+
+
+def _const_col(value: str, n: int) -> pa.Array:
+    return pa.nulls(n, pa.string()).fill_null(value)
+
+
+def _distinct_tbl(t: pa.Table, keys: list[str]) -> pa.Table:
+    return t.group_by(keys, use_threads=False).aggregate([])
+
+
 def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
     """RDFS entailment materialization: original triples UNION inferred,
     distinct on (subj, pred, obj, kind, lang).
@@ -1084,53 +1143,77 @@ def rdfs_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000):
         )
     else:
         sc_df = None
-    schema_ref = ray.put((spc, eff_dom, eff_ran, sc_df))
+    schema_ref = ray.put((
+        _PairMap(spc),
+        _PairMap(eff_dom),
+        _PairMap(eff_ran),
+        _PairMap(sc_df[["cls_uri", "ancestor_uri"]]) if sc_df is not None
+        else None,
+    ))
 
     cols = ["subj", "pred", "obj", "kind", "lang"]
 
-    def _expand(b: pd.DataFrame) -> pd.DataFrame:
-        spc_g, dom_g, ran_g, sc_g = ray.get(schema_ref)
-        base = b[cols]
-        sup = base.merge(spc_g, left_on="pred", right_on="a")
-        sup = sup[["subj", "b", "obj", "kind", "lang"]].set_axis(cols, axis=1)
-        t0 = base.loc[
-            (base["pred"] == RDF_TYPE) & (base["kind"] == "iri"),
-            ["subj", "obj"],
-        ].set_axis(["ent", "cls"], axis=1)
-        td = base.merge(dom_g, left_on="pred", right_on="a")[
-            ["subj", "b"]
-        ].set_axis(["ent", "cls"], axis=1)
-        tr = base.loc[base["kind"] == "iri"].merge(
-            ran_g, left_on="pred", right_on="a"
-        )[["obj", "b"]].set_axis(["ent", "cls"], axis=1)
-        types = pd.concat([t0, td, tr], ignore_index=True).drop_duplicates()
-        if sc_g is not None:
-            texp = types.merge(sc_g, left_on="cls", right_on="cls_uri")
-            texp = texp[["ent", "ancestor_uri"]].set_axis(["ent", "cls"], axis=1)
-            types = pd.concat([types, texp], ignore_index=True)
-        trows = pd.DataFrame(
-            {
-                "subj": types["ent"],
-                "pred": np.full(len(types), RDF_TYPE, dtype=object),
-                "obj": types["cls"],
-                "kind": np.full(len(types), "iri", dtype=object),
-                "lang": np.full(len(types), "", dtype=object),
-            }
-        )
-        return pd.concat([base, sup, trows], ignore_index=True)
+    def _expand(t: pa.Table) -> pa.Table:
+        # Arrow-native scan kernel: every schema-side pandas merge is a
+        # _PairMap CSR expansion (index_in + integer gathers); corpus-sized
+        # batches never convert to pandas
+        import pyarrow.compute as pc
 
-    out = triples_ds.map_batches(_expand, batch_format="pandas")
+        sp_m, dom_m, ran_m, sc_m = ray.get(schema_ref)
+        base = t.select(cols)
+        pred, kind = base.column("pred"), base.column("kind")
+
+        # rdfs7: (s p o), p subPropertyOf q -> (s q o)
+        par, newpred = sp_m.expand(pred)
+        pi = pa.array(par)
+        sup = pa.Table.from_arrays(
+            [base.column("subj").take(pi), newpred,
+             base.column("obj").take(pi), kind.take(pi),
+             base.column("lang").take(pi)], names=cols)
+
+        # typing rules -> (ent, cls) pair stream
+        is_iri = pc.equal(kind, "iri")
+        t0_mask = pc.and_(pc.equal(pred, RDF_TYPE), is_iri)
+        parts = [pa.table({"ent": base.column("subj").filter(t0_mask),
+                           "cls": base.column("obj").filter(t0_mask)})]
+        par_d, cls_d = dom_m.expand(pred)  # rdfs2
+        parts.append(pa.table({
+            "ent": base.column("subj").take(pa.array(par_d)),
+            "cls": cls_d}))
+        par_r, cls_r = ran_m.expand(pred)  # rdfs3: resource objects only
+        keep = is_iri.to_numpy(zero_copy_only=False)[par_r]
+        parts.append(pa.table({
+            "ent": base.column("obj").take(pa.array(par_r[keep])),
+            "cls": cls_r.filter(pa.array(keep))}))
+        types = _distinct_tbl(pa.concat_tables(parts), ["ent", "cls"])
+        if sc_m is not None:  # rdfs9 fused into the scan
+            par_c, anc = sc_m.expand(types.column("cls"))
+            types = pa.concat_tables([types, pa.table({
+                "ent": types.column("ent").take(pa.array(par_c)),
+                "cls": anc})])
+        n = types.num_rows
+        trows = pa.Table.from_arrays(
+            [types.column("ent").combine_chunks().cast(pa.string()),
+             _const_col(RDF_TYPE, n),
+             types.column("cls").combine_chunks().cast(pa.string()),
+             _const_col("iri", n), _const_col("", n)], names=cols)
+        return pa.concat_tables([base, sup, trows]).combine_chunks()
+
+    out = triples_ds.map_batches(_expand, batch_format="pyarrow")
 
     if sc_df is None:
         # distributed rdfs9: hash-partition type rows and the closure on the
         # class key; closure is transitive, so ONE join round is complete
         out = out.materialize()
 
-        def _typerows(b: pd.DataFrame) -> pd.DataFrame:
-            f = b.loc[(b["pred"] == RDF_TYPE) & (b["kind"] == "iri")]
-            return pd.DataFrame({"cls": f["obj"], "ent": f["subj"]})
+        def _typerows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-        left = out.map_batches(_typerows, batch_format="pandas")
+            f = t.filter(pc.and_(pc.equal(t.column("pred"), RDF_TYPE),
+                                 pc.equal(t.column("kind"), "iri")))
+            return pa.table({"cls": f.column("obj"), "ent": f.column("subj")})
+
+        left = out.map_batches(_typerows, batch_format="pyarrow")
         right = sc_clo.map_batches(
             lambda t: pa.Table.from_arrays(
                 [t.column("cls_uri"), t.column("ancestor_uri")],
@@ -1306,81 +1389,95 @@ def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
         sc_df = None
     schema_ref = ray.put(
         (
-            _pairs_df(spc_pairs),
-            _pairs_df(fwd_extra),
-            _pairs_df(bwd),
-            _pairs_df(dom_sp),
-            _pairs_df(dom_full),
-            _pairs_df(ran_full),
-            sc_df,
+            _PairMap(spc_pairs),
+            _PairMap(fwd_extra),
+            _PairMap(bwd),
+            _PairMap(dom_sp),
+            _PairMap(dom_full),
+            _PairMap(ran_full),
+            _PairMap(sc_df[["cls_uri", "ancestor_uri"]])
+            if sc_df is not None else None,
         )
     )
 
     cols = ["subj", "pred", "obj", "kind", "lang"]
 
-    def _trows(types: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "subj": types["ent"],
-                "pred": np.full(len(types), RDF_TYPE, dtype=object),
-                "obj": types["cls"],
-                "kind": np.full(len(types), "iri", dtype=object),
-                "lang": np.full(len(types), "", dtype=object),
-            }
-        )
+    def _expand(t: pa.Table) -> pa.Table:
+        # Arrow-native scan kernel (same _PairMap shape as
+        # rdfs_materialize's): schema merges become index_in + gathers;
+        # the iri/rest split becomes a parent-mask filter on each
+        # expansion instead of two frame slices
+        import pyarrow.compute as pc
 
-    def _expand(b: pd.DataFrame) -> pd.DataFrame:
-        spc_g, fwdx_g, bwd_g, domsp_g, domf_g, ranf_g, sc_g = ray.get(schema_ref)
-        base = b[cols]
-        is_iri = (base["kind"] == "iri").to_numpy()
-        iri, rest = base.loc[is_iri], base.loc[~is_iri]
-        # rule rdfs7 (+ inverse-composed variants on resource objects)
-        sup_rest = rest.merge(spc_g, left_on="pred", right_on="a")
-        sup_rest = sup_rest[["subj", "b", "obj", "kind", "lang"]].set_axis(
-            cols, axis=1)
-        sup_iri = iri.merge(fwdx_g, left_on="pred", right_on="a")
-        sup_iri = sup_iri[["subj", "b", "obj", "kind", "lang"]].set_axis(
-            cols, axis=1)
-        rev = iri.merge(bwd_g, left_on="pred", right_on="a")
-        rev = pd.DataFrame(
-            {
-                "subj": rev["obj"],
-                "pred": rev["b"],
-                "obj": rev["subj"],
-                "kind": np.full(len(rev), "iri", dtype=object),
-                "lang": np.full(len(rev), "", dtype=object),
-            }
-        )
-        # typing rules (rdfs2/3 through the composed maps)
-        t0 = base.loc[
-            (base["pred"] == RDF_TYPE) & is_iri, ["subj", "obj"]
-        ].set_axis(["ent", "cls"], axis=1)
-        td_rest = rest.merge(domsp_g, left_on="pred", right_on="a")[
-            ["subj", "b"]].set_axis(["ent", "cls"], axis=1)
-        td_iri = iri.merge(domf_g, left_on="pred", right_on="a")[
-            ["subj", "b"]].set_axis(["ent", "cls"], axis=1)
-        tr_iri = iri.merge(ranf_g, left_on="pred", right_on="a")[
-            ["obj", "b"]].set_axis(["ent", "cls"], axis=1)
-        types = pd.concat([t0, td_rest, td_iri, tr_iri],
-                          ignore_index=True).drop_duplicates()
-        if sc_g is not None:
-            texp = types.merge(sc_g, left_on="cls", right_on="cls_uri")
-            texp = texp[["ent", "ancestor_uri"]].set_axis(["ent", "cls"], axis=1)
-            types = pd.concat([types, texp], ignore_index=True)
-        return pd.concat([base, sup_rest, sup_iri, rev, _trows(types)],
-                         ignore_index=True)
+        sp_m, fwdx_m, bwd_m, domsp_m, domf_m, ranf_m, sc_m = \
+            ray.get(schema_ref)
+        base = t.select(cols)
+        pred, kind = base.column("pred"), base.column("kind")
+        is_iri = pc.equal(kind, "iri")
+        iri_np = is_iri.to_numpy(zero_copy_only=False)
 
-    out = triples_ds.map_batches(_expand, batch_format="pandas")
+        def _edge_rows(pm, want_iri: bool, flip: bool) -> pa.Table:
+            par, vals = pm.expand(pred)
+            m = iri_np[par] if want_iri else ~iri_np[par]
+            par, vals = par[m], vals.filter(pa.array(m))
+            pi = pa.array(par)
+            if flip:  # (s p o) -> (o q s), resource objects only
+                n = len(par)
+                return pa.Table.from_arrays(
+                    [base.column("obj").take(pi), vals,
+                     base.column("subj").take(pi),
+                     _const_col("iri", n), _const_col("", n)], names=cols)
+            return pa.Table.from_arrays(
+                [base.column("subj").take(pi), vals,
+                 base.column("obj").take(pi), kind.take(pi),
+                 base.column("lang").take(pi)], names=cols)
+
+        sup_rest = _edge_rows(sp_m, want_iri=False, flip=False)
+        sup_iri = _edge_rows(fwdx_m, want_iri=True, flip=False)
+        rev = _edge_rows(bwd_m, want_iri=True, flip=True)
+
+        def _type_pairs(pm, want_iri: bool, ent_col: str) -> pa.Table:
+            par, vals = pm.expand(pred)
+            m = iri_np[par] if want_iri else ~iri_np[par]
+            return pa.table({
+                "ent": base.column(ent_col).take(pa.array(par[m])),
+                "cls": vals.filter(pa.array(m))})
+
+        t0_mask = pc.and_(pc.equal(pred, RDF_TYPE), is_iri)
+        parts = [pa.table({"ent": base.column("subj").filter(t0_mask),
+                           "cls": base.column("obj").filter(t0_mask)}),
+                 _type_pairs(domsp_m, want_iri=False, ent_col="subj"),
+                 _type_pairs(domf_m, want_iri=True, ent_col="subj"),
+                 _type_pairs(ranf_m, want_iri=True, ent_col="obj")]
+        types = _distinct_tbl(pa.concat_tables(parts), ["ent", "cls"])
+        if sc_m is not None:
+            par_c, anc = sc_m.expand(types.column("cls"))
+            types = pa.concat_tables([types, pa.table({
+                "ent": types.column("ent").take(pa.array(par_c)),
+                "cls": anc})])
+        n = types.num_rows
+        trows = pa.Table.from_arrays(
+            [types.column("ent").combine_chunks().cast(pa.string()),
+             _const_col(RDF_TYPE, n),
+             types.column("cls").combine_chunks().cast(pa.string()),
+             _const_col("iri", n), _const_col("", n)], names=cols)
+        return pa.concat_tables(
+            [base, sup_rest, sup_iri, rev, trows]).combine_chunks()
+
+    out = triples_ds.map_batches(_expand, batch_format="pyarrow")
 
     if sc_df is None:
         out = out.materialize()
 
-        def _typerows(b: pd.DataFrame) -> pd.DataFrame:
-            f = b.loc[(b["pred"] == RDF_TYPE) & (b["kind"] == "iri")]
-            return pd.DataFrame({"cls": f["obj"], "ent": f["subj"]})
+        def _typerows(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            f = t.filter(pc.and_(pc.equal(t.column("pred"), RDF_TYPE),
+                                 pc.equal(t.column("kind"), "iri")))
+            return pa.table({"cls": f.column("obj"), "ent": f.column("subj")})
 
         extra = bucket_join(
-            out.map_batches(_typerows, batch_format="pandas"),
+            out.map_batches(_typerows, batch_format="pyarrow"),
             sc_clo.map_batches(
                 lambda t: pa.Table.from_arrays(
                     [t.column("cls_uri"), t.column("ancestor_uri")],
@@ -1417,64 +1514,67 @@ def owl_horst_materialize(triples_ds, *, sc_broadcast_max: int = 5_000_000,
     if trans:
         fwd_to = sorted((p, q) for p, q in fwd if q in trans)
         bwd_to = sorted((p, q) for p, q in bwd if q in trans)
-        fwd_to_df = _pairs_df(fwd_to, ("pred", "t"))
-        bwd_to_df = _pairs_df(bwd_to, ("pred", "t"))
-        tmap_ref = ray.put((fwd_to_df, bwd_to_df))
+        tmap_ref = ray.put((_PairMap(fwd_to), _PairMap(bwd_to)))
 
-        def _edges(b: pd.DataFrame) -> pd.DataFrame:
-            fw_g, bw_g = ray.get(tmap_ref)
-            res = b.loc[b["kind"] == "iri", ["subj", "pred", "obj"]]
-            fw = res.merge(fw_g, on="pred")
-            bw = res.merge(bw_g, on="pred")
-            return pd.DataFrame(
-                {
-                    "cls_uri": pd.concat(
-                        [fw["t"] + "\n" + fw["subj"],
-                         bw["t"] + "\n" + bw["obj"]], ignore_index=True),
-                    "ancestor_uri": pd.concat(
-                        [fw["t"] + "\n" + fw["obj"],
-                         bw["t"] + "\n" + bw["subj"]], ignore_index=True),
-                }
-            )
+        def _edges(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            fw_m, bw_m = ray.get(tmap_ref)
+            res = t.filter(pc.equal(t.column("kind"), "iri"))
+            pred = res.column("pred")
+            subj, obj = res.column("subj"), res.column("obj")
+            join = pc.binary_join_element_wise
+            par_f, t_f = fw_m.expand(pred)
+            par_b, t_b = bw_m.expand(pred)
+            pf, pb = pa.array(par_f), pa.array(par_b)
+            return pa.table({
+                "cls_uri": pa.concat_arrays([
+                    join(t_f, subj.take(pf).combine_chunks(), "\n"),
+                    join(t_b, obj.take(pb).combine_chunks(), "\n")]),
+                "ancestor_uri": pa.concat_arrays([
+                    join(t_f, obj.take(pf).combine_chunks(), "\n"),
+                    join(t_b, subj.take(pb).combine_chunks(), "\n")]),
+            })
 
         ed = _edges_from_rows(
-            triples_ds.map_batches(_edges, batch_format="pandas"))
+            triples_ds.map_batches(_edges, batch_format="pyarrow"))
         clo = _closure_from_edges(ed, max_depth=max_depth)
         exp_rows = sorted(
             [(t, t, 0) for t in trans]
             + [(p, q, 0) for p, q in fwd_extra if p in trans]
             + [(p, q, 1) for p, q in bwd if p in trans]
         )
-        exp_df = pd.DataFrame(
-            {"t": [r[0] for r in exp_rows],
-             "q": [r[1] for r in exp_rows],
-             "flip": np.array([r[2] for r in exp_rows], dtype=np.int8)}
-        )
-        exp_ref = ray.put(exp_df)
+        exp_ref = ray.put((
+            _PairMap([(t_, q) for t_, q, f in exp_rows if f == 0]),
+            _PairMap([(t_, q) for t_, q, f in exp_rows if f == 1]),
+        ))
 
         def _clo_rows(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
             if tbl.num_rows == 0:  # keep the union schema string-typed
                 return pa.Table.from_arrays(
                     [pa.array([], type=pa.string()) for _ in cols],
                     names=cols)
-            cu = tbl.column("cls_uri").to_pandas().str.split("\n", n=1)
-            au = tbl.column("ancestor_uri").to_pandas().str.split("\n", n=1)
-            df = pd.DataFrame(
-                {"t": cu.str[0], "s": cu.str[1], "o": au.str[1]}
-            ).merge(ray.get(exp_ref), on="t")
-            flip = df["flip"].to_numpy() == 1
-            return pa.Table.from_pandas(
-                pd.DataFrame(
-                    {
-                        "subj": np.where(flip, df["o"], df["s"]),
-                        "pred": df["q"],
-                        "obj": np.where(flip, df["s"], df["o"]),
-                        "kind": np.full(len(df), "iri", dtype=object),
-                        "lang": np.full(len(df), "", dtype=object),
-                    }
-                ),
-                preserve_index=False,
-            )
+            nf_m, fl_m = ray.get(exp_ref)
+            cu = pc.split_pattern(tbl.column("cls_uri"), "\n", max_splits=1)
+            au = pc.split_pattern(tbl.column("ancestor_uri"), "\n",
+                                  max_splits=1)
+            tcol = pc.list_element(cu, 0)
+            s = pc.list_element(cu, 1)
+            o = pc.list_element(au, 1)
+            par0, q0 = nf_m.expand(tcol)
+            par1, q1 = fl_m.expand(tcol)
+            p0, p1 = pa.array(par0), pa.array(par1)
+            straight = pa.Table.from_arrays(
+                [s.take(p0), q0, o.take(p0),
+                 _const_col("iri", len(par0)), _const_col("", len(par0))],
+                names=cols)
+            flipped = pa.Table.from_arrays(
+                [o.take(p1), q1, s.take(p1),
+                 _const_col("iri", len(par1)), _const_col("", len(par1))],
+                names=cols)
+            return pa.concat_tables([straight, flipped]).combine_chunks()
 
         out = out.union(clo.map_batches(_clo_rows, batch_format="pyarrow"))
 
