@@ -45,6 +45,7 @@ from ..constants import (
 )
 from ..kg_dump import OWL_CLASS, REDIRECT_PRED
 from ..util import (
+    _PairMap,
     _to_arrow,
     bucket_aggregate,
     bucket_anti_join,
@@ -1033,51 +1034,6 @@ def _close_pairs_local(edges: pd.DataFrame) -> pd.DataFrame:
         clo = pd.concat([clo, nxt], ignore_index=True)
         frontier = nxt
     return clo.reset_index(drop=True)
-
-
-class _PairMap:
-    """Driver-built CSR over an ontology-bounded (key -> values) pair set,
-    for Arrow-native broadcast-join expansion inside corpus scans: a
-    schema-side pandas merge per batch becomes ``pc.index_in`` + two
-    integer gathers. Picklable (numpy + pyarrow arrays only), shipped once
-    per actor via ray.put."""
-
-    def __init__(self, pairs):
-        if isinstance(pairs, pd.DataFrame):
-            pairs = list(pairs.itertuples(index=False, name=None))
-        m: dict[str, list[str]] = {}
-        for a, b in pairs:
-            m.setdefault(a, []).append(b)
-        keys = sorted(m)
-        self.keys = pa.array(keys, type=pa.string())
-        self.counts = np.array([len(m[k]) for k in keys], dtype=np.int64)
-        self.offsets = np.concatenate(
-            ([0], np.cumsum(self.counts)[:-1])).astype(np.int64)
-        self.flat_vals = pa.array(
-            [v for k in keys for v in sorted(m[k])], type=pa.string())
-
-    def expand(self, col) -> tuple[np.ndarray, pa.Array]:
-        """col (Array/ChunkedArray of keys) -> (parent row indices, value
-        array): one output row per (row, value) pair for rows whose key is
-        mapped; rows with unmapped keys emit nothing."""
-        import pyarrow.compute as pc
-
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        idx = pc.fill_null(pc.index_in(col, value_set=self.keys), -1) \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
-        sel = np.nonzero(idx >= 0)[0]
-        code = idx[sel]
-        tc = self.counts[code]
-        tot = int(tc.sum())
-        if not tot:
-            return (np.empty(0, dtype=np.int64),
-                    pa.array([], type=pa.string()))
-        first = np.cumsum(tc) - tc
-        within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
-        flat_pos = np.repeat(self.offsets[code], tc) + within
-        parent = np.repeat(sel, tc)
-        return parent, self.flat_vals.take(pa.array(flat_pos))
 
 
 def _const_col(value: str, n: int) -> pa.Array:

@@ -49,12 +49,29 @@ def partial_count(ds, keys: list[str], *, salt_buckets: int = 0,
 _TYPES_CACHE: dict = {}
 
 
+def _types_pairmap(types: pd.DataFrame):
+    from ..util import _PairMap
+
+    return _PairMap(types[["entity_uri", "type_uri"]])
+
+
+def _join_types_arrow(t, pmap):
+    """Arrow inner-join of a linked batch against the pinned entity->type
+    CSR: index_in + integer gathers; a mention with k types repeats k
+    times (pandas merge semantics), typeless mentions drop."""
+    import pyarrow as _pa
+
+    par, tvals = pmap.expand(t.column("entity_uri"))
+    return t.take(_pa.array(par)).append_column("type_uri", tvals)
+
+
 def join_types_batches(ds, *, types_ref=None, batch_size: int = 32768):
     """Stateless-task version of TypeJoiner: the tiny entity->type table is
     fetched once per WORKER PROCESS (module-level cache keyed by object ref)
     instead of once per actor — no pool startup cost, elastic parallelism.
-    Top concepts are filtered driver-side before the broadcast."""
-    import pandas as _pd
+    Top concepts are filtered driver-side before the broadcast; the
+    per-batch body is Arrow-native (no pandas on the corpus-sized stream)."""
+    import pyarrow as _pa
 
     if types_ref is None:
         t = fixture_kg.entity_types_df()
@@ -62,19 +79,20 @@ def join_types_batches(ds, *, types_ref=None, batch_size: int = 32768):
         types_ref = ray.put(t)
     key = types_ref.hex()
 
-    def _join(b: _pd.DataFrame) -> _pd.DataFrame:
-        df = _TYPES_CACHE.get(key)
-        if df is None:
-            df = ray.get(types_ref)
-            _TYPES_CACHE[key] = df
-        return b.merge(df, on="entity_uri", how="inner")
+    def _join(t: _pa.Table) -> _pa.Table:
+        pmap = _TYPES_CACHE.get(key)
+        if pmap is None:
+            pmap = _types_pairmap(ray.get(types_ref))
+            _TYPES_CACHE[key] = pmap
+        return _join_types_arrow(t, pmap)
 
-    return ds.map_batches(_join, batch_format="pandas", batch_size=batch_size)
+    return ds.map_batches(_join, batch_format="pyarrow", batch_size=batch_size)
 
 
 class TypeJoiner:
     """linked mentions -> (key cols, type_uri) rows via pinned entity->type
-    table (broadcast, never shuffled: the small side of J2)."""
+    table (broadcast, never shuffled: the small side of J2). CSR built once
+    per actor; the per-batch body is Arrow-native."""
 
     def __init__(self, types_ref=None, drop_top_concepts: bool = True):
         types = (
@@ -82,10 +100,10 @@ class TypeJoiner:
         )
         if drop_top_concepts:
             types = types[~types["type_uri"].isin(AVOID_TOP_CONCEPTS)]
-        self.types = types
+        self.pmap = _types_pairmap(types)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(self.types, on="entity_uri", how="inner")
+    def __call__(self, batch):
+        return _join_types_arrow(batch, self.pmap)
 
 
 def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0,
@@ -100,7 +118,7 @@ def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0,
     typed = linked_ds.map_batches(
         TypeJoiner,
         fn_constructor_kwargs={"types_ref": types_ref},
-        batch_format="pandas",
+        batch_format="pyarrow",
         batch_size=32768,
         concurrency=concurrency,
     )
@@ -110,13 +128,16 @@ def vote_types(linked_ds, key: str = "doc_id", *, salt_buckets: int = 0,
 def vote_types_from_typed(typed_ds, key: str = "doc_id", *, salt_buckets: int = 0):
     """Voting over an already type-joined stream (lets the pipeline share
     one TypeJoiner pass between voting and type-triple emission)."""
-    # ONE shuffle: per-batch partial counts (combiner/salt step), co-locate
-    # by hash(key), then sum + vectorized argmax per bucket.
-    def _pre(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby([key, "type_uri"], sort=False, observed=True).size()
-        g = g.reset_index(name="n")
-        g["n"] = g["n"].astype("int64")
-        return g
+    # ONE shuffle: per-batch partial counts (combiner/salt step, Arrow
+    # hash aggregate — corpus-sized typed batches never convert to
+    # pandas), co-locate by hash(key), then sum + argmax per bucket.
+    import pyarrow as _pa
+
+    def _pre(t: _pa.Table) -> _pa.Table:
+        g = t.group_by([key, "type_uri"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return g.select([key, "type_uri", "count_all"]).rename_columns(
+            [key, "type_uri", "n"])
 
     def _winners(bucket: pd.DataFrame) -> pd.DataFrame:
         c = (
@@ -130,7 +151,8 @@ def vote_types_from_typed(typed_ds, key: str = "doc_id", *, salt_buckets: int = 
                           kind="mergesort")
         return c.drop_duplicates(subset=[key], keep="first")[[key, "type_uri"]]
 
-    return bucket_map_keyed(typed_ds, [key], _winners, pre=_pre)
+    return bucket_map_keyed(typed_ds, [key], _winners, pre=_pre,
+                            pre_format="pyarrow")
 
 
 def most_specific_classes(type_uris: set[str], ancestors: dict[str, set[str]]) -> set[str]:

@@ -279,16 +279,37 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         if fn not in _AGG_FNS:
             raise ValueError(f"unsupported agg fn {fn} for {out}")
 
-    def _partial(b: pd.DataFrame):
-        named = {
-            # pandas named agg needs a real column even for size
-            out: (col if col in b.columns else keys[0],
-                  "size" if fn == "count" else fn)
-            for out, (col, fn) in agg_spec.items()
-        }
-        g = b.groupby(keys, sort=False, observed=True).agg(**named).reset_index()
-        g["_b"] = _bucket_of(g, keys, num_buckets)
-        return _to_arrow(g)
+    # Arrow-native combiner: the corpus-sized input batch never converts
+    # to pandas — the C++ hash aggregate reduces it first, and only the
+    # (combiner-reduced, <= batch-sized) partial crosses into pandas for
+    # the bucket hash (_bucket_of must stay pandas-hashed: bucket_join
+    # unions two tagged streams and their hashes must agree).
+    agg_list: list = []
+    outmap: dict[str, str] = {}
+    for out, (col, fn) in agg_spec.items():
+        if fn == "count":
+            spec, gen = ([], "count_all"), "count_all"
+        else:
+            spec, gen = (col, fn), f"{col}_{fn}"
+        if spec not in agg_list:
+            agg_list.append(spec)
+        outmap[out] = gen
+
+    def _partial(t: pa.Table):
+        import pyarrow.compute as pc
+
+        for k in keys:  # pandas groupby drops null keys (dropna=True)
+            col = t.column(k)
+            if col.null_count:
+                t = t.filter(pc.is_valid(col))
+        g = t.group_by(keys, use_threads=False).aggregate(agg_list)
+        gdf = g.to_pandas()
+        for out, gen in outmap.items():
+            gdf[out] = (gdf[gen].astype("int64") if gen == "count_all"
+                        else gdf[gen])
+        gdf = gdf[keys + list(agg_spec)]
+        gdf["_b"] = _bucket_of(gdf, keys, num_buckets)
+        return _to_arrow(gdf)
 
     def _final(g: pd.DataFrame):
         named = {}
@@ -299,7 +320,7 @@ def bucket_aggregate(ds, keys: list[str], agg_spec: dict[str, tuple[str, str]],
         # blocks than on pandas object-dtype blocks
         return _to_arrow(out_df.drop(columns=["_b"], errors="ignore"))
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
     return partials.groupby("_b").map_groups(_final, batch_format="pandas")
 
 
@@ -307,10 +328,13 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int | None = None):
     """Global DISTINCT on the key tuple via bucket shuffle (exact dedup)."""
     num_buckets = num_buckets or adaptive_buckets()
 
-    def _partial(b: pd.DataFrame):
-        g = b[keys].drop_duplicates().copy()
-        g["_b"] = _bucket_of(g, keys, num_buckets)
-        return _to_arrow(g)
+    def _partial(t: pa.Table):
+        # Arrow hash-distinct first; only the deduped (<= batch-sized)
+        # result crosses into pandas for the bucket hash
+        g = t.select(keys).group_by(keys, use_threads=False).aggregate([])
+        gdf = g.to_pandas()[keys]
+        gdf["_b"] = _bucket_of(gdf, keys, num_buckets)
+        return _to_arrow(gdf)
 
     def _final(g: pa.Table):
         # Arrow group_by distinct (nulls compare equal, same as pandas
@@ -321,7 +345,7 @@ def bucket_distinct(ds, keys: list[str], *, num_buckets: int | None = None):
         # consume boundary.
         return g.group_by(keys, use_threads=False).aggregate([]).select(keys)
 
-    partials = ds.map_batches(_partial, batch_format="pandas")
+    partials = ds.map_batches(_partial, batch_format="pyarrow")
     return partials.groupby("_b").map_groups(_final, batch_format="pyarrow")
 
 
@@ -528,18 +552,31 @@ def bucket_anti_join(left_ds, right_ds, *, key: str, right_key: str | None = Non
 
 
 def bucket_map_keyed(ds, keys: list[str], bucket_fn, *,
-                     num_buckets: int | None = None, pre=None):
+                     num_buckets: int | None = None, pre=None,
+                     pre_format: str = "pandas"):
     """Co-locate rows by key hash, then run ``bucket_fn`` (vectorized pandas
     over the whole bucket; all rows of a key tuple are guaranteed present).
-    ``pre`` optionally thins each batch before the shuffle."""
+    ``pre`` optionally thins each batch before the shuffle;
+    ``pre_format="pyarrow"`` runs it as pa.Table -> pa.Table so a
+    corpus-sized input batch never converts to pandas — only the thinned
+    pre output crosses over for the bucket hash (_bucket_of stays
+    pandas-hashed for cross-helper consistency)."""
     num_buckets = num_buckets or adaptive_buckets()
 
-    def _tag(b: pd.DataFrame):
-        if pre is not None:
-            b = pre(b)
-        b = b.copy()
-        b["_b"] = _bucket_of(b, keys, num_buckets)
-        return _to_arrow(b)
+    if pre_format == "pyarrow":
+        def _tag(t: pa.Table):
+            if pre is not None:
+                t = pre(t)
+            b = t.to_pandas()
+            b["_b"] = _bucket_of(b, keys, num_buckets)
+            return _to_arrow(b)
+    else:
+        def _tag(b: pd.DataFrame):
+            if pre is not None:
+                b = pre(b)
+            b = b.copy()
+            b["_b"] = _bucket_of(b, keys, num_buckets)
+            return _to_arrow(b)
 
     def _final(g: pd.DataFrame):
         out = bucket_fn(g.drop(columns=["_b"]))
@@ -547,6 +584,51 @@ def bucket_map_keyed(ds, keys: list[str], bucket_fn, *,
             out = _to_arrow(out)
         return out
 
-    return ds.map_batches(_tag, batch_format="pandas").groupby("_b").map_groups(
-        _final, batch_format="pandas"
-    )
+    return ds.map_batches(
+        _tag, batch_format=pre_format
+    ).groupby("_b").map_groups(_final, batch_format="pandas")
+
+
+class _PairMap:
+    """Driver-built CSR over an ontology-bounded (key -> values) pair set,
+    for Arrow-native broadcast-join expansion inside corpus scans: a
+    schema-side pandas merge per batch becomes ``pc.index_in`` + two
+    integer gathers. Picklable (numpy + pyarrow arrays only), shipped once
+    per actor via ray.put."""
+
+    def __init__(self, pairs):
+        if isinstance(pairs, pd.DataFrame):
+            pairs = list(pairs.itertuples(index=False, name=None))
+        m: dict[str, list[str]] = {}
+        for a, b in pairs:
+            m.setdefault(a, []).append(b)
+        keys = sorted(m)
+        self.keys = pa.array(keys, type=pa.string())
+        self.counts = np.array([len(m[k]) for k in keys], dtype=np.int64)
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(self.counts)[:-1])).astype(np.int64)
+        self.flat_vals = pa.array(
+            [v for k in keys for v in sorted(m[k])], type=pa.string())
+
+    def expand(self, col) -> tuple[np.ndarray, pa.Array]:
+        """col (Array/ChunkedArray of keys) -> (parent row indices, value
+        array): one output row per (row, value) pair for rows whose key is
+        mapped; rows with unmapped keys emit nothing."""
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.fill_null(pc.index_in(col, value_set=self.keys), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.nonzero(idx >= 0)[0]
+        code = idx[sel]
+        tc = self.counts[code]
+        tot = int(tc.sum())
+        if not tot:
+            return (np.empty(0, dtype=np.int64),
+                    pa.array([], type=pa.string()))
+        first = np.cumsum(tc) - tc
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
+        flat_pos = np.repeat(self.offsets[code], tc) + within
+        parent = np.repeat(sel, tc)
+        return parent, self.flat_vals.take(pa.array(flat_pos))
