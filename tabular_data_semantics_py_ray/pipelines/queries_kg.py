@@ -73,14 +73,39 @@ def _cached_resolution() -> pd.DataFrame:
     return _surface_resolution_df()
 
 
-def _link_surface_batch(b: pd.DataFrame) -> pd.DataFrame:
+@lru_cache(maxsize=1)
+def _cached_resolution_arrays():
+    """(surface_form array, entity_uri array) — the Arrow form of the 1:1
+    resolution table, derived once per worker process."""
+    import pyarrow as pa
+
+    res = _cached_resolution()
+    return (pa.array(list(res["surface_form"]), type=pa.string()),
+            pa.array(list(res["entity_uri"]), type=pa.string()))
+
+
+def _link_mentions_arrow(t, forms_arr, ent_arr):
+    """Arrow inner join of a mentions batch against a 1:1 surface
+    resolution: index_in + gather; unresolved mentions drop."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    m = t.column("mention")
+    if isinstance(m, pa.ChunkedArray):
+        m = m.combine_chunks()
+    idx = pc.index_in(m, value_set=forms_arr)
+    keep = idx.is_valid()
+    return t.filter(keep).append_column(
+        "entity_uri", ent_arr.take(idx.filter(keep)))
+
+
+def _link_surface_batch(t):
     """Stateless task version of the surface linker: the tiny resolution
     table loads once per worker process via the lru_cache. Stateless tasks
     (not an actor pool) so stacked query pipelines can't deadlock on actor
-    pool reservations at small cpu counts."""
-    return b.merge(
-        _cached_resolution(), left_on="mention", right_on="surface_form"
-    ).drop(columns=["surface_form"])
+    pool reservations at small cpu counts. Arrow-native: the corpus-sized
+    mentions stream never converts to pandas."""
+    return _link_mentions_arrow(t, *_cached_resolution_arrays())
 
 
 def _linked_flat(sf_dir: str, backend: str | None = None):
@@ -91,7 +116,8 @@ def _linked_flat(sf_dir: str, backend: str | None = None):
     if backend is None:
         # fixture path: tiny resolution table derived per worker process
         # (lru_cache) — no broadcast traffic at all
-        return mentions.map_batches(_link_surface_batch, batch_format="pandas")
+        return mentions.map_batches(_link_surface_batch,
+                                    batch_format="pyarrow")
     # named-backend path: the registry lives on the DRIVER (worker processes
     # import a fresh module), so resolve the backend here, derive the
     # resolution table once, and broadcast it (ray.put once; plasma-local
@@ -103,13 +129,20 @@ def _linked_flat(sf_dir: str, backend: str | None = None):
         resolution_from_tables(be.lexicon(), be.alias_edges(), be.entity_types())
     )
 
-    def _link(b: pd.DataFrame) -> pd.DataFrame:
-        res = ray.get(res_ref)
-        return b.merge(res, left_on="mention", right_on="surface_form").drop(
-            columns=["surface_form"]
-        )
+    _cache: dict = {}
 
-    return mentions.map_batches(_link, batch_format="pandas")
+    def _link(t):
+        import pyarrow as pa
+
+        arrs = _cache.get("a")
+        if arrs is None:
+            res = ray.get(res_ref)
+            arrs = (pa.array(list(res["surface_form"]), type=pa.string()),
+                    pa.array(list(res["entity_uri"]), type=pa.string()))
+            _cache["a"] = arrs
+        return _link_mentions_arrow(t, *arrs)
+
+    return mentions.map_batches(_link, batch_format="pyarrow")
 
 
 def cea_link(sf_dir: str, backend: str | None = None):
@@ -132,13 +165,23 @@ def cta_type_ancestors(sf_dir: str, backend: str | None = None):
     """winner type expanded with ontology-closure ancestors (G3):
     (doc_id, type_uri, ancestor_uri, distance)."""
     winners = cta_doc_type(sf_dir)
-    closure = _bk(backend).class_closure()
+    from ..util import _TableMap
 
-    def _expand(b: pd.DataFrame) -> pd.DataFrame:
-        out = b.merge(closure, left_on="type_uri", right_on="cls_uri", how="inner")
-        return out[["doc_id", "type_uri", "ancestor_uri", "distance"]]
+    cmap = _TableMap(_bk(backend).class_closure(), "cls_uri")
 
-    return winners.map_batches(_expand, batch_format="pandas")
+    def _expand(t):
+        import pyarrow as pa
+
+        par, rows = cmap.expand(t.column("type_uri"))
+        pi = pa.array(par)
+        return pa.table({
+            "doc_id": t.column("doc_id").take(pi),
+            "type_uri": t.column("type_uri").take(pi),
+            "ancestor_uri": cmap.col("ancestor_uri").take(rows),
+            "distance": cmap.col("distance").take(rows),
+        })
+
+    return winners.map_batches(_expand, batch_format="pyarrow")
 
 
 def cpa_cooccur(sf_dir: str):
@@ -485,11 +528,14 @@ def docs_without_customer(sf_dir: str):
     docs = select_cols(read_documents(sf_dir), ["doc_id"])
     linked = _linked_flat(sf_dir)
 
-    def _cust_only(b: pd.DataFrame) -> pd.DataFrame:
-        return b.loc[b["entity_uri"] == ENT + "Customer",
-                     ["doc_id"]].drop_duplicates()
+    def _cust_only(t):
+        import pyarrow.compute as pc
 
-    cust_docs = linked.map_batches(_cust_only, batch_format="pandas")
+        f = t.filter(pc.equal(t.column("entity_uri"), ENT + "Customer"))
+        return f.select(["doc_id"]).group_by(
+            ["doc_id"], use_threads=False).aggregate([])
+
+    cust_docs = linked.map_batches(_cust_only, batch_format="pyarrow")
     return bucket_anti_join(docs, cust_docs, key="doc_id")
 
 
@@ -539,14 +585,25 @@ def depth_stats(sf_dir: str, backend: str | None = None):
 
     winners = vote_types(_linked_flat(sf_dir), key="doc_id")
 
-    def _with_depth(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.copy()
-        b["d"] = b["type_uri"].map(depth_map).astype("int64")
-        b["_k"] = 0
-        return b[["_k", "d"]]
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d_keys = pa.array(sorted(depth_map), type=pa.string())
+    d_vals = np.array([depth_map[k] for k in sorted(depth_map)],
+                      dtype=np.int64)
+
+    def _with_depth(t):
+        idx_a = pc.index_in(t.column("type_uri"), value_set=d_keys)
+        assert idx_a.null_count == 0  # every winner type is in the closure
+        idx = idx_a.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "_k": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "d": pa.array(d_vals[idx]),
+        })
 
     agg = bucket_aggregate(
-        winners.map_batches(_with_depth, batch_format="pandas"),
+        winners.map_batches(_with_depth, batch_format="pyarrow"),
         ["_k"],
         {"n_docs": ("d", "count"), "sum_d": ("d", "sum"),
          "max_depth": ("d", "max")},

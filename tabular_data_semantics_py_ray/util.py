@@ -632,3 +632,46 @@ class _PairMap:
         flat_pos = np.repeat(self.offsets[code], tc) + within
         parent = np.repeat(sel, tc)
         return parent, self.flat_vals.take(pa.array(flat_pos))
+
+
+class _TableMap:
+    """CSR from a key column of a SMALL table to its row indices — the
+    multi-column generalization of _PairMap (an Arrow-native broadcast
+    inner join): ``expand(col)`` returns (parent row indices into the
+    probe column, row positions into the small table); gather any value
+    column with ``.col(name).take(row_positions)``."""
+
+    def __init__(self, df: pd.DataFrame, key: str):
+        self._tbl = _to_arrow(df.reset_index(drop=True))
+        m: dict[str, list[int]] = {}
+        for i, k in enumerate(df[key]):
+            m.setdefault(k, []).append(i)
+        keys = sorted(m)
+        self.keys = pa.array(keys, type=pa.string())
+        self.counts = np.array([len(m[k]) for k in keys], dtype=np.int64)
+        self.offsets = np.concatenate(
+            ([0], np.cumsum(self.counts)[:-1])).astype(np.int64)
+        self.flat_rows = np.array(
+            [r for k in keys for r in m[k]], dtype=np.int64)
+
+    def col(self, name: str):
+        return self._tbl.column(name)
+
+    def expand(self, col) -> tuple[np.ndarray, pa.Array]:
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        idx = pc.fill_null(pc.index_in(col, value_set=self.keys), -1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.nonzero(idx >= 0)[0]
+        code = idx[sel]
+        tc = self.counts[code]
+        tot = int(tc.sum())
+        if not tot:
+            return (np.empty(0, dtype=np.int64),
+                    pa.array(np.empty(0, dtype=np.int64)))
+        first = np.cumsum(tc) - tc
+        within = np.arange(tot, dtype=np.int64) - np.repeat(first, tc)
+        flat_pos = self.flat_rows[np.repeat(self.offsets[code], tc) + within]
+        return np.repeat(sel, tc), pa.array(flat_pos)
