@@ -34,38 +34,48 @@ def table_to_rdf(ds, *, table_name: str, key_col: str, cls_uri: str,
       reference's positional property minting).
     """
 
-    def _emit(b: pd.DataFrame) -> pa.Table:
-        ent = TAB + f"{table_name}-row-" + b[key_col].astype(str)
-        subj, pred, obj, lit = [], [], [], []
+    def _emit(t: pa.Table) -> pa.Table:
+        # Arrow-native emitter: minted URIs via element-wise string join,
+        # constants via fill_null broadcast — no Python list per row.
+        # Integer/string cells stringify identically under Arrow cast and
+        # pandas astype(str); exotic numeric types should be pre-formatted
+        # by the caller.
+        import numpy as np
+        import pyarrow.compute as pc
 
-        def add(s, p, o, is_lit):
-            subj.extend(s)
-            pred.extend([p] * len(s))
-            obj.extend(o)
-            lit.extend([is_lit] * len(s))
+        ent = pc.binary_join_element_wise(
+            pa.scalar(TAB + f"{table_name}-row-"),
+            t.column(key_col).cast(pa.string()).combine_chunks(),
+            pa.scalar(""))
 
-        add(ent, RDF_TYPE, [cls_uri] * len(b), False)
+        def _const(v: str, n: int) -> pa.Array:
+            return pa.nulls(n, pa.string()).fill_null(v)
+
+        def rows(s, p: str, o, is_lit: bool) -> pa.Table:
+            n = len(s)
+            return pa.Table.from_arrays(
+                [s, _const(p, n), o, pa.array(np.full(n, is_lit))],
+                schema=TRIPLES_SCHEMA)
+
+        n = t.num_rows
+        parts = [rows(ent, RDF_TYPE, _const(cls_uri, n), False)]
         if label_col is not None:
-            add(ent, RDFS_LABEL, b[label_col].astype(str), True)
+            parts.append(rows(
+                ent, RDFS_LABEL,
+                t.column(label_col).cast(pa.string()).combine_chunks(),
+                True))
         for i, col in enumerate(value_cols or [], start=1):
-            mask = b[col].notna()
-            add(
-                ent[mask],
+            c = t.column(col)
+            mask = pc.is_valid(c)
+            parts.append(rows(
+                ent.filter(mask.combine_chunks()
+                           if isinstance(mask, pa.ChunkedArray) else mask),
                 TAB + f"{table_name}-col-{i}",
-                b.loc[mask, col].astype(str),
-                True,
-            )
-        return pa.Table.from_arrays(
-            [
-                pa.array(subj, type=pa.string()),
-                pa.array(pred, type=pa.string()),
-                pa.array(obj, type=pa.string()),
-                pa.array(lit, type=pa.bool_()),
-            ],
-            schema=TRIPLES_SCHEMA,
-        )
+                c.filter(mask).cast(pa.string()).combine_chunks(),
+                True))
+        return pa.concat_tables(parts).combine_chunks()
 
-    return ds.map_batches(_emit, batch_format="pandas")
+    return ds.map_batches(_emit, batch_format="pyarrow")
 
 
 def nation_to_rdf(sf_dir: str):

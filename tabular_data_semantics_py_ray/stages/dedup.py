@@ -994,20 +994,22 @@ def near_dup_pairs_simhash(documents_ds, *, max_hamming: int = 3):
         lambda b: _pairs_from_keyed(b, ["segment", "seg_key"], carry=["simhash"]),
     )
 
-    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
+    def _verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "hamming": pa.array([], type=pa.int64())})
         ham = hamming64(
-            batch["simhash_a"].to_numpy().astype(np.uint64),
-            batch["simhash_b"].to_numpy().astype(np.uint64),
-        )
-        out = batch[["doc_a", "doc_b"]].copy()
-        out["hamming"] = ham
-        return out[out["hamming"] <= max_hamming].reset_index(drop=True)
+            t.column("simhash_a").to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+            t.column("simhash_b").to_numpy(zero_copy_only=False)
+            .astype(np.uint64),
+        ).astype(np.int64)
+        keep = ham <= max_hamming
+        out = t.select(["doc_a", "doc_b"]).filter(pa.array(keep))
+        return out.append_column("hamming", pa.array(ham[keep]))
 
-    verified = pairs.map_batches(_verify, batch_format="pandas")
+    verified = pairs.map_batches(_verify, batch_format="pyarrow")
     # same pair can match in several segments -> distinct
     return bucket_aggregate(
         verified, ["doc_a", "doc_b"], {"hamming": ("hamming", "min")}
